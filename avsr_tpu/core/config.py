@@ -1,0 +1,378 @@
+"""Canonical typed configuration for avsr_tpu.
+
+One schema consumed by every entry point (train / decode / validate), loaded
+from YAML with CLI dotted-path overrides and validated at load time.  This
+replaces the reference's three overlapping config systems (flat argparse+YAML
+merge in scripts/clip_whisper/train.py:133-139, typed dataclasses in
+src/utils/config.py:14-164, and shell-wrapper defaults) with a single source
+of truth — see SURVEY.md §5.6.
+
+Sections mirror the reference YAML (configs/clip_whisper.yaml:4-55): ``data``,
+``model``, ``training``, ``processor`` — plus TPU-native ``mesh`` and
+``runtime`` sections the reference has no equivalent of.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+MODALITIES = ("audio", "video", "both")
+CONNECTOR_TYPES = (
+    # single-input projectors (reference modality_connector.py:25-299)
+    "simple", "deep", "conv", "attention", "adaptive",
+    # dual-input fusion connectors (reference advanced_connectors.py:7-621 —
+    # implemented there but never wired; first-class here, SURVEY.md §2.1)
+    "cross_modal", "qformer", "perceiver",
+)
+
+
+@dataclass
+class DataConfig:
+    """Dataset paths and shape caps (reference configs/clip_whisper.yaml:4-14)."""
+
+    path: str = ""
+    train_manifest: str = "train.tsv"
+    train_labels: str = "train.wrd"
+    val_manifest: str = "valid.tsv"
+    val_labels: str = "valid.wrd"
+    test_manifest: str = "test.tsv"
+    test_labels: str = "test.wrd"
+    batch_size: int = 8
+    max_audio_length: int = 480_000     # 30 s @ 16 kHz
+    max_video_length: int = 100         # max video frames
+    max_label_length: int = 128         # max label tokens
+    num_workers: int = 2
+    synthetic: bool = False             # use the synthetic dataset (no media needed)
+    synthetic_size: int = 100
+    # Length bucketing for static-shape batches (TPU-native; no ref equivalent).
+    audio_buckets: tuple[int, ...] = (500, 1000, 1500)   # mel frames (pre-conv)
+    video_buckets: tuple[int, ...] = (25, 50, 100)       # video frames
+
+
+@dataclass
+class WhisperConfig:
+    """Whisper audio-encoder architecture (HF openai/whisper-* geometry)."""
+
+    n_mels: int = 80
+    d_model: int = 1024          # whisper-medium
+    n_heads: int = 16
+    n_layers: int = 24
+    ffn_mult: int = 4
+    max_frames: int = 3000       # 30 s of 10 ms hops
+    sample_rate: int = 16000
+    n_fft: int = 400
+    hop_length: int = 160
+
+    @property
+    def max_source_positions(self) -> int:
+        return self.max_frames // 2  # conv2 stride-2
+
+
+@dataclass
+class ClipConfig:
+    """CLIP ViT vision-encoder architecture (HF openai/clip-vit-* geometry)."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    d_model: int = 768           # clip-vit-base-patch32
+    n_heads: int = 12
+    n_layers: int = 12
+    ffn_mult: int = 4
+
+
+@dataclass
+class LLMConfig:
+    """Causal-LM decoder architecture (Llama-class geometry)."""
+
+    vocab_size: int = 128_256    # llama-3.2
+    d_model: int = 2048          # llama-3.2-1B
+    n_layers: int = 16
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    ffn_dim: int = 8192
+    rope_theta: float = 500_000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = True
+    max_seq_len: int = 2048
+
+
+@dataclass
+class LoRAConfig:
+    """LoRA adapter hyperparameters (reference clip_whisper_model.py:973-1000)."""
+
+    use_lora: bool = True
+    r: int = 16
+    alpha: int = 32
+    dropout: float = 0.05
+    # Which LLM projections receive adapters.
+    target_modules: tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+    init_scale: float = 1.0      # ref scales B-init by 0.01; we default to standard 0-init B
+
+
+@dataclass
+class ModelConfig:
+    """Top-level model composition (reference configs/clip_whisper.yaml:17-30)."""
+
+    llm_path: str = ""                    # HF dir for weight conversion (optional)
+    whisper_path: str = ""
+    clip_path: str = ""
+    modality: str = "both"                # audio | video | both
+    connector_type: str = "simple"        # one of CONNECTOR_TYPES
+    fusion_scale: float = 0.5             # audio weight in weighted-sum fusion
+    fusion_mode: str = "weighted_sum"     # weighted_sum | concat_seq | connector
+    max_seq_len: int = 512                # cap on fused encoder sequence
+    freeze_encoders: bool = True
+    freeze_llm: bool = True               # train connectors (+LoRA) only by default
+    use_fp16: bool = True                 # bf16 on TPU
+    use_4bit: bool = False                # weight-only int4 LLM quantization
+    use_8bit: bool = False                # weight-only int8 LLM quantization
+    prompt: str = "Transcribe the speech into text:"
+    whisper: WhisperConfig = field(default_factory=WhisperConfig)
+    clip: ClipConfig = field(default_factory=ClipConfig)
+    llm: LLMConfig = field(default_factory=LLMConfig)
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
+    # Connector internals
+    connector_hidden_mult: int = 2
+    qformer_queries: int = 32             # ref advanced_connectors.py:232
+    perceiver_latents: int = 64           # ref advanced_connectors.py:433
+
+
+@dataclass
+class TrainingConfig:
+    """Optimization schedule (reference configs/clip_whisper.yaml:33-43)."""
+
+    num_epochs: int = 10
+    max_steps: int = -1                   # >0 overrides epochs
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.95                 # ref trainer:202-207
+    grad_accum_steps: int = 1             # real accumulation (ref declared, never used)
+    max_grad_norm: float = 0.5
+    warmup_steps: int = 100
+    schedule: str = "cosine"              # cosine | linear | constant
+    log_interval: int = 10
+    save_every_steps: int = 1000
+    save_every_secs: float = 7200.0       # ref 2-hour cadence trainer:256-257
+    keep_checkpoints: int = 3
+    checkpoint_dir: str = "outputs/avsr"
+    resume_from: str = ""
+    seed: int = 42
+    # Stability guards (ref trainer:338-351, 444-451)
+    max_unstable_batches: int = 5
+    loss_stability_window: int = 5
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh + sharding — TPU-native, no reference equivalent (SURVEY.md §2.4)."""
+
+    dp: int = -1                 # -1: infer (fill remaining devices)
+    fsdp: int = 1                # parameter sharding axis (zero-style)
+    tp: int = 1                  # tensor parallel over ICI
+    sp: int = 1                  # sequence parallel
+    axis_names: tuple[str, ...] = ("dp", "fsdp", "tp")
+    remat: bool = True           # jax.checkpoint on transformer blocks
+    donate: bool = True
+
+
+@dataclass
+class RuntimeConfig:
+    """Runtime toggles."""
+
+    param_dtype: str = "float32"        # master params
+    compute_dtype: str = "bfloat16"
+    debug_nans: bool = False
+    profile_dir: str = ""
+    use_pallas: str = "auto"            # auto | always | never
+
+
+@dataclass
+class DecodeConfig:
+    """Generation / eval protocol (reference decode.py:41-66)."""
+
+    max_new_tokens: int = 100
+    temperature: float = 0.0            # 0 => greedy
+    top_p: float = 0.9
+    num_beams: int = 1                  # >1 => beam search
+    length_penalty: float = 1.0
+    batch_size: int = 8
+    output_dir: str = "outputs/decode"
+
+
+@dataclass
+class AVSRConfig:
+    """Root config."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    def validate(self) -> "AVSRConfig":
+        if self.model.modality not in MODALITIES:
+            raise ValueError(
+                f"modality must be one of {MODALITIES}, got {self.model.modality!r}")
+        if self.model.connector_type not in CONNECTOR_TYPES:
+            raise ValueError(
+                f"connector_type must be one of {CONNECTOR_TYPES}, "
+                f"got {self.model.connector_type!r}")
+        dual = self.model.connector_type in ("cross_modal", "qformer", "perceiver")
+        if dual and self.model.modality != "both":
+            raise ValueError(
+                f"connector_type={self.model.connector_type!r} fuses audio+video and "
+                f"requires modality='both' (got {self.model.modality!r})")
+        if self.model.use_4bit and self.model.use_8bit:
+            raise ValueError("use_4bit and use_8bit are mutually exclusive")
+        if self.training.grad_accum_steps < 1:
+            raise ValueError("grad_accum_steps must be >= 1")
+        if self.model.llm.n_heads % max(self.model.llm.n_kv_heads, 1) != 0:
+            raise ValueError("llm.n_heads must be divisible by llm.n_kv_heads")
+        for b, nxt in zip(self.data.audio_buckets, self.data.audio_buckets[1:]):
+            if nxt <= b:
+                raise ValueError("audio_buckets must be strictly increasing")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Loading: YAML + dotted-path overrides
+# ---------------------------------------------------------------------------
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Coerce a YAML/CLI value into the dataclass field type."""
+    import typing
+
+    origin = typing.get_origin(typ)
+    if origin is tuple:
+        args = typing.get_args(typ)
+        elem = args[0] if args else str
+        if isinstance(value, str):
+            value = [v for v in value.replace(",", " ").split() if v]
+        return tuple(_coerce(v, elem) for v in value)
+    if typ is bool:
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if typ is int:
+        return int(value)
+    if typ is float:
+        return float(value)
+    if typ is str:
+        return str(value)
+    return value
+
+
+def _build(cls: type, data: dict[str, Any], path: str = "") -> Any:
+    """Recursively build a dataclass from a nested dict, rejecting unknown keys."""
+    kwargs: dict[str, Any] = {}
+    known = {f.name: f for f in fields(cls)}
+    for key, value in (data or {}).items():
+        if key not in known:
+            raise KeyError(f"Unknown config key {path + key!r} for {cls.__name__}")
+        f = known[key]
+        default = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default
+        if is_dataclass(default):
+            if not isinstance(value, dict):
+                raise TypeError(f"Config section {path + key!r} must be a mapping")
+            kwargs[key] = _build(type(default), value, path=f"{path}{key}.")
+        else:
+            resolved = _FIELD_TYPES.get((cls, key))
+            kwargs[key] = _coerce(value, resolved) if resolved is not None else value
+    return cls(**kwargs)
+
+
+def _resolve_field_types() -> dict[tuple[type, str], Any]:
+    """Resolve string annotations to real types once, for every section class."""
+    import typing
+
+    out: dict[tuple[type, str], Any] = {}
+    for cls in (DataConfig, WhisperConfig, ClipConfig, LLMConfig, LoRAConfig,
+                ModelConfig, TrainingConfig, MeshConfig, RuntimeConfig,
+                DecodeConfig, AVSRConfig):
+        hints = typing.get_type_hints(cls)
+        for f in fields(cls):
+            out[(cls, f.name)] = hints.get(f.name)
+    return out
+
+
+_FIELD_TYPES = _resolve_field_types()
+
+
+def _set_dotted(tree: dict[str, Any], dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+        if not isinstance(node, dict):
+            raise TypeError(f"Override {dotted!r} conflicts with scalar at {p!r}")
+    node[parts[-1]] = value
+
+
+def load_config(
+    yaml_path: str | Path | None = None,
+    overrides: dict[str, Any] | list[str] | None = None,
+) -> AVSRConfig:
+    """Load the canonical config.
+
+    ``overrides`` may be a dict of dotted paths ({"model.modality": "audio"})
+    or a list of "key=value" strings from the CLI. CLI wins over YAML wins
+    over defaults — the reference's merge direction (train.py:133-139), minus
+    its flat-namespace bug.
+    """
+    tree: dict[str, Any] = {}
+    if yaml_path:
+        with open(yaml_path) as fh:
+            loaded = yaml.safe_load(fh) or {}
+        if not isinstance(loaded, dict):
+            raise TypeError(f"{yaml_path}: top level must be a mapping")
+        tree = loaded
+    if overrides:
+        if isinstance(overrides, dict):
+            items = overrides.items()
+        else:
+            items = []
+            for s in overrides:
+                if "=" not in s:
+                    raise ValueError(f"Override {s!r} must be key=value")
+                k, v = s.split("=", 1)
+                items.append((k.strip(), yaml.safe_load(v)))
+        for k, v in items:
+            _set_dotted(tree, k, v)
+    return _build(AVSRConfig, tree).validate()
+
+
+def save_config(cfg: AVSRConfig, path: str | Path) -> None:
+    """Write the fully-resolved config as YAML (reference src/utils/config.py:198-223)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        yaml.safe_dump(to_dict(cfg), fh, sort_keys=False)
+
+
+def to_dict(cfg: Any) -> dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+
+    def _clean(x: Any) -> Any:
+        if isinstance(x, dict):
+            return {k: _clean(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return list(x)
+        return x
+
+    return _clean(d)
+
+
+def config_json(cfg: AVSRConfig) -> str:
+    return json.dumps(to_dict(cfg), indent=2)

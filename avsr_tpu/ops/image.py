@@ -1,0 +1,63 @@
+"""CLIP-style video-frame preprocessing as a batched on-device op.
+
+The reference preprocesses video one frame at a time through a Python loop
+calling HF CLIPProcessor (simple_dataset.py:213-249) — its data-side hot loop
+(SURVEY.md §3.1). Here the whole clip is preprocessed in one vectorized XLA
+call: resize shortest-side-to-S (bilinear), center crop S×S, rescale to [0,1],
+normalize with the CLIP mean/std. Runs on TPU and fuses into the encoder step.
+
+Input frames are uint8 [T, H, W, 3] (decode order RGB); output is
+[T, 3, S, S] in the requested dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "dtype"))
+def preprocess_frames(
+    frames: jax.Array,
+    image_size: int = 224,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """uint8 [T,H,W,3] (or [B,T,H,W,3]) -> [T,3,S,S] (or [B,T,3,S,S]).
+
+    Resize-shortest-side + center-crop is computed with static shapes (H, W
+    are trace-time constants), so the op stays jittable.
+    """
+    batched = frames.ndim == 5
+    if not batched:
+        frames = frames[None]
+    B, T, H, W, C = frames.shape
+    S = image_size
+
+    x = frames.astype(jnp.float32) / 255.0
+    # Resize shortest side to S, preserving aspect ratio (static arithmetic).
+    if H <= W:
+        new_h, new_w = S, max(S, int(round(W * S / H)))
+    else:
+        new_h, new_w = max(S, int(round(H * S / W))), S
+    x = jax.image.resize(x, (B, T, new_h, new_w, C), method="bilinear",
+                         antialias=True)
+    top = (new_h - S) // 2
+    left = (new_w - S) // 2
+    x = jax.lax.slice(x, (0, 0, top, left, 0), (B, T, top + S, left + S, C))
+    x = (x - CLIP_MEAN) / CLIP_STD
+    x = jnp.transpose(x, (0, 1, 4, 2, 3))  # -> [B,T,3,S,S]
+    x = x.astype(dtype)
+    return x if batched else x[0]
+
+
+def sample_frame_indices(num_frames: int, target: int) -> np.ndarray:
+    """Uniformly sample/clamp ``target`` frame indices from a clip."""
+    if num_frames <= target:
+        return np.arange(num_frames)
+    return np.linspace(0, num_frames - 1, target).round().astype(np.int64)

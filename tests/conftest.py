@@ -1,0 +1,31 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mesh/sharding logic is exercised on CPU-backed virtual devices
+(SURVEY.md §4) — the TPU-native answer to multi-node testing without a pod.
+Must set flags before jax initializes, hence module scope here.
+"""
+
+import os
+
+# Force CPU: the ambient environment may point JAX_PLATFORMS at a tunneled
+# TPU, where default bf16 matmul precision would break f32 numerics tests.
+# Set AVSR_TEST_TPU=1 to run the suite against the real chip instead.
+if not os.environ.get("AVSR_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# This XLA-CPU build defaults to reduced-precision matmuls (TPU-style bf16
+# passes); parity tests need true f32.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,305 @@
+"""AVSR model composition: Whisper + CLIP + connectors + Llama(+LoRA).
+
+The TPU-native counterpart of the reference's ``ClipWhisperModel``
+(src/clip_whisper/models/clip_whisper_model.py:24-1452): three modality modes
+(audio / video / both), fusion via weighted sum (ref encode() :424-435),
+sequence concat, or a dual-input fusion connector (the capability the
+reference declared but never wired — SURVEY.md §2.1), causal-LM loss over
+transcripts, and an embeddings-prefix for generation.
+
+Design departure (deliberate, see SURVEY.md §7 "hard parts"): the reference
+warps encoder output to the label length with pooling/interpolation at train
+time (clip_whisper_model.py:573-598, 621-707) — lossy. Here the training
+sequence is the *packed* concatenation
+
+    [prompt tokens][AV features][label tokens]
+
+built by a static-shape gather (`pack_segments`) that squeezes out
+mid-sequence padding, so the whole thing is right-padded and runs through the
+causal flash-attention path with plain per-sample lengths. Loss is masked CE
+on the label positions only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.core.config import ModelConfig
+from avsr_tpu.models import llama as llama_mod
+from avsr_tpu.models.clip_vit import clip_vit_apply, init_clip_vit
+from avsr_tpu.models.connectors import get_connector
+from avsr_tpu.models.layers import Params, param_count
+from avsr_tpu.models.whisper_encoder import init_whisper_encoder, whisper_encoder_apply
+
+AUDIO_DIM_KEY = "whisper"
+VIDEO_DIM_KEY = "clip"
+
+
+class Batch(NamedTuple):
+    """One training/eval batch. Unused modality fields may be None."""
+
+    mel: jax.Array | None = None          # [B, n_mels, Tmel]
+    mel_lens: jax.Array | None = None     # [B] (mel frames)
+    frames: jax.Array | None = None       # [B, Tv, 3, S, S]
+    frame_lens: jax.Array | None = None   # [B]
+    prompt_tokens: jax.Array | None = None  # [Tp] or [B, Tp] (incl. BOS)
+    labels: jax.Array | None = None       # [B, Tl] token ids, right-padded
+    label_lens: jax.Array | None = None   # [B] (incl. EOS)
+
+
+class EncodeOut(NamedTuple):
+    features: jax.Array                   # [B, Tf, d_llm]
+    lengths: jax.Array                    # [B]
+
+
+# ---------------------------------------------------------------------------
+# Static-shape segment packing
+# ---------------------------------------------------------------------------
+
+def pack_segments(
+    segments: list[tuple[jax.Array, jax.Array]],
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Concatenate right-padded segments, squeezing out mid-sequence padding.
+
+    segments: list of (emb [B, T_s, d], lens [B]). Returns
+      packed   [B, sum(T_s), d]  — valid items contiguous from position 0
+      total    [B]               — per-sample packed length
+      seg_start [B, n_segments]  — packed start offset of each segment
+    Pure gather; all shapes static, jit/pjit-safe, differentiable w.r.t. embs.
+    """
+    B = segments[0][0].shape[0]
+    caps = [int(e.shape[1]) for e, _ in segments]
+    Ttot = sum(caps)
+    src = jnp.concatenate([e for e, _ in segments], axis=1)     # [B, Ttot, d]
+    lens = jnp.stack([l.astype(jnp.int32) for _, l in segments], axis=1)  # [B,S]
+    seg_start = jnp.cumsum(lens, axis=1) - lens                 # packed starts
+    total = jnp.sum(lens, axis=1)
+    src_start = jnp.asarray(
+        [sum(caps[:i]) for i in range(len(caps))], jnp.int32)   # [S]
+
+    j = jnp.arange(Ttot)[None, :]                               # [1, Ttot]
+    # segment id of packed position j: number of segments fully before j
+    seg_end = seg_start + lens                                  # [B, S]
+    seg_id = jnp.sum(j[:, :, None] >= seg_end[:, None, :], axis=-1)  # [B,Ttot]
+    seg_id = jnp.clip(seg_id, 0, len(caps) - 1)
+    src_idx = (jnp.take(src_start, seg_id)
+               + j - jnp.take_along_axis(seg_start, seg_id, axis=1))
+    src_idx = jnp.clip(src_idx, 0, Ttot - 1)
+    packed = jnp.take_along_axis(src, src_idx[..., None], axis=1)
+    return packed, total, seg_start
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_avsr_model(key: jax.Array, cfg: ModelConfig,
+                    dtype: jnp.dtype = jnp.float32) -> Params:
+    kw, kc, kl, ka, kv, kf, klora = jax.random.split(key, 7)
+    params: Params = {}
+    d_llm = cfg.llm.d_model
+    conn = get_connector(cfg.connector_type)
+
+    if cfg.modality in ("audio", "both"):
+        params["whisper"] = init_whisper_encoder(kw, cfg.whisper, dtype)
+    if cfg.modality in ("video", "both"):
+        params["clip"] = init_clip_vit(kc, cfg.clip, dtype)
+
+    if conn.dual:
+        params["connector"] = conn.init(
+            kf, cfg.whisper.d_model, cfg.clip.d_model, d_llm, cfg, dtype)
+    else:
+        if cfg.modality in ("audio", "both"):
+            params["audio_connector"] = conn.init(
+                ka, cfg.whisper.d_model, d_llm, cfg, dtype)
+        if cfg.modality in ("video", "both"):
+            params["video_connector"] = conn.init(
+                kv, cfg.clip.d_model, d_llm, cfg, dtype)
+
+    llm = llama_mod.init_llama(kl, cfg.llm, dtype)
+    if cfg.lora.use_lora:
+        llm = llama_mod.add_lora(klora, llm, cfg.llm, cfg.lora, dtype)
+    params["llm"] = llm
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encode (audio / video / fusion) -> LLM-space features
+# ---------------------------------------------------------------------------
+
+def _upsample_to(x: jax.Array, x_lens: jax.Array, target_T: int,
+                 target_lens: jax.Array) -> jax.Array:
+    """Nearest-index resample of [B, T, d] onto the target time grid."""
+    ratio = (jnp.maximum(x_lens, 1).astype(jnp.float32)
+             / jnp.maximum(target_lens, 1).astype(jnp.float32))
+    idx = jnp.clip((jnp.arange(target_T)[None, :] * ratio[:, None]).astype(jnp.int32),
+                   0, x.shape[1] - 1)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def encode(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Batch,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: str = "auto",
+    remat: bool = False,
+) -> EncodeOut:
+    """Run the modality encoders + connectors. Mirrors ref encode() :407-462."""
+    conn = get_connector(cfg.connector_type)
+    audio_feat = audio_lens = video_feat = video_lens = None
+
+    if cfg.modality in ("audio", "both"):
+        feats, alens = whisper_encoder_apply(
+            params["whisper"], batch.mel, cfg.whisper,
+            mel_lengths=batch.mel_lens, compute_dtype=compute_dtype,
+            use_pallas=use_pallas, remat=remat)
+        if cfg.freeze_encoders:
+            feats = jax.lax.stop_gradient(feats)
+        audio_feat, audio_lens = feats, alens
+
+    if cfg.modality in ("video", "both"):
+        vfeats = clip_vit_apply(
+            params["clip"], batch.frames, cfg.clip,
+            compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat)
+        if cfg.freeze_encoders:
+            vfeats = jax.lax.stop_gradient(vfeats)
+        video_feat = vfeats
+        video_lens = (batch.frame_lens.astype(jnp.int32)
+                      if batch.frame_lens is not None
+                      else jnp.full((vfeats.shape[0],), vfeats.shape[1], jnp.int32))
+
+    if conn.dual:
+        out, lens = conn.apply(params["connector"], audio_feat, video_feat,
+                               audio_lens, video_lens, use_pallas=use_pallas)
+        return EncodeOut(out, lens)
+
+    if cfg.modality == "audio":
+        out, lens = conn.apply(params["audio_connector"], audio_feat,
+                               audio_lens, use_pallas=use_pallas)
+        return EncodeOut(out, lens)
+    if cfg.modality == "video":
+        out, lens = conn.apply(params["video_connector"], video_feat,
+                               video_lens, use_pallas=use_pallas)
+        return EncodeOut(out, lens)
+
+    # modality == "both", single-input connectors
+    a_out, a_lens2 = conn.apply(params["audio_connector"], audio_feat,
+                                audio_lens, use_pallas=use_pallas)
+    v_out, v_lens2 = conn.apply(params["video_connector"], video_feat,
+                                video_lens, use_pallas=use_pallas)
+    if cfg.fusion_mode == "concat_seq":
+        packed, total, _ = pack_segments([(a_out, a_lens2), (v_out, v_lens2)])
+        return EncodeOut(packed, total)
+    # weighted_sum (ref :424-435): align video onto the audio time grid, then
+    # fusion_scale * audio + (1 - fusion_scale) * video.
+    v_up = _upsample_to(v_out, v_lens2, a_out.shape[1], a_lens2)
+    fused = cfg.fusion_scale * a_out + (1.0 - cfg.fusion_scale) * v_up
+    return EncodeOut(fused, a_lens2)
+
+
+# ---------------------------------------------------------------------------
+# Forward: packed causal-LM loss
+# ---------------------------------------------------------------------------
+
+def build_prefix(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Batch,
+    enc: EncodeOut,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """[prompt embeds][features] packed -> (embeds [B, Tp+Tf, d], lens [B])."""
+    B = enc.features.shape[0]
+    prompt = batch.prompt_tokens
+    if prompt.ndim == 1:
+        prompt = jnp.broadcast_to(prompt[None], (B, prompt.shape[0]))
+    p_emb = llama_mod.embed_tokens(params["llm"], prompt, compute_dtype)
+    p_lens = jnp.full((B,), prompt.shape[1], jnp.int32)
+    packed, total, _ = pack_segments(
+        [(p_emb, p_lens), (enc.features.astype(compute_dtype), enc.lengths)])
+    return packed, total
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Batch,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: str = "auto",
+    remat: bool = False,
+    dropout_rng: jax.Array | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Training/eval forward: returns (mean CE loss, metrics dict)."""
+    enc = encode(params, cfg, batch, compute_dtype=compute_dtype,
+                 use_pallas=use_pallas, remat=remat)
+
+    B = enc.features.shape[0]
+    prompt = batch.prompt_tokens
+    if prompt.ndim == 1:
+        prompt = jnp.broadcast_to(prompt[None], (B, prompt.shape[0]))
+    Tp = prompt.shape[1]
+    p_emb = llama_mod.embed_tokens(params["llm"], prompt, compute_dtype)
+    p_lens = jnp.full((B,), Tp, jnp.int32)
+    lab_emb = llama_mod.embed_tokens(params["llm"], batch.labels, compute_dtype)
+    lab_lens = batch.label_lens.astype(jnp.int32)
+
+    packed, total, seg_start = pack_segments([
+        (p_emb, p_lens),
+        (enc.features.astype(compute_dtype), enc.lengths),
+        (lab_emb, lab_lens),
+    ])
+    Ttot = packed.shape[1]
+    label_start = seg_start[:, 2]                       # [B]
+
+    logits, _ = llama_mod.llama_apply(
+        params["llm"], cfg.llm, inputs_embeds=packed, lengths=total,
+        lora=cfg.lora if cfg.lora.use_lora else None,
+        compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
+        dropout_rng=dropout_rng)
+
+    # Position j predicts packed token j+1; loss on label positions.
+    j = jnp.arange(Ttot)[None, :]
+    is_label_tgt = (j >= label_start[:, None]) & (j < total[:, None])  # [B,Ttot]
+    lab_idx = jnp.clip(j - label_start[:, None], 0, batch.labels.shape[1] - 1)
+    targets = jnp.take_along_axis(batch.labels, lab_idx, axis=1)       # [B,Ttot]
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # shift: prediction for position j comes from logits at j-1
+    pred_lp = jnp.take_along_axis(
+        logp[:, :-1], targets[:, 1:, None], axis=-1)[..., 0]           # [B,Ttot-1]
+    mask = is_label_tgt[:, 1:].astype(jnp.float32)
+    n_tokens = jnp.maximum(jnp.sum(mask), 1.0)
+    loss = -jnp.sum(pred_lp * mask) / n_tokens
+
+    correct = (jnp.argmax(logits[:, :-1], axis=-1) == targets[:, 1:])
+    acc = jnp.sum(correct * mask) / n_tokens
+    return loss, {"loss": loss, "accuracy": acc, "label_tokens": n_tokens,
+                  "feat_len_mean": jnp.mean(enc.lengths.astype(jnp.float32))}
+
+
+# ---------------------------------------------------------------------------
+# Introspection (ref param/arch logging :1021-1065, :1192-1238)
+# ---------------------------------------------------------------------------
+
+def summarize(params: Params, cfg: ModelConfig) -> dict[str, Any]:
+    from avsr_tpu.train.state import trainable_mask  # local import, no cycle
+
+    counts = {k: param_count(v) for k, v in params.items()}
+    mask = trainable_mask(params, cfg)
+    trainable = sum(
+        int(p.size) for p, m in zip(jax.tree_util.tree_leaves(params),
+                                    jax.tree_util.tree_leaves(mask)) if m)
+    return {
+        "total_params": sum(counts.values()),
+        "per_component": counts,
+        "trainable_params": trainable,
+        "modality": cfg.modality,
+        "connector": cfg.connector_type,
+    }

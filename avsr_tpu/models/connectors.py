@@ -1,0 +1,393 @@
+"""Modality connectors: project encoder features into the LLM embedding space.
+
+The reference defines 8 connector types but only wires 5 — its factory
+silently substitutes "deep" for the dual-input fusion connectors
+(modality_connector.py:386-396; SURVEY.md §2.1 wiring gap). Here all 8 are
+first-class and registered by name:
+
+single-input (audio-dim-or-video-dim -> llm-dim), ref modality_connector.py:
+  simple     1 linear, xavier init                     (:25-44)
+  deep       in-proj + residual MLP blocks + LN        (:46-109)
+  conv       2x depthwise-separable-ish conv1d + LN + out-proj   (:111-172)
+  attention  in-proj + MHA + FFN                       (:174-238)
+  adaptive   in-proj + sinusoid PE + strided 4x downsample for long
+             sequences + MHA mixing                    (:240-380)
+
+dual-input (audio, video -> fused), ref advanced_connectors.py:
+  cross_modal bidirectional cross-attention + concat-project      (:7-212)
+  qformer     N learnable queries; self-attn -> cross(audio) ->
+              cross(video) -> MLP; fixed-length output            (:215-413)
+  perceiver   M latents cross-attending to the concatenated AV
+              stream with interleaved self-attention               (:416-621)
+
+All connectors are functional: ``CONNECTORS.get(name)`` returns a
+``ConnectorDef(init, apply, dual, fixed_len)``. Apply signatures:
+  single: apply(params, x, lengths, *, train_cfg) -> (y, lengths)
+  dual:   apply(params, audio, video, a_lens, v_lens, ...) -> (y, lengths)
+Sequence lengths are carried explicitly so downstream attention masks
+padding; all shapes are static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.core.config import ModelConfig
+from avsr_tpu.core.registry import CONNECTORS
+from avsr_tpu.models.layers import (
+    Params,
+    dense,
+    dense_init,
+    encoder_block_apply,
+    encoder_block_init,
+    gelu,
+    layer_norm,
+    mha_apply,
+    mha_init,
+    norm_init,
+    normal_init,
+    sinusoid_position_embedding,
+)
+
+
+class ConnectorDef(NamedTuple):
+    init: Callable[..., Params]
+    apply: Callable[..., tuple[jax.Array, jax.Array]]
+    dual: bool = False
+    fixed_len: int | None = None  # set for qformer/perceiver-style bottlenecks
+
+
+def _ident_lens(x: jax.Array, lengths: jax.Array | None) -> jax.Array:
+    if lengths is not None:
+        return lengths
+    return jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# simple
+# ---------------------------------------------------------------------------
+
+def simple_init(key: jax.Array, d_in: int, d_out: int, cfg: ModelConfig,
+                dtype=jnp.float32) -> Params:
+    del cfg
+    return {"out": dense_init(key, d_in, d_out, dtype=dtype)}
+
+
+def simple_apply(p: Params, x: jax.Array, lengths=None, **_):
+    return dense(p["out"], x), _ident_lens(x, lengths)
+
+
+# ---------------------------------------------------------------------------
+# deep
+# ---------------------------------------------------------------------------
+
+def deep_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    hid = d_out * cfg.connector_hidden_mult
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "inp": dense_init(k1, d_in, hid, dtype=dtype),
+        "ln1": norm_init(hid, dtype=dtype),
+        "mid": dense_init(k2, hid, hid, dtype=dtype),
+        "ln2": norm_init(hid, dtype=dtype),
+        "out": dense_init(k3, hid, d_out, dtype=dtype),
+        "ln_out": norm_init(d_out, dtype=dtype),
+        "res": dense_init(k4, d_in, d_out, bias=False, dtype=dtype),
+    }
+
+
+def deep_apply(p: Params, x: jax.Array, lengths=None, **_):
+    h = gelu(layer_norm(p["ln1"], dense(p["inp"], x)))
+    h = h + gelu(layer_norm(p["ln2"], dense(p["mid"], h)))
+    y = layer_norm(p["ln_out"], dense(p["out"], h) + dense(p["res"], x))
+    return y, _ident_lens(x, lengths)
+
+
+# ---------------------------------------------------------------------------
+# conv (temporal mixing; channels-last conv1d as matmul-friendly XLA conv)
+# ---------------------------------------------------------------------------
+
+def conv_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    hid = d_out * cfg.connector_hidden_mult
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": {"w": normal_init(k1, (3, d_in, hid), std=(3 * d_in) ** -0.5,
+                                   dtype=dtype), "b": jnp.zeros((hid,), dtype)},
+        "ln1": norm_init(hid, dtype=dtype),
+        "conv2": {"w": normal_init(k2, (3, hid, hid), std=(3 * hid) ** -0.5,
+                                   dtype=dtype), "b": jnp.zeros((hid,), dtype)},
+        "ln2": norm_init(hid, dtype=dtype),
+        "out": dense_init(k3, hid, d_out, dtype=dtype),
+    }
+
+
+def _conv1d_cl(p: Params, x: jax.Array) -> jax.Array:
+    """Channels-last conv1d: x [B, T, C] * w [K, C_in, C_out], SAME padding."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(1,), padding="SAME",
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + p["b"].astype(x.dtype)
+
+
+def conv_apply(p: Params, x: jax.Array, lengths=None, **_):
+    h = gelu(layer_norm(p["ln1"], _conv1d_cl(p["conv1"], x)))
+    h = gelu(layer_norm(p["ln2"], _conv1d_cl(p["conv2"], h)))
+    return dense(p["out"], h), _ident_lens(x, lengths)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+_CONN_HEADS = 8
+
+
+def attention_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "inp": dense_init(k1, d_in, d_out, dtype=dtype),
+        "block": encoder_block_init(k2, d_out, d_out * cfg.connector_hidden_mult,
+                                    n_heads=_CONN_HEADS, dtype=dtype),
+    }
+
+
+def attention_apply(p: Params, x: jax.Array, lengths=None, *,
+                    use_pallas: str = "auto", **_):
+    lens = _ident_lens(x, lengths)
+    h = dense(p["inp"], x)
+    h = encoder_block_apply(p["block"], h, n_heads=_CONN_HEADS, lengths=lens,
+                            use_pallas=use_pallas)
+    return h, lens
+
+
+# ---------------------------------------------------------------------------
+# adaptive (PE + 4x strided downsample for long sequences + attention mixing)
+# ---------------------------------------------------------------------------
+
+_ADAPTIVE_THRESHOLD = 512
+_ADAPTIVE_STRIDE = 4
+
+
+def adaptive_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "inp": dense_init(k1, d_in, d_out, dtype=dtype),
+        "pool": {"w": normal_init(k2, (_ADAPTIVE_STRIDE, d_out, d_out),
+                                  std=(_ADAPTIVE_STRIDE * d_out) ** -0.5,
+                                  dtype=dtype),
+                 "b": jnp.zeros((d_out,), dtype)},
+        "mix": mha_init(k3, d_out, n_heads=_CONN_HEADS, dtype=dtype),
+        "ln": norm_init(d_out, dtype=dtype),
+    }
+
+
+def adaptive_apply(p: Params, x: jax.Array, lengths=None, *,
+                   use_pallas: str = "auto", **_):
+    lens = _ident_lens(x, lengths)
+    h = dense(p["inp"], x)
+    T = h.shape[1]
+    h = h + sinusoid_position_embedding(T, h.shape[-1]).astype(h.dtype)[None]
+    if T > _ADAPTIVE_THRESHOLD:  # static shape decision, jit-safe
+        h = jax.lax.conv_general_dilated(
+            h, p["pool"]["w"].astype(h.dtype),
+            window_strides=(_ADAPTIVE_STRIDE,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC")) + p["pool"]["b"].astype(h.dtype)
+        lens = jnp.maximum(
+            (lens - _ADAPTIVE_STRIDE) // _ADAPTIVE_STRIDE + 1, 1).astype(jnp.int32)
+    h = h + mha_apply(p["mix"], layer_norm(p["ln"], h), n_heads=_CONN_HEADS,
+                      lengths=lens, use_pallas=use_pallas)
+    return h, lens
+
+
+# ---------------------------------------------------------------------------
+# cross_modal (dual): bidirectional cross-attention then concat+project
+# ---------------------------------------------------------------------------
+
+_FUSION_LAYERS = 2
+
+
+def cross_modal_init(key, d_audio, d_video, d_out, cfg: ModelConfig,
+                     dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 2 * _FUSION_LAYERS + 3)
+    layers = []
+    for i in range(_FUSION_LAYERS):
+        ka, kv = keys[2 * i], keys[2 * i + 1]
+        layers.append({
+            "a2v": mha_init(ka, d_out, n_heads=_CONN_HEADS, dtype=dtype),
+            "v2a": mha_init(kv, d_out, n_heads=_CONN_HEADS, dtype=dtype),
+            "ln_a": norm_init(d_out, dtype=dtype),
+            "ln_v": norm_init(d_out, dtype=dtype),
+        })
+    return {
+        "proj_a": dense_init(keys[-3], d_audio, d_out, dtype=dtype),
+        "proj_v": dense_init(keys[-2], d_video, d_out, dtype=dtype),
+        "layers": layers,
+        "out": dense_init(keys[-1], 2 * d_out, d_out, dtype=dtype),
+    }
+
+
+def cross_modal_apply(p: Params, audio: jax.Array, video: jax.Array,
+                      a_lens=None, v_lens=None, *, use_pallas: str = "auto", **_):
+    a_lens = _ident_lens(audio, a_lens)
+    v_lens = _ident_lens(video, v_lens)
+    a = dense(p["proj_a"], audio)
+    v = dense(p["proj_v"], video)
+    for lp in p["layers"]:
+        a = a + mha_apply(lp["a2v"], layer_norm(lp["ln_a"], a), kv=v,
+                          n_heads=_CONN_HEADS, lengths=a_lens,
+                          kv_lengths=v_lens, use_pallas=use_pallas)
+        v = v + mha_apply(lp["v2a"], layer_norm(lp["ln_v"], v), kv=a,
+                          n_heads=_CONN_HEADS, lengths=v_lens,
+                          kv_lengths=a_lens, use_pallas=use_pallas)
+    # Align video to the audio time axis (nearest upsample via gather) and
+    # concat per-step — replaces the reference's pad-to-max + concat
+    # (advanced_connectors.py:150-186) with a length-aware alignment.
+    Ta = a.shape[1]
+    ratio = jnp.maximum(v_lens, 1).astype(jnp.float32) / jnp.maximum(a_lens, 1).astype(jnp.float32)
+    idx = jnp.clip((jnp.arange(Ta)[None, :] * ratio[:, None]).astype(jnp.int32),
+                   0, v.shape[1] - 1)
+    v_up = jnp.take_along_axis(v, idx[..., None], axis=1)
+    fused = jnp.concatenate([a, v_up], axis=-1)
+    return dense(p["out"], fused), a_lens
+
+
+# ---------------------------------------------------------------------------
+# qformer (dual): learnable queries; self -> cross(audio) -> cross(video) -> MLP
+# ---------------------------------------------------------------------------
+
+_QFORMER_LAYERS = 2
+
+
+def qformer_init(key, d_audio, d_video, d_out, cfg: ModelConfig,
+                 dtype=jnp.float32) -> Params:
+    nq = cfg.qformer_queries
+    keys = jax.random.split(key, 4 * _QFORMER_LAYERS + 4)
+    layers = []
+    for i in range(_QFORMER_LAYERS):
+        ks = keys[4 * i: 4 * i + 4]
+        layers.append({
+            "self": mha_init(ks[0], d_out, n_heads=_CONN_HEADS, dtype=dtype),
+            "ln_s": norm_init(d_out, dtype=dtype),
+            "xa": mha_init(ks[1], d_out, n_heads=_CONN_HEADS, dtype=dtype),
+            "ln_a": norm_init(d_out, dtype=dtype),
+            "xv": mha_init(ks[2], d_out, n_heads=_CONN_HEADS, dtype=dtype),
+            "ln_v": norm_init(d_out, dtype=dtype),
+            "fc1": dense_init(ks[3], d_out, d_out * cfg.connector_hidden_mult, dtype=dtype),
+            "fc2": dense_init(jax.random.fold_in(ks[3], 1),
+                              d_out * cfg.connector_hidden_mult, d_out, dtype=dtype),
+            "ln_m": norm_init(d_out, dtype=dtype),
+        })
+    return {
+        "queries": normal_init(keys[-4], (nq, d_out), std=0.02, dtype=dtype),
+        "proj_a": dense_init(keys[-3], d_audio, d_out, dtype=dtype),
+        "proj_v": dense_init(keys[-2], d_video, d_out, dtype=dtype),
+        "layers": layers,
+        "ln_out": norm_init(d_out, dtype=dtype),
+    }
+
+
+def qformer_apply(p: Params, audio: jax.Array, video: jax.Array,
+                  a_lens=None, v_lens=None, *, use_pallas: str = "auto", **_):
+    B = audio.shape[0]
+    a_lens = _ident_lens(audio, a_lens)
+    v_lens = _ident_lens(video, v_lens)
+    a = dense(p["proj_a"], audio)
+    v = dense(p["proj_v"], video)
+    q = jnp.broadcast_to(p["queries"].astype(a.dtype),
+                         (B, *p["queries"].shape))
+    for lp in p["layers"]:
+        q = q + mha_apply(lp["self"], layer_norm(lp["ln_s"], q),
+                          n_heads=_CONN_HEADS, use_pallas=use_pallas)
+        q = q + mha_apply(lp["xa"], layer_norm(lp["ln_a"], q), kv=a,
+                          n_heads=_CONN_HEADS, kv_lengths=a_lens,
+                          use_pallas=use_pallas)
+        q = q + mha_apply(lp["xv"], layer_norm(lp["ln_v"], q), kv=v,
+                          n_heads=_CONN_HEADS, kv_lengths=v_lens,
+                          use_pallas=use_pallas)
+        q = q + dense(lp["fc2"], gelu(dense(lp["fc1"], layer_norm(lp["ln_m"], q))))
+    q = layer_norm(p["ln_out"], q)
+    nq = q.shape[1]
+    return q, jnp.full((B,), nq, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# perceiver (dual): latents cross-attend to the concatenated AV stream
+# ---------------------------------------------------------------------------
+
+_PERCEIVER_LAYERS = 2
+
+
+def perceiver_init(key, d_audio, d_video, d_out, cfg: ModelConfig,
+                   dtype=jnp.float32) -> Params:
+    nl = cfg.perceiver_latents
+    keys = jax.random.split(key, 2 * _PERCEIVER_LAYERS + 4)
+    layers = []
+    for i in range(_PERCEIVER_LAYERS):
+        kx, ks = keys[2 * i], keys[2 * i + 1]
+        layers.append({
+            "cross": mha_init(kx, d_out, n_heads=_CONN_HEADS, dtype=dtype),
+            "ln_x": norm_init(d_out, dtype=dtype),
+            "self": encoder_block_init(ks, d_out, d_out * cfg.connector_hidden_mult,
+                                       n_heads=_CONN_HEADS, dtype=dtype),
+        })
+    return {
+        "latents": normal_init(keys[-4], (nl, d_out), std=0.02, dtype=dtype),
+        "proj_a": dense_init(keys[-3], d_audio, d_out, dtype=dtype),
+        "proj_v": dense_init(keys[-2], d_video, d_out, dtype=dtype),
+        "layers": layers,
+        "ln_out": norm_init(d_out, dtype=dtype),
+    }
+
+
+def perceiver_apply(p: Params, audio: jax.Array, video: jax.Array,
+                    a_lens=None, v_lens=None, *, use_pallas: str = "auto", **_):
+    B, Ta = audio.shape[:2]
+    Tv = video.shape[1]
+    a_lens = _ident_lens(audio, a_lens)
+    v_lens = _ident_lens(video, v_lens)
+    a = dense(p["proj_a"], audio)
+    v = dense(p["proj_v"], video)
+    stream = jnp.concatenate([a, v], axis=1)                # [B, Ta+Tv, d]
+    # Validity mask for the concatenated stream: audio padding sits
+    # mid-stream, so a right-pad kv_lens won't do — pass an explicit mask.
+    valid = jnp.concatenate([
+        jnp.arange(Ta)[None, :] < a_lens[:, None],
+        jnp.arange(Tv)[None, :] < v_lens[:, None]], axis=1)  # [B, Ta+Tv]
+    lat = jnp.broadcast_to(p["latents"].astype(a.dtype), (B, *p["latents"].shape))
+    for lp in p["layers"]:
+        lat = lat + mha_apply(lp["cross"], layer_norm(lp["ln_x"], lat),
+                              kv=stream, n_heads=_CONN_HEADS, kv_valid=valid,
+                              use_pallas=use_pallas)
+        lat = encoder_block_apply(lp["self"], lat, n_heads=_CONN_HEADS,
+                                  use_pallas=use_pallas)
+    lat = layer_norm(p["ln_out"], lat)
+    nl = lat.shape[1]
+    return lat, jnp.full((B,), nl, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def _register():
+    CONNECTORS._items.clear()
+    CONNECTORS.register("simple")(ConnectorDef(simple_init, simple_apply))
+    CONNECTORS.register("deep")(ConnectorDef(deep_init, deep_apply))
+    CONNECTORS.register("conv")(ConnectorDef(conv_init, conv_apply))
+    CONNECTORS.register("attention")(ConnectorDef(attention_init, attention_apply))
+    CONNECTORS.register("adaptive")(ConnectorDef(adaptive_init, adaptive_apply))
+    CONNECTORS.register("cross_modal")(
+        ConnectorDef(cross_modal_init, cross_modal_apply, dual=True))
+    CONNECTORS.register("qformer")(
+        ConnectorDef(qformer_init, qformer_apply, dual=True))
+    CONNECTORS.register("perceiver")(
+        ConnectorDef(perceiver_init, perceiver_apply, dual=True))
+
+
+_register()
+
+
+def get_connector(name: str) -> ConnectorDef:
+    return CONNECTORS.get(name)

@@ -1,0 +1,394 @@
+"""Llama-family causal LM, TPU-native, with first-class LoRA and KV cache.
+
+Replaces the reference's HF ``AutoModelForCausalLM`` + peft LoRA
+(src/clip_whisper/models/clip_whisper_model.py:909-1019). Functional JAX:
+GQA attention (n_kv_heads <= n_heads), RoPE (rotate-half, HF convention),
+RMSNorm, SiLU-gated MLP, optional tied embeddings — matching HF
+``LlamaForCausalLM`` numerics (tests/test_models_llama.py).
+
+Design notes (TPU-first):
+  * One ``llama_apply`` serves training (full causal sequence over
+    ``inputs_embeds``, per-sample valid lengths) and prefill (same call,
+    writes the KV cache); ``llama_decode_step`` is the single-token path used
+    inside ``lax.while_loop`` generation with per-sample write positions, so
+    batches with ragged prefix lengths decode without retracing.
+  * LoRA adapters are extra pytree leaves next to their base projection
+    ("lora": {"a", "b"}) — the trainable-filter and sharding rules select
+    them by path; base weights stay frozen and can be quantized
+    independently (ops.quant).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.core.config import LLMConfig, LoRAConfig
+from avsr_tpu.models.layers import Params, normal_init, rms_norm
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int,
+                 theta: float) -> tuple[jax.Array, jax.Array]:
+    """positions [..., T] -> (cos, sin) each [..., T, head_dim] (HF layout:
+    the half-dim frequencies duplicated, used with rotate_half)."""
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv[None, :]
+    ang = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, H, T, D]; cos/sin [B, T, D] or [T, D]."""
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos = cos[:, None].astype(x.dtype)
+    sin = sin[:, None].astype(x.dtype)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
+# ---------------------------------------------------------------------------
+# Projections with optional LoRA
+# ---------------------------------------------------------------------------
+
+def proj(p: Params, x: jax.Array, *, dtype: jnp.dtype | None = None,
+         lora_scale: float = 0.0, dropout_rng: jax.Array | None = None,
+         lora_dropout: float = 0.0) -> jax.Array:
+    """x @ W (no bias, llama-style) + optional LoRA low-rank update."""
+    dt = dtype or x.dtype
+    y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
+    if lora_scale and "lora" in p:
+        xl = x
+        if dropout_rng is not None and lora_dropout > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - lora_dropout, x.shape)
+            xl = jnp.where(keep, x / (1.0 - lora_dropout), 0.0)
+        a = p["lora"]["a"].astype(dt)
+        b = p["lora"]["b"].astype(dt)
+        y = y + lora_scale * jnp.matmul(jnp.matmul(xl.astype(dt), a), b)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_llama(key: jax.Array, cfg: LLMConfig,
+               dtype: jnp.dtype = jnp.float32) -> Params:
+    d = cfg.d_model
+    hd = d // cfg.n_heads
+    kvd = cfg.n_kv_heads * hd
+    keys = jax.random.split(key, cfg.n_layers + 3)
+
+    def lin(k, din, dout):
+        return {"w": normal_init(k, (din, dout), std=0.02, dtype=dtype)}
+
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "ln_attn": {"scale": jnp.ones((d,), dtype)},
+            "q": lin(ks[0], d, d),
+            "k": lin(ks[1], d, kvd),
+            "v": lin(ks[2], d, kvd),
+            "o": lin(ks[3], d, d),
+            "ln_mlp": {"scale": jnp.ones((d,), dtype)},
+            "gate": lin(ks[4], d, cfg.ffn_dim),
+            "up": lin(ks[5], d, cfg.ffn_dim),
+            "down": lin(ks[6], cfg.ffn_dim, d),
+        })
+    params: Params = {
+        "embed": normal_init(keys[-3], (cfg.vocab_size, d), std=0.02, dtype=dtype),
+        "layers": layers,
+        "ln_f": {"scale": jnp.ones((d,), dtype)},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = lin(keys[-2], d, cfg.vocab_size)
+    return params
+
+
+def add_lora(key: jax.Array, params: Params, cfg: LLMConfig, lora: LoRAConfig,
+             dtype: jnp.dtype = jnp.float32) -> Params:
+    """Attach zero-initialized-B LoRA adapters to the target projections.
+
+    The reference additionally scales fresh LoRA weights by 0.01 "to prevent
+    gradient explosions" (clip_whisper_model.py:989-1000); standard zero-B
+    init already makes the initial update exactly zero, so that hack is
+    honored via ``lora.init_scale`` instead of hard-coded.
+    """
+    name_map = {"q_proj": "q", "k_proj": "k", "v_proj": "v", "o_proj": "o",
+                "gate_proj": "gate", "up_proj": "up", "down_proj": "down"}
+    targets = [name_map.get(t, t) for t in lora.target_modules]
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for li, layer in enumerate(out["layers"]):
+        for t in targets:
+            if t not in layer:
+                continue
+            w = layer[t]["w"]
+            key, ka = jax.random.split(key)
+            a = normal_init(ka, (w.shape[0], lora.r), std=1.0 / lora.r,
+                            dtype=dtype) * lora.init_scale
+            b = jnp.zeros((lora.r, w.shape[1]), dtype)
+            out["layers"][li][t] = {"w": w, "lora": {"a": a, "b": b}}
+    return out
+
+
+def lora_scale(lora: LoRAConfig) -> float:
+    return lora.alpha / lora.r if lora.use_lora else 0.0
+
+
+def merge_lora(params: Params, lora: LoRAConfig) -> Params:
+    """Fold adapters into base weights (for export / fastest inference)."""
+    s = lora_scale(lora)
+
+    def merge(node):
+        if isinstance(node, dict) and "lora" in node and "w" in node:
+            w = node["w"] + s * (node["lora"]["a"] @ node["lora"]["b"]).astype(node["w"].dtype)
+            return {"w": w}
+        return node
+
+    def walk(node):
+        if isinstance(node, dict):
+            node = merge(node)
+            return {k: walk(v) if k != "lora" else v for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, Hkv, M, Dh]
+    v: jax.Array  # [L, B, Hkv, M, Dh]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def init_cache(cfg: LLMConfig, batch: int, max_len: int,
+               dtype: jnp.dtype = jnp.bfloat16) -> KVCache:
+    hd = cfg.d_model // cfg.n_heads
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, hd)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Apply — full sequence (training / prefill)
+# ---------------------------------------------------------------------------
+
+def _block(params_i, x, cos, sin, cfg, lengths, ls, use_pallas, dropout_rng,
+           lora_dropout):
+    from avsr_tpu.ops.attention import attention
+
+    B, T, d = x.shape
+    hd = d // cfg.n_heads
+    rngs = (jax.random.split(dropout_rng, 4)
+            if dropout_rng is not None else [None] * 4)
+
+    h = rms_norm(params_i["ln_attn"], x, eps=cfg.rms_eps)
+    q = proj(params_i["q"], h, lora_scale=ls, dropout_rng=rngs[0],
+             lora_dropout=lora_dropout)
+    k = proj(params_i["k"], h, lora_scale=ls, dropout_rng=rngs[1],
+             lora_dropout=lora_dropout)
+    v = proj(params_i["v"], h, lora_scale=ls, dropout_rng=rngs[2],
+             lora_dropout=lora_dropout)
+    q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v, causal=True, q_lens=lengths, kv_lens=lengths,
+                     use_pallas=use_pallas)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, d)
+    x = x + proj(params_i["o"], attn, lora_scale=ls, dropout_rng=rngs[3],
+                 lora_dropout=lora_dropout)
+
+    h = rms_norm(params_i["ln_mlp"], x, eps=cfg.rms_eps)
+    gate = proj(params_i["gate"], h, lora_scale=ls)
+    up = proj(params_i["up"], h, lora_scale=ls)
+    x = x + proj(params_i["down"], jax.nn.silu(gate) * up, lora_scale=ls)
+    return x, (k, v)
+
+
+def llama_apply(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    inputs_embeds: jax.Array,                 # [B, T, d]
+    lengths: jax.Array | None = None,         # [B] valid lengths (right pad)
+    positions: jax.Array | None = None,       # [B, T] RoPE positions
+    lora: LoRAConfig | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: str = "auto",
+    remat: bool = False,
+    dropout_rng: jax.Array | None = None,
+    return_cache: bool = False,
+    cache_len: int | None = None,
+) -> tuple[jax.Array, KVCache | None]:
+    """Full causal forward over embeddings. Returns (logits [B,T,V], cache?)."""
+    B, T, d = inputs_embeds.shape
+    x = inputs_embeds.astype(compute_dtype)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cos, sin = rope_cos_sin(positions, d // cfg.n_heads, cfg.rope_theta)
+    ls = lora_scale(lora) if lora is not None else 0.0
+    ldrop = lora.dropout if (lora is not None and dropout_rng is not None) else 0.0
+
+    kvs = []
+    for i, layer in enumerate(params["layers"]):
+        rng_i = (jax.random.fold_in(dropout_rng, i)
+                 if dropout_rng is not None else None)
+
+        def run(lp, xx, rng):
+            return _block(lp, xx, cos, sin, cfg, lengths, ls, use_pallas,
+                          rng, ldrop)
+
+        if remat:
+            run = jax.checkpoint(run)
+        x, kv = run(layer, x, rng_i)
+        if return_cache:
+            kvs.append(kv)
+
+    x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
+    logits = compute_logits(params, cfg, x)
+
+    cache = None
+    if return_cache:
+        M = cache_len or T
+        k = jnp.stack([kv[0] for kv in kvs])      # [L,B,Hkv,T,Dh]
+        v = jnp.stack([kv[1] for kv in kvs])
+        pad = M - T
+        if pad > 0:
+            k = jnp.pad(k, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+        cache = KVCache(k.astype(compute_dtype), v.astype(compute_dtype))
+    return logits, cache
+
+
+def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
+    """Final hidden -> vocab logits in f32 (loss/softmax stability)."""
+    if cfg.tie_embeddings or "lm_head" not in params:
+        w = params["embed"].T
+    else:
+        w = params["lm_head"]["w"]
+    return jnp.matmul(x.astype(jnp.float32), w.astype(jnp.float32))
+
+
+def embed_tokens(params: Params, tokens: jax.Array,
+                 dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    return params["embed"].astype(dtype)[tokens]
+
+
+# ---------------------------------------------------------------------------
+# Apply — single decode step with KV cache
+# ---------------------------------------------------------------------------
+
+def llama_decode_step(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    x: jax.Array,                  # [B, 1, d] embeds of the new token
+    cache: KVCache,
+    cur_lens: jax.Array,           # [B] tokens already in cache (= position)
+    lora: LoRAConfig | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, KVCache]:
+    """One causal step: attends to cache[:cur_len]+self, writes kv at cur_len.
+
+    Per-sample write positions support ragged prefixes from right-padded
+    prefill (SURVEY.md §7 "generate() with an embedding prefix under jit").
+    """
+    from avsr_tpu.ops.attention import mha_reference
+
+    B = x.shape[0]
+    d = cfg.d_model
+    hd = d // cfg.n_heads
+    x = x.astype(compute_dtype)
+    positions = cur_lens.astype(jnp.int32)[:, None]          # [B,1]
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    ls = lora_scale(lora) if lora is not None else 0.0
+    M = cache.max_len
+    onehot = jax.nn.one_hot(cur_lens, M, dtype=compute_dtype)  # [B, M]
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(layer["ln_attn"], x, eps=cfg.rms_eps)
+        q = proj(layer["q"], h, lora_scale=ls).reshape(B, 1, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+        k = proj(layer["k"], h, lora_scale=ls).reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = proj(layer["v"], h, lora_scale=ls).reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        # Scatter the new kv into slot cur_lens[b] (one-hot outer product —
+        # an MXU-friendly dense update; M is a few thousand at most).
+        k_cache = cache.k[i] * (1 - onehot)[:, None, :, None] + \
+            onehot[:, None, :, None] * k.astype(compute_dtype)
+        v_cache = cache.v[i] * (1 - onehot)[:, None, :, None] + \
+            onehot[:, None, :, None] * v.astype(compute_dtype)
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        attn = mha_reference(q, k_cache, v_cache, kv_lens=cur_lens + 1)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, d)
+        x = x + proj(layer["o"], attn, lora_scale=ls)
+
+        h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
+        gate = proj(layer["gate"], h, lora_scale=ls)
+        up = proj(layer["up"], h, lora_scale=ls)
+        x = x + proj(layer["down"], jax.nn.silu(gate) * up, lora_scale=ls)
+
+    x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
+    logits = compute_logits(params, cfg, x)[:, 0]             # [B, V]
+    return logits, KVCache(jnp.stack(new_k), jnp.stack(new_v))
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion
+# ---------------------------------------------------------------------------
+
+def convert_hf_llama(state_dict: dict[str, Any], cfg: LLMConfig) -> Params:
+    """Convert an HF ``LlamaForCausalLM`` torch state dict to our pytree."""
+    def arr(name: str) -> jnp.ndarray:
+        for prefix in ("model.", ""):
+            k = prefix + name
+            if k in state_dict:
+                t = state_dict[k]
+                return jnp.asarray(np.asarray(t.detach().cpu() if hasattr(t, "detach") else t))
+        raise KeyError(f"missing weight {name!r}")
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}."
+        layers.append({
+            "ln_attn": {"scale": arr(pre + "input_layernorm.weight")},
+            "q": {"w": arr(pre + "self_attn.q_proj.weight").T},
+            "k": {"w": arr(pre + "self_attn.k_proj.weight").T},
+            "v": {"w": arr(pre + "self_attn.v_proj.weight").T},
+            "o": {"w": arr(pre + "self_attn.o_proj.weight").T},
+            "ln_mlp": {"scale": arr(pre + "post_attention_layernorm.weight")},
+            "gate": {"w": arr(pre + "mlp.gate_proj.weight").T},
+            "up": {"w": arr(pre + "mlp.up_proj.weight").T},
+            "down": {"w": arr(pre + "mlp.down_proj.weight").T},
+        })
+    params: Params = {
+        "embed": arr("embed_tokens.weight"),
+        "layers": layers,
+        "ln_f": {"scale": arr("norm.weight")},
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = {"w": arr("lm_head.weight").T}
+    return params

@@ -39,9 +39,15 @@ def mha_reference(
     causal: bool = False,
     q_lens: jax.Array | None = None,
     kv_lens: jax.Array | None = None,
+    kv_valid: jax.Array | None = None,
     sm_scale: float | None = None,
 ) -> jax.Array:
-    """Masked MHA in XLA. q: [B,H,Tq,D]; k,v: [B,Hkv,Tk,D] with H % Hkv == 0."""
+    """Masked MHA in XLA. q: [B,H,Tq,D]; k,v: [B,Hkv,Tk,D] with H % Hkv == 0.
+
+    ``kv_valid`` [B, Tk] bool masks arbitrary key positions (e.g. padding in
+    the middle of a concatenated audio+video stream); ``kv_lens`` is the
+    right-padding special case.
+    """
     B, H, Tq, D = q.shape
     Hkv = k.shape[1]
     if Hkv != H:
@@ -58,6 +64,8 @@ def mha_reference(
         mask &= cm[None, None]
     if kv_lens is not None:
         mask &= (jnp.arange(Tk)[None, :] < kv_lens[:, None])[:, None, None, :]
+    if kv_valid is not None:
+        mask &= kv_valid[:, None, None, :]
     if q_lens is not None:
         mask &= (jnp.arange(Tq)[None, :] < q_lens[:, None])[:, None, :, None]
     s = jnp.where(mask, s, NEG_INF)
@@ -215,6 +223,7 @@ def attention(
     causal: bool = False,
     q_lens: jax.Array | None = None,
     kv_lens: jax.Array | None = None,
+    kv_valid: jax.Array | None = None,
     sm_scale: float | None = None,
     use_pallas: str = "auto",
 ) -> jax.Array:
@@ -225,11 +234,12 @@ def attention(
         on_tpu = True
     else:
         on_tpu = jax.default_backend() not in ("cpu", "METAL")
-    # The kernel wants head_dim padded to lanes and seqs tiling into blocks;
-    # mha_reference handles everything else.
+    # The kernel wants head_dim padded to lanes, seqs tiling into blocks, and
+    # right-padding-only masks; mha_reference handles everything else.
     D = q.shape[-1]
-    if on_tpu and D % 128 == 0 and q.shape[2] >= 128 and k.shape[2] >= 128:
+    if (on_tpu and kv_valid is None and D % 128 == 0
+            and q.shape[2] >= 128 and k.shape[2] >= 128):
         return flash_attention(q, k, v, causal=causal, q_lens=q_lens,
                                kv_lens=kv_lens, sm_scale=sm_scale)
     return mha_reference(q, k, v, causal=causal, q_lens=q_lens,
-                         kv_lens=kv_lens, sm_scale=sm_scale)
+                         kv_lens=kv_lens, kv_valid=kv_valid, sm_scale=sm_scale)

@@ -1,0 +1,112 @@
+"""Jitted train / eval steps with real gradient accumulation and NaN guards.
+
+The reference accepts ``grad_accum_steps`` but steps the optimizer every
+batch anyway (clip_whisper_trainer.py:75-78 vs :454-464 — SURVEY.md quirk
+table); here accumulation is real: the batch carries a leading
+[accum, micro, ...] axis and a ``lax.scan`` averages gradients before one
+optimizer step. The reference's NaN-loss skip (trainer:444-451) becomes a
+``lax.cond`` that keeps the previous state when the loss is non-finite —
+branchless on TPU, no host sync.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from avsr_tpu.core.config import AVSRConfig
+from avsr_tpu.models.avsr import Batch, forward
+from avsr_tpu.train.state import TrainState
+
+
+def _loss_fn(params, cfg: AVSRConfig, batch: Batch, rng):
+    loss, metrics = forward(
+        params, cfg.model, batch,
+        compute_dtype=jnp.dtype(cfg.runtime.compute_dtype),
+        use_pallas=cfg.runtime.use_pallas,
+        remat=cfg.mesh.remat,
+        dropout_rng=rng)
+    return loss, metrics
+
+
+def make_train_step(
+    cfg: AVSRConfig,
+    tx: optax.GradientTransformation,
+) -> Callable[[TrainState, Batch, jax.Array], tuple[TrainState, dict[str, Any]]]:
+    """Build the jitted train step. Batch leaves: [accum, micro, ...]."""
+
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        def micro(carry, inp):
+            grads_sum, loss_sum, acc_sum = carry
+            mb, mrng = inp
+            (loss, metrics), grads = grad_fn(state.params, cfg, mb, mrng)
+            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
+            return (grads_sum, loss_sum + loss, acc_sum + metrics["accuracy"]), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        rngs = jax.random.split(rng, accum)
+        (grads, loss_sum, acc_sum), _ = jax.lax.scan(
+            micro, (zero_grads, jnp.zeros(()), jnp.zeros(())), (batch, rngs))
+        inv = 1.0 / accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        loss = loss_sum * inv
+        acc = acc_sum * inv
+
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+        def do_update(_):
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(state.step + 1, new_params, new_opt)
+
+        def skip_update(_):
+            # Non-finite loss: keep params/opt, still advance the step counter
+            # so schedules and logging move on (ref trainer NaN skip :444-451).
+            return TrainState(state.step + 1, state.params, state.opt_state)
+
+        new_state = jax.lax.cond(finite, do_update, skip_update, None)
+        metrics = {
+            "loss": loss,
+            "accuracy": acc,
+            "grad_norm": grad_norm,
+            "skipped": (~finite).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    donate = (0,) if cfg.mesh.donate else ()
+    return jax.jit(train_step, donate_argnums=donate)
+
+
+def make_eval_step(cfg: AVSRConfig):
+    """No-grad eval step (ref trainer._validate :543-602)."""
+
+    @jax.jit
+    def eval_step(params, batch: Batch):
+        loss, metrics = _loss_fn(params, cfg, batch, None)
+        return {"loss": loss, "accuracy": metrics["accuracy"],
+                "label_tokens": metrics["label_tokens"]}
+
+    return eval_step
+
+
+def microbatch(batch: Batch, accum: int) -> Batch:
+    """Reshape [B, ...] -> [accum, B // accum, ...] for accumulation."""
+    if accum <= 1:
+        return jax.tree_util.tree_map(lambda x: x[None], batch)
+
+    def split(x):
+        b = x.shape[0]
+        assert b % accum == 0, (b, accum)
+        return x.reshape(accum, b // accum, *x.shape[1:])
+
+    return jax.tree_util.tree_map(split, batch)

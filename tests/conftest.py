@@ -21,6 +21,12 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The ambient JAX_PLATFORMS=axon (tunneled TPU) overrides the env var set
+# above — the plugin wins platform selection — so pin the platform via
+# config, which is authoritative.
+if not os.environ.get("AVSR_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # This XLA-CPU build defaults to reduced-precision matmuls (TPU-style bf16
 # passes); parity tests need true f32.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,144 @@
+"""AVSR composition: packing, modality modes, all 8 connectors, loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.core.config import (
+    ClipConfig,
+    LLMConfig,
+    LoRAConfig,
+    ModelConfig,
+    WhisperConfig,
+)
+from avsr_tpu.models.avsr import Batch, encode, forward, init_avsr_model, pack_segments
+
+
+def tiny_model_cfg(**kw) -> ModelConfig:
+    base = dict(
+        modality="both",
+        connector_type="simple",
+        whisper=WhisperConfig(n_mels=80, d_model=32, n_heads=2, n_layers=1,
+                              max_frames=40),
+        clip=ClipConfig(image_size=16, patch_size=8, d_model=24, n_heads=2,
+                        n_layers=1),
+        llm=LLMConfig(vocab_size=64, d_model=32, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=64, max_seq_len=128),
+        lora=LoRAConfig(use_lora=True, r=2, alpha=4),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def tiny_batch(rng, modality="both", B=2) -> Batch:
+    mel = jnp.asarray(rng.standard_normal((B, 80, 40)), jnp.float32)
+    mel_lens = jnp.array([40, 24][:B])
+    frames = jnp.asarray(rng.standard_normal((B, 4, 3, 16, 16)), jnp.float32)
+    frame_lens = jnp.array([4, 2][:B])
+    return Batch(
+        mel=mel if modality != "video" else None,
+        mel_lens=mel_lens if modality != "video" else None,
+        frames=frames if modality != "audio" else None,
+        frame_lens=frame_lens if modality != "audio" else None,
+        prompt_tokens=jnp.array([1, 7, 9]),
+        labels=jnp.asarray(rng.integers(0, 64, (B, 6))),
+        label_lens=jnp.array([6, 3][:B]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_segments
+# ---------------------------------------------------------------------------
+
+def test_pack_segments_matches_numpy(rng):
+    B, d = 2, 4
+    segs = []
+    lens_list = [np.array([3, 2]), np.array([4, 1]), np.array([2, 2])]
+    caps = [5, 6, 3]
+    for cap, lens in zip(caps, lens_list):
+        e = rng.standard_normal((B, cap, d)).astype(np.float32)
+        segs.append((jnp.asarray(e), jnp.asarray(lens)))
+    packed, total, seg_start = pack_segments(segs)
+    for b in range(B):
+        expect = np.concatenate(
+            [np.asarray(e)[b, :int(l[b])] for e, l in
+             zip([s[0] for s in segs], lens_list)], axis=0)
+        got = np.asarray(packed)[b, :int(total[b])]
+        np.testing.assert_allclose(got, expect, atol=0)
+        starts = np.cumsum([0] + [int(l[b]) for l in lens_list[:-1]])
+        np.testing.assert_array_equal(np.asarray(seg_start)[b], starts)
+
+
+def test_pack_segments_grad_flows(rng):
+    e1 = jnp.asarray(rng.standard_normal((1, 3, 2)), jnp.float32)
+    e2 = jnp.asarray(rng.standard_normal((1, 3, 2)), jnp.float32)
+
+    def f(a, b):
+        packed, _, _ = pack_segments([(a, jnp.array([2])), (b, jnp.array([3]))])
+        return jnp.sum(packed ** 2)
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(e1, e2)
+    assert np.asarray(g1)[0, :2].any() and not np.asarray(g1)[0, 2:].any()
+    assert np.asarray(g2).any()
+
+
+# ---------------------------------------------------------------------------
+# forward across modalities and connectors
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("modality", ["audio", "video", "both"])
+def test_forward_modalities(rng, modality):
+    cfg = tiny_model_cfg(modality=modality)
+    params = init_avsr_model(jax.random.key(0), cfg)
+    loss, metrics = forward(params, cfg, tiny_batch(rng, modality),
+                            use_pallas="never")
+    assert np.isfinite(float(loss))
+    assert float(metrics["accuracy"]) >= 0.0
+
+
+@pytest.mark.parametrize("conn", ["simple", "deep", "conv", "attention",
+                                  "adaptive", "cross_modal", "qformer",
+                                  "perceiver"])
+def test_forward_all_connectors(rng, conn):
+    cfg = tiny_model_cfg(connector_type=conn)
+    params = init_avsr_model(jax.random.key(0), cfg)
+    loss, _ = forward(params, cfg, tiny_batch(rng), use_pallas="never")
+    assert np.isfinite(float(loss))
+
+
+def test_fusion_modes(rng):
+    for mode in ("weighted_sum", "concat_seq"):
+        cfg = tiny_model_cfg(fusion_mode=mode)
+        params = init_avsr_model(jax.random.key(0), cfg)
+        out = encode(params, cfg, tiny_batch(rng), use_pallas="never")
+        assert np.isfinite(np.asarray(out.features)).all()
+        if mode == "concat_seq":
+            # audio feats (ceil(len/2) of mel) + video feats
+            assert int(out.lengths[0]) == 20 + 4
+        else:
+            assert int(out.lengths[0]) == 20
+
+
+def test_qformer_fixed_length(rng):
+    cfg = tiny_model_cfg(connector_type="qformer", qformer_queries=8)
+    params = init_avsr_model(jax.random.key(0), cfg)
+    out = encode(params, cfg, tiny_batch(rng), use_pallas="never")
+    assert out.features.shape[1] == 8
+    assert (np.asarray(out.lengths) == 8).all()
+
+
+def test_frozen_encoder_gets_no_grad(rng):
+    cfg = tiny_model_cfg(modality="audio")
+    params = init_avsr_model(jax.random.key(0), cfg)
+
+    def loss_fn(p):
+        return forward(p, cfg, tiny_batch(rng, "audio"), use_pallas="never")[0]
+
+    grads = jax.grad(loss_fn)(params)
+    wg = np.concatenate([np.asarray(g).ravel() for g in
+                         jax.tree_util.tree_leaves(grads["whisper"])])
+    assert not wg.any()          # stop_gradient on frozen encoder
+    cg = np.concatenate([np.asarray(g).ravel() for g in
+                         jax.tree_util.tree_leaves(grads["audio_connector"])])
+    assert cg.any()              # connector trains

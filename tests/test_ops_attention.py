@@ -24,32 +24,33 @@ def test_reference_softmax_rows_sum(rng):
 
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_matches_reference(rng, causal):
-    q, k, v = _rand_qkv(rng, 2, 4, 4, 256, 256, 128)
+    q, k, v = _rand_qkv(rng, 2, 2, 2, 128, 128, 64)
     ref = mha_reference(q, k, v, causal=causal)
-    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    out = flash_attention(q, k, v, causal=causal, interpret=True, block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
 
 def test_flash_gqa_matches_reference(rng):
-    q, k, v = _rand_qkv(rng, 2, 8, 2, 256, 256, 128)
+    q, k, v = _rand_qkv(rng, 2, 4, 2, 128, 128, 64)
     ref = mha_reference(q, k, v, causal=True)
-    out = flash_attention(q, k, v, causal=True, interpret=True)
+    out = flash_attention(q, k, v, causal=True, interpret=True, block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
 
 def test_flash_padding_lengths(rng):
-    B, H, T, D = 2, 2, 256, 128
+    B, H, T, D = 2, 2, 128, 64
     q, k, v = _rand_qkv(rng, B, H, H, T, T, D)
-    kv_lens = jnp.array([256, 100])
-    q_lens = jnp.array([256, 100])
+    kv_lens = jnp.array([128, 50])
+    q_lens = jnp.array([128, 50])
     ref = mha_reference(q, k, v, causal=True, q_lens=q_lens, kv_lens=kv_lens)
     out = flash_attention(q, k, v, causal=True, q_lens=q_lens,
-                          kv_lens=kv_lens, interpret=True)
+                          kv_lens=kv_lens, interpret=True, block_q=64,
+                          block_k=64)
     # Only compare valid query rows; padded rows are unconstrained.
-    np.testing.assert_allclose(np.asarray(out)[1, :, :100],
-                               np.asarray(ref)[1, :, :100],
+    np.testing.assert_allclose(np.asarray(out)[1, :, :50],
+                               np.asarray(ref)[1, :, :50],
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref)[0],
                                atol=2e-5, rtol=2e-5)

@@ -1,0 +1,82 @@
+"""Memory analysis entry point (ref scripts/clip_whisper/analyze_memory.py).
+
+Per-component parameter memory across precision modes, plus live device
+memory stats when a TPU is attached (jax.local_devices()[0].memory_stats()),
+written to ``memory_stats.json`` — the reference's standalone
+component-loading loop (:320-589) computed on param trees instead of by
+repeatedly instantiating torch models.
+
+    python -m avsr_tpu.cli.analyze_memory model.llm.d_model=2048
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import jax
+
+from avsr_tpu.cli.common import base_parser, load_cli_config
+
+log = logging.getLogger("avsr.cli.analyze_memory")
+
+BYTES = {"float32": 4, "bfloat16": 2, "float16": 2, "int8": 1, "int4": 0.5}
+
+
+def component_bytes(params, dtype_bytes: float) -> dict[str, float]:
+    out = {}
+    for name, sub in params.items():
+        n = sum(int(x.size) for x in jax.tree_util.tree_leaves(sub))
+        out[name] = n * dtype_bytes
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = base_parser("Analyze component memory usage")
+    p.add_argument("--output_dir", default="outputs/memory")
+    args = p.parse_args(argv)
+    cfg = load_cli_config(args)
+
+    from avsr_tpu.models.avsr import init_avsr_model
+    from avsr_tpu.train.state import count_trainable
+
+    params = jax.eval_shape(
+        lambda k: init_avsr_model(k, cfg.model), jax.random.key(0))
+    report: dict = {"modality": cfg.model.modality,
+                    "connector": cfg.model.connector_type, "modes": {}}
+    for mode, nbytes in (("fp32", 4), ("bf16", 2), ("int8_llm", None),
+                         ("int4_llm", None)):
+        comps = {}
+        for name, sub in params.items():
+            n = sum(int(x.size) for x in jax.tree_util.tree_leaves(sub))
+            if mode == "int8_llm":
+                b = n * (1 if name == "llm" else 2)
+            elif mode == "int4_llm":
+                b = n * (0.5 if name == "llm" else 2)
+            else:
+                b = n * nbytes
+            comps[name] = round(b / 2**30, 4)
+        comps["total_gib"] = round(sum(comps.values()), 4)
+        report["modes"][mode] = comps
+
+    trainable, total = count_trainable(params, cfg.model)
+    report["params_total"] = total
+    report["params_trainable"] = trainable
+
+    dev = jax.local_devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if stats:
+        report["device_memory"] = {k: int(v) for k, v in stats.items()
+                                   if isinstance(v, (int, float))}
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "memory_stats.json", "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

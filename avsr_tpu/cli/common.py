@@ -1,0 +1,87 @@
+"""Shared CLI plumbing: config loading, logging, data/model construction.
+
+One canonical entry-point pattern (replacing the reference's three config
+systems, SURVEY.md §5.6): ``--config file.yaml`` plus positional
+``section.key=value`` overrides; CLI wins over YAML wins over defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import Any
+
+import jax
+
+from avsr_tpu.core.config import AVSRConfig, load_config
+from avsr_tpu.core.logging import setup_logging
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--log_file", default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("overrides", nargs="*",
+                   help="dotted config overrides, e.g. model.modality=audio")
+    return p
+
+
+def load_cli_config(args: argparse.Namespace) -> AVSRConfig:
+    setup_logging(args.log_file,
+                  level=logging.DEBUG if args.verbose else logging.INFO)
+    cfg = load_config(args.config, args.overrides)
+    if cfg.runtime.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    return cfg
+
+
+def build_data(cfg: AVSRConfig, split: str = "train", *,
+               shuffle: bool | None = None, batch_size: int | None = None):
+    """-> (tokenizer, dataset, loader)."""
+    from avsr_tpu.data.dataset import build_dataset
+    from avsr_tpu.data.loader import DataLoader
+    from avsr_tpu.data.tokenizer import load_tokenizer
+
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    ds = build_dataset(cfg.data, tok, split=split,
+                       modality=cfg.model.modality,
+                       image_size=cfg.model.clip.image_size)
+    loader = DataLoader(
+        ds, cfg.data, tok, model_cfg=cfg.model,
+        batch_size=batch_size,
+        shuffle=(split == "train") if shuffle is None else shuffle,
+        seed=cfg.training.seed,
+        compute_dtype=cfg.runtime.compute_dtype)
+    return tok, ds, loader
+
+
+def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
+    """Fresh init, optionally overwritten from a params-only export or a
+    trainer checkpoint directory."""
+    from avsr_tpu.models.avsr import init_avsr_model
+
+    params = init_avsr_model(jax.random.key(cfg.training.seed), cfg.model)
+    if checkpoint:
+        from pathlib import Path
+
+        from avsr_tpu.train.checkpoint import CheckpointManager, load_params
+        ck = Path(checkpoint)
+        if (ck / "best.json").exists() or any(ck.glob("meta_*.json")):
+            from avsr_tpu.train.state import create_train_state
+            state, _ = create_train_state(params, cfg, total_steps=1)
+            state = CheckpointManager(ck).restore(state)
+            params = state.params
+        else:
+            params = load_params(ck, params)
+    return params
+
+
+def maybe_mesh(cfg: AVSRConfig):
+    """Build a mesh + batch sharder when >1 device is visible."""
+    if len(jax.devices()) == 1:
+        return None, None
+    from avsr_tpu.mesh.sharding import batch_sharder, build_mesh
+
+    mesh = build_mesh(cfg.mesh)
+    return mesh, batch_sharder(mesh)

@@ -1,0 +1,93 @@
+"""Decoding / WER evaluation entry point.
+
+TPU-native counterpart of ``scripts/clip_whisper/decode.py`` (:39-699):
+loads a checkpoint, runs batched generation over the test split, streams
+HYP/REF pairs, and writes ``results_{ts}.txt`` + ``wer_{ts}.txt`` with the
+corpus WER — the reference's artifacts (:656-686), same filenames.
+
+    python -m avsr_tpu.cli.decode --config cfg.yaml \
+        --checkpoint outputs/avsr/ckpt decode.num_beams=5
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from avsr_tpu.cli.common import (
+    base_parser,
+    build_data,
+    init_or_load_params,
+    load_cli_config,
+)
+
+log = logging.getLogger("avsr.cli.decode")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = base_parser("Decode the test split and compute WER")
+    p.add_argument("--checkpoint", default=None,
+                   help="trainer ckpt dir or params export")
+    p.add_argument("--split", default="test")
+    args = p.parse_args(argv)
+    cfg = load_cli_config(args)
+
+    from avsr_tpu.infer.generate import generate
+    from avsr_tpu.infer.wer import WERAccumulator
+
+    tok, _, loader = build_data(cfg, args.split, shuffle=False,
+                                batch_size=cfg.decode.batch_size)
+    params = init_or_load_params(cfg, args.checkpoint)
+
+    out_dir = Path(cfg.decode.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    results_path = out_dir / f"results_{ts}.txt"
+    wer_path = out_dir / f"wer_{ts}.txt"
+
+    acc = WERAccumulator()
+    rng = jax.random.key(cfg.training.seed)
+    t0 = time.perf_counter()
+    seen: set[str] = set()
+    with open(results_path, "w") as rf:
+        for hb, batch in loader:
+            rng, sub = jax.random.split(rng)
+            out = generate(params, cfg.model, batch, cfg.decode,
+                           eos_id=tok.eos_id, rng=sub,
+                           compute_dtype=cfg.runtime.compute_dtype,
+                           use_pallas=cfg.runtime.use_pallas)
+            tokens = np.asarray(out.tokens)
+            lens = np.asarray(out.lengths)
+            for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):
+                if utt in seen:   # final short batch is wrap-padded
+                    continue
+                seen.add(utt)
+                hyp = tok.decode(tokens[i, : lens[i]])
+                u_wer = acc.add(ref, hyp)
+                log.info("utt %s | WER %.3f", utt, u_wer)
+                print(f"UTT: {utt}", file=rf)
+                print(f"REF: {ref}", file=rf)
+                print(f"HYP: {hyp}", file=rf)
+                print(f"WER: {u_wer:.4f}", file=rf)
+                print("", file=rf)
+    dt = time.perf_counter() - t0
+
+    summary = (
+        f"utterances: {acc.utterances}\n"
+        f"reference words: {acc.ref_words}\n"
+        f"word errors: {acc.edits}\n"
+        f"WER: {acc.wer:.4f}\n"
+        f"decode time: {dt:.1f}s ({acc.utterances / max(dt, 1e-9):.2f} utt/s)\n")
+    wer_path.write_text(summary)
+    log.info("overall WER %.4f (%d utts) -> %s", acc.wer, acc.utterances,
+             wer_path)
+    print(summary)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

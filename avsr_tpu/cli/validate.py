@@ -1,0 +1,65 @@
+"""Quick validation entry point (ref scripts/clip_whisper/quick_validate.py).
+
+Builds the model (optionally from a checkpoint), runs a handful of eval
+batches, and exits non-zero if the loss is non-finite or degenerate — the
+reference's smoke-check contract (quick_validate.py:529-543), minus its
+broken attribute probes (SURVEY.md §3.3).
+
+    python -m avsr_tpu.cli.validate data.synthetic=true
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from avsr_tpu.cli.common import (
+    base_parser,
+    build_data,
+    init_or_load_params,
+    load_cli_config,
+)
+
+log = logging.getLogger("avsr.cli.validate")
+
+DUMMY_LOSS = 1e6   # ref sentinel (quick_validate.py:285-298)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = base_parser("Quick-validate a model/checkpoint")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num_batches", type=int, default=2)
+    p.add_argument("--synthetic", action="store_true",
+                   help="shorthand for data.synthetic=true")
+    args = p.parse_args(argv)
+    if args.synthetic:
+        args.overrides.append("data.synthetic=true")
+    cfg = load_cli_config(args)
+
+    from avsr_tpu.train.step import make_eval_step
+
+    tok, _, loader = build_data(cfg, "valid" if not cfg.data.synthetic
+                                else "train", shuffle=False)
+    params = init_or_load_params(cfg, args.checkpoint)
+    eval_step = make_eval_step(cfg)
+
+    losses = []
+    for i, (hb, batch) in enumerate(loader):
+        if i >= args.num_batches:
+            break
+        out = eval_step(params, batch)
+        loss = float(out["loss"])
+        log.info("batch %d: loss %.4f acc %.3f", i, loss,
+                 float(out["accuracy"]))
+        losses.append(loss)
+
+    avg = float(np.mean(losses)) if losses else float("nan")
+    ok = np.isfinite(avg) and avg < DUMMY_LOSS / 2
+    print(f"validation {'PASSED' if ok else 'FAILED'}: avg loss {avg:.4f} "
+          f"over {len(losses)} batches")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,7 +36,7 @@ CONNECTOR_TYPES = (
 )
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     """Dataset paths and shape caps (reference configs/clip_whisper.yaml:4-14)."""
 
@@ -59,7 +59,7 @@ class DataConfig:
     video_buckets: tuple[int, ...] = (25, 50, 100)       # video frames
 
 
-@dataclass
+@dataclass(frozen=True)
 class WhisperConfig:
     """Whisper audio-encoder architecture (HF openai/whisper-* geometry)."""
 
@@ -78,7 +78,7 @@ class WhisperConfig:
         return self.max_frames // 2  # conv2 stride-2
 
 
-@dataclass
+@dataclass(frozen=True)
 class ClipConfig:
     """CLIP ViT vision-encoder architecture (HF openai/clip-vit-* geometry)."""
 
@@ -90,7 +90,7 @@ class ClipConfig:
     ffn_mult: int = 4
 
 
-@dataclass
+@dataclass(frozen=True)
 class LLMConfig:
     """Causal-LM decoder architecture (Llama-class geometry)."""
 
@@ -106,7 +106,7 @@ class LLMConfig:
     max_seq_len: int = 2048
 
 
-@dataclass
+@dataclass(frozen=True)
 class LoRAConfig:
     """LoRA adapter hyperparameters (reference clip_whisper_model.py:973-1000)."""
 
@@ -119,7 +119,7 @@ class LoRAConfig:
     init_scale: float = 1.0      # ref scales B-init by 0.01; we default to standard 0-init B
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """Top-level model composition (reference configs/clip_whisper.yaml:17-30)."""
 
@@ -147,7 +147,7 @@ class ModelConfig:
     perceiver_latents: int = 64           # ref advanced_connectors.py:433
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainingConfig:
     """Optimization schedule (reference configs/clip_whisper.yaml:33-43)."""
 
@@ -173,7 +173,7 @@ class TrainingConfig:
     loss_stability_window: int = 5
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     """Device mesh + sharding — TPU-native, no reference equivalent (SURVEY.md §2.4)."""
 
@@ -186,7 +186,7 @@ class MeshConfig:
     donate: bool = True
 
 
-@dataclass
+@dataclass(frozen=True)
 class RuntimeConfig:
     """Runtime toggles."""
 
@@ -197,7 +197,7 @@ class RuntimeConfig:
     use_pallas: str = "auto"            # auto | always | never
 
 
-@dataclass
+@dataclass(frozen=True)
 class DecodeConfig:
     """Generation / eval protocol (reference decode.py:41-66)."""
 
@@ -210,7 +210,7 @@ class DecodeConfig:
     output_dir: str = "outputs/decode"
 
 
-@dataclass
+@dataclass(frozen=True)
 class AVSRConfig:
     """Root config."""
 
@@ -243,6 +243,11 @@ class AVSRConfig:
         for b, nxt in zip(self.data.audio_buckets, self.data.audio_buckets[1:]):
             if nxt <= b:
                 raise ValueError("audio_buckets must be strictly increasing")
+        if self.data.audio_buckets[-1] > self.model.whisper.max_frames:
+            raise ValueError(
+                f"largest audio bucket ({self.data.audio_buckets[-1]} mel "
+                f"frames) exceeds whisper.max_frames "
+                f"({self.model.whisper.max_frames})")
         return self
 
 

@@ -1,0 +1,205 @@
+"""Batching, length bucketing, on-device featurization, and prefetch.
+
+Replaces the reference's DataLoader + dynamic-pad collate_fn
+(simple_dataset.py:317-460) with a TPU-native pipeline:
+
+  * **Length bucketing** — each sample maps to the smallest (audio, video)
+    bucket pair that fits (DataConfig.audio_buckets/video_buckets), so every
+    batch has one of a small, fixed set of static shapes: bounded XLA
+    recompiles instead of per-batch dynamic shapes.
+  * **uint8/f32 host batches** — the host pads raw waveforms and resized
+    uint8 frames; labels pad with pad_id and carry explicit lengths (the
+    reference's -100 convention is replaced by masks computed from lengths).
+  * **On-device featurize** — one jitted call turns a host batch into a
+    model Batch: log-mel via the MXU front end (ops.logmel) and frame
+    normalization (ops.image.normalize_frames).
+  * **Threaded prefetch** — a background thread keeps ``prefetch`` batches
+    in flight so host decode overlaps device compute (the reference's
+    num_workers analog, without torch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.core.config import DataConfig, ModelConfig
+from avsr_tpu.data.dataset import Sample
+from avsr_tpu.models.avsr import Batch
+from avsr_tpu.ops.image import normalize_frames
+from avsr_tpu.ops.logmel import HOP_LENGTH, log_mel_spectrogram
+
+
+@dataclass
+class HostBatch:
+    """Padded numpy batch, pre-device."""
+
+    utt_ids: list[str]
+    texts: list[str]
+    audio: np.ndarray | None       # [B, S_a] f32
+    audio_lens: np.ndarray | None  # [B]
+    frames: np.ndarray | None      # [B, T_v, S, S, 3] u8
+    frame_lens: np.ndarray | None  # [B]
+    labels: np.ndarray             # [B, L] int32 (pad_id-padded)
+    label_lens: np.ndarray         # [B]
+    prompt: np.ndarray             # [B, Tp] int32
+
+
+def pick_bucket(value: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
+            pad_id: int) -> HostBatch:
+    B = len(samples)
+    audio = audio_lens = frames = frame_lens = None
+
+    if samples[0].audio is not None:
+        # bucket in mel frames; cap audio samples accordingly
+        mel_lens = [min(s.audio.shape[0], cfg.max_audio_length) // HOP_LENGTH
+                    for s in samples]
+        bucket = pick_bucket(max(mel_lens), cfg.audio_buckets)
+        S_a = bucket * HOP_LENGTH
+        audio = np.zeros((B, S_a), np.float32)
+        audio_lens = np.zeros((B,), np.int32)
+        for i, s in enumerate(samples):
+            n = min(s.audio.shape[0], S_a)
+            audio[i, :n] = s.audio[:n]
+            audio_lens[i] = n
+
+    if samples[0].frames is not None:
+        t_lens = [s.frames.shape[0] for s in samples]
+        bucket = pick_bucket(max(t_lens), cfg.video_buckets)
+        S = samples[0].frames.shape[1]
+        frames = np.zeros((B, bucket, S, S, 3), np.uint8)
+        frame_lens = np.zeros((B,), np.int32)
+        for i, s in enumerate(samples):
+            t = min(s.frames.shape[0], bucket)
+            frames[i, :t] = s.frames[:t]
+            frame_lens[i] = t
+
+    L = cfg.max_label_length
+    labels = np.full((B, L), pad_id, np.int32)
+    label_lens = np.zeros((B,), np.int32)
+    for i, s in enumerate(samples):
+        n = min(len(s.tokens), L)
+        labels[i, :n] = s.tokens[:n]
+        label_lens[i] = n
+
+    prompt = np.tile(np.asarray(prompt_ids, np.int32)[None], (B, 1))
+    return HostBatch([s.utt_id for s in samples], [s.text for s in samples],
+                     audio, audio_lens, frames, frame_lens, labels,
+                     label_lens, prompt)
+
+
+def featurize(hb: HostBatch, compute_dtype=jnp.float32) -> Batch:
+    """Host batch -> device Batch (jit-cached per static shape)."""
+    mel = mel_lens = vframes = None
+    if hb.audio is not None:
+        mel = log_mel_spectrogram(jnp.asarray(hb.audio),
+                                  jnp.asarray(hb.audio_lens))
+        mel_lens = jnp.asarray(hb.audio_lens) // HOP_LENGTH
+    if hb.frames is not None:
+        vframes = normalize_frames(jnp.asarray(hb.frames),
+                                   dtype=jnp.dtype(compute_dtype))
+    return Batch(
+        mel=mel,
+        mel_lens=mel_lens,
+        frames=vframes,
+        frame_lens=jnp.asarray(hb.frame_lens) if hb.frame_lens is not None else None,
+        prompt_tokens=jnp.asarray(hb.prompt),
+        labels=jnp.asarray(hb.labels),
+        label_lens=jnp.asarray(hb.label_lens),
+    )
+
+
+class DataLoader:
+    """Bucketed, prefetching loader yielding (HostBatch, device Batch)."""
+
+    def __init__(self, dataset, cfg: DataConfig, tokenizer, *,
+                 model_cfg: ModelConfig | None = None,
+                 batch_size: int | None = None,
+                 shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2, drop_last: bool = False,
+                 compute_dtype="float32") -> None:
+        self.ds = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.compute_dtype = compute_dtype
+        self.pad_id = tokenizer.pad_id
+        prompt_text = model_cfg.prompt if model_cfg is not None else ""
+        self.prompt_ids = tokenizer.encode(prompt_text, add_bos=True)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.batch_size
+        if not self.drop_last and len(self.ds) % self.batch_size:
+            n += 1
+        return n
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        return idx
+
+    def _host_batches(self) -> Iterator[HostBatch]:
+        order = self._order()
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            chunk = order[start:start + bs]
+            if len(chunk) < bs and self.drop_last:
+                continue
+            # pad final short batch by wrapping (static batch dim for jit)
+            if len(chunk) < bs:
+                chunk = np.concatenate([chunk, order[: bs - len(chunk)]])
+            samples = [self.ds[int(i)] for i in chunk]
+            yield collate(samples, self.cfg, self.prompt_ids, self.pad_id)
+
+    def __iter__(self) -> Iterator[tuple[HostBatch, Batch]]:
+        self._epoch += 1
+        q: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for hb in self._host_batches():
+                    if stop.is_set():
+                        return
+                    q.put((hb, featurize(hb, self.compute_dtype)))
+            except Exception as e:  # propagate into the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the worker can exit
+            while th.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -1,0 +1,2 @@
+from avsr_tpu.infer.generate import GenOut, beam_search, generate, generate_tokens  # noqa: F401
+from avsr_tpu.infer.wer import WERAccumulator, edit_distance, wer  # noqa: F401

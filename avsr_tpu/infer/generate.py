@@ -1,0 +1,259 @@
+"""Batched generation from an embeddings prefix, fully under jit.
+
+The reference calls HF ``llm.generate(inputs_embeds=...)`` with temperature /
+top-p (clip_whisper_model.py:1240-1348) and promises beam search in config
+(src/utils/config.py:92 ``num_beams: 5``) without wiring it. Here all three
+run on-device with a prefilled KV cache:
+
+  * prefill — one ``llama_apply`` over the packed [prompt][features] prefix
+    (right-padded, per-sample lengths), cache written up to each prefix len;
+  * decode — ``lax.while_loop`` of single-token steps with per-sample write
+    positions (ragged prefixes never retrace), greedy or temperature+top-p;
+  * beam — beams are flattened into the batch axis ([B*W] cache) with
+    gather-based beam reindexing and length-normalized scores.
+
+Early exit: the while_loop stops when every sequence has emitted EOS —
+important on TPU where max_new_tokens is a worst-case bound, not the
+common-case cost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.core.config import DecodeConfig, ModelConfig
+from avsr_tpu.models import llama as L
+from avsr_tpu.models.avsr import Batch, build_prefix, encode
+from avsr_tpu.models.layers import Params
+
+NEG_INF = -1e30
+
+
+class GenOut(NamedTuple):
+    tokens: jax.Array      # [B, max_new] generated ids (pad after EOS)
+    lengths: jax.Array     # [B] number of valid generated tokens (incl. EOS)
+
+
+def _top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Mask logits outside the nucleus; keeps at least the top-1 token."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # number of tokens needed to reach top_p (always >= 1)
+    k = jnp.sum(cum - probs < top_p, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_logits, k - 1, axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def _sample_or_greedy(logits, temperature, top_p, rng):
+    if temperature <= 0.0 or rng is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        logits = _top_p_filter(logits, top_p)
+    return jax.random.categorical(rng, logits).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Greedy / sampling
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "max_new_tokens", "temperature", "top_p",
+                     "eos_id", "compute_dtype", "use_pallas"))
+def generate_tokens(
+    params: Params,
+    model_cfg: ModelConfig,
+    batch: Batch,
+    *,
+    max_new_tokens: int = 100,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    eos_id: int = 2,
+    rng: jax.Array | None = None,
+    compute_dtype: str = "float32",
+    use_pallas: str = "auto",
+) -> GenOut:
+    """Greedy (temperature=0) or nucleus-sampled generation."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    enc = encode(params, model_cfg, batch, compute_dtype=dt,
+                 use_pallas=use_pallas)
+    prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
+                                       compute_dtype=dt)
+    B, Tpre = prefix.shape[:2]
+    M = Tpre + max_new_tokens
+
+    logits_all, cache = L.llama_apply(
+        params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
+        lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+        compute_dtype=dt, use_pallas=use_pallas,
+        return_cache=True, cache_len=M)
+    last = jnp.take_along_axis(
+        logits_all, (prefix_lens - 1)[:, None, None], axis=1)[:, 0]   # [B,V]
+
+    def cond(carry):
+        step, _, _, _, _, done, _ = carry
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        step, logits, cache, cur_lens, tokens, done, rng_k = carry
+        if rng_k is not None:
+            rng_k, sub = jax.random.split(rng_k)
+        else:
+            sub = None
+        nxt = _sample_or_greedy(logits, temperature, top_p, sub)
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = tokens.at[:, step].set(nxt)
+        done_new = done | (nxt == eos_id)
+        emb = L.embed_tokens(params["llm"], nxt[:, None], dt)
+        logits_new, cache = L.llama_decode_step(
+            params["llm"], cfg, x=emb, cache=cache, cur_lens=cur_lens,
+            lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+            compute_dtype=dt)
+        return (step + 1, logits_new, cache, cur_lens + 1, tokens,
+                done_new, rng_k)
+
+    tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    init = (jnp.zeros((), jnp.int32), last, cache, prefix_lens.astype(jnp.int32),
+            tokens0, done0, rng)
+    _, _, _, _, tokens, _, _ = jax.lax.while_loop(cond, body, init)
+
+    is_eos = tokens == eos_id
+    first_eos = jnp.argmax(is_eos, axis=-1)
+    has_eos = jnp.any(is_eos, axis=-1)
+    lengths = jnp.where(has_eos, first_eos + 1, max_new_tokens)
+    return GenOut(tokens, lengths.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "max_new_tokens", "num_beams",
+                     "length_penalty", "eos_id", "compute_dtype", "use_pallas"))
+def beam_search(
+    params: Params,
+    model_cfg: ModelConfig,
+    batch: Batch,
+    *,
+    max_new_tokens: int = 100,
+    num_beams: int = 5,
+    length_penalty: float = 1.0,
+    eos_id: int = 2,
+    compute_dtype: str = "float32",
+    use_pallas: str = "auto",
+) -> GenOut:
+    """Length-normalized beam search over the embeddings prefix."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    W = num_beams
+    enc = encode(params, model_cfg, batch, compute_dtype=dt,
+                 use_pallas=use_pallas)
+    prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
+                                       compute_dtype=dt)
+    B, Tpre = prefix.shape[:2]
+    M = Tpre + max_new_tokens
+
+    logits_all, cache = L.llama_apply(
+        params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
+        lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+        compute_dtype=dt, use_pallas=use_pallas,
+        return_cache=True, cache_len=M)
+    last = jnp.take_along_axis(
+        logits_all, (prefix_lens - 1)[:, None, None], axis=1)[:, 0]
+
+    # Expand to beams along the batch axis: [B*W, ...]
+    def tile(x):
+        return jnp.repeat(x, W, axis=0)
+
+    cache = L.KVCache(jnp.repeat(cache.k, W, axis=1),
+                      jnp.repeat(cache.v, W, axis=1))
+    cur_lens = tile(prefix_lens.astype(jnp.int32))
+    logp0 = jax.nn.log_softmax(last, axis=-1)                 # [B, V]
+    V = logp0.shape[-1]
+
+    # beam scores: beam 0 real, others -inf so step 1 picks top-W of beam 0
+    scores = jnp.full((B, W), NEG_INF).at[:, 0].set(0.0)
+    tokens = jnp.full((B, W, max_new_tokens), eos_id, jnp.int32)
+    done = jnp.zeros((B, W), bool)
+    logits = tile(last)                                       # [B*W, V]
+
+    def cond(carry):
+        step, _, _, _, _, done, _ = carry
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        step, logits, cache, cur_lens, tokens, done, scores = carry
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, W, V)
+        # finished beams only extend with EOS at no cost
+        eos_only = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
+        logp = jnp.where(done[..., None], eos_only[None, None], logp)
+        cand = scores[..., None] + logp                       # [B, W, V]
+        flat = cand.reshape(B, W * V)
+        top_scores, top_idx = jax.lax.top_k(flat, W)          # [B, W]
+        src_beam = top_idx // V                               # [B, W]
+        new_tok = (top_idx % V).astype(jnp.int32)
+
+        # Reindex beam state by source beam (gather over the B*W axis).
+        gather = (jnp.arange(B)[:, None] * W + src_beam).reshape(-1)  # [B*W]
+        cache = L.KVCache(cache.k[:, gather], cache.v[:, gather])
+        cur_lens = cur_lens[gather]
+        tokens = jnp.take_along_axis(tokens, src_beam[..., None], axis=1)
+        done = jnp.take_along_axis(done, src_beam, axis=1)
+
+        tokens = tokens.at[:, :, step].set(jnp.where(done, eos_id, new_tok))
+        done = done | (new_tok == eos_id)
+        scores = top_scores
+
+        emb = L.embed_tokens(params["llm"], new_tok.reshape(-1)[:, None], dt)
+        logits_new, cache = L.llama_decode_step(
+            params["llm"], cfg, x=emb, cache=cache, cur_lens=cur_lens,
+            lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+            compute_dtype=dt)
+        return (step + 1, logits_new, cache, cur_lens + 1, tokens, done, scores)
+
+    init = (jnp.zeros((), jnp.int32), logits, cache, cur_lens, tokens, done,
+            scores)
+    _, _, _, _, tokens, _, scores = jax.lax.while_loop(cond, body, init)
+
+    # Pick best beam by length-normalized score.
+    is_eos = tokens == eos_id
+    first_eos = jnp.argmax(is_eos, axis=-1)
+    has_eos = jnp.any(is_eos, axis=-1)
+    lens = jnp.where(has_eos, first_eos + 1, max_new_tokens)   # [B, W]
+    norm = scores / jnp.maximum(lens.astype(jnp.float32), 1.0) ** length_penalty
+    best = jnp.argmax(norm, axis=-1)                           # [B]
+    tokens_best = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1)[:, 0]
+    lens_best = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+    return GenOut(tokens_best, lens_best.astype(jnp.int32))
+
+
+def generate(params, model_cfg: ModelConfig, batch: Batch,
+             decode_cfg: DecodeConfig, *, eos_id: int,
+             rng: jax.Array | None = None,
+             compute_dtype: str = "float32",
+             use_pallas: str = "auto") -> GenOut:
+    """Config-driven dispatch (ref decode.py protocol: greedy default)."""
+    if decode_cfg.num_beams > 1:
+        return beam_search(
+            params, model_cfg, batch,
+            max_new_tokens=decode_cfg.max_new_tokens,
+            num_beams=decode_cfg.num_beams,
+            length_penalty=decode_cfg.length_penalty,
+            eos_id=eos_id, compute_dtype=compute_dtype, use_pallas=use_pallas)
+    return generate_tokens(
+        params, model_cfg, batch,
+        max_new_tokens=decode_cfg.max_new_tokens,
+        temperature=decode_cfg.temperature, top_p=decode_cfg.top_p,
+        eos_id=eos_id, rng=rng, compute_dtype=compute_dtype,
+        use_pallas=use_pallas)

@@ -1,0 +1,157 @@
+"""Device mesh + sharding rules: the parallelism layer the reference lacks.
+
+The reference is strictly single-device (SURVEY.md §2.4: no DDP/FSDP/TP
+anywhere; train.py:149 picks one GPU). Here parallelism is first-class and
+declarative:
+
+  * mesh axes ``(dp, fsdp, tp)`` over ICI (MeshConfig; dp inferred from the
+    device count by default);
+  * **dp** — batch data parallel: the microbatch axis is sharded, gradients
+    are averaged by pjit-inserted all-reduces;
+  * **fsdp** — ZeRO-style parameter/optimizer sharding: every large kernel's
+    non-tp dimension is sharded, all-gathered on use;
+  * **tp** — megatron-style tensor parallel inside every transformer block:
+    q/k/v/gate/up column-parallel, o/down row-parallel, so each block costs
+    exactly one all-reduce pair inserted by XLA over ICI.
+
+Everything is expressed as PartitionSpec rules over parameter *paths*; pjit
+propagates them through the train step — no hand-written collectives in the
+model code (those live in ops/ as Pallas kernels where fusion wins).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avsr_tpu.core.config import AVSRConfig, MeshConfig
+
+log = logging.getLogger("avsr.mesh")
+
+
+# ---------------------------------------------------------------------------
+# Mesh construction
+# ---------------------------------------------------------------------------
+
+def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    fsdp, tp = max(cfg.fsdp, 1), max(cfg.tp, 1)
+    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * tp)
+    if dp * fsdp * tp != n:
+        raise ValueError(
+            f"mesh {dp}x{fsdp}x{tp} != {n} devices (set mesh.dp/-1 to infer)")
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    mesh = Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+    log.info("mesh: dp=%d fsdp=%d tp=%d over %d devices", dp, fsdp, tp, n)
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules (path regex -> PartitionSpec)
+# ---------------------------------------------------------------------------
+
+# Megatron pattern: column-parallel (out-dim tp) for q/k/v/gate/up/fc1,
+# row-parallel (in-dim tp) for o/down/fc2. fsdp shards the opposite dim.
+_PARAM_RULES: list[tuple[str, P]] = [
+    (r"\blora/a/?$",                        P(None, None)),
+    (r"\blora/b/?$",                        P(None, None)),
+    (r"\b(q|k|v|gate|up|fc1)/w$",           P("fsdp", "tp")),
+    (r"\b(o|down|fc2)/w$",                  P("tp", "fsdp")),
+    (r"\bembed$",                           P("tp", "fsdp")),   # vocab-sharded
+    (r"\blm_head/w$",                       P("fsdp", "tp")),
+    (r"\bconv[12]/w$",                      P(None, None, None)),
+    (r"\bpatch/w$",                         P(None, "tp")),
+    (r"\b(inp|out|mid|res|proj_a|proj_v)/w$", P(None, None)),
+    (r"\bpos$",                             P(None, None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+    return "/".join(parts)
+
+
+def param_spec(path, leaf) -> P:
+    s = _path_str(path)
+    for pat, spec in _PARAM_RULES:
+        if re.search(pat, s):
+            if len(spec) <= leaf.ndim:
+                return spec
+            return P(*spec[: leaf.ndim])
+    return P()  # replicated
+
+
+def param_specs(params) -> Any:
+    return jax.tree_util.tree_map_with_path(param_spec, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put every leaf with its NamedSharding."""
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_state(state, mesh: Mesh):
+    """Shard a TrainState: params by rule; opt_state leaves mirror the param
+    they track when shapes match, else replicate; step replicated."""
+    from avsr_tpu.train.state import TrainState
+
+    params = shard_params(state.params, mesh)
+    shard_by_shape: dict[tuple, NamedSharding] = {}
+    for p in jax.tree_util.tree_leaves(params):
+        shard_by_shape.setdefault(tuple(p.shape), p.sharding)
+
+    def put_opt(x):
+        if hasattr(x, "shape"):
+            sh = shard_by_shape.get(tuple(x.shape),
+                                    NamedSharding(mesh, P()))
+            return jax.device_put(x, sh)
+        return x
+
+    opt_state = jax.tree_util.tree_map(put_opt, state.opt_state)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return TrainState(step, params, opt_state)
+
+
+# ---------------------------------------------------------------------------
+# Batch sharding
+# ---------------------------------------------------------------------------
+
+def batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
+    """Shard [accum, micro, ...] batch leaves: micro axis over (dp, fsdp)."""
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim < 2:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = P(None, ("dp", "fsdp"))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def shard(batch):
+        return jax.tree_util.tree_map(put, batch)
+
+    return shard
+
+
+def shard_train_step(cfg: AVSRConfig, tx, mesh: Mesh):
+    """Mesh-aware train/eval steps.
+
+    The steps are the plain jitted ones — pjit propagates the NamedShardings
+    carried by the (device_put) state and batch, inserting all-reduces for
+    dp gradient averaging and tp row-parallel matmuls automatically.
+    """
+    from avsr_tpu.train.step import make_eval_step, make_train_step
+
+    # NamedShardings carried by the device_put state/batch are sufficient —
+    # jit propagates them and inserts the collectives; no mesh context needed.
+    return make_train_step(cfg, tx), make_eval_step(cfg)

@@ -56,6 +56,20 @@ def preprocess_frames(
     return x if batched else x[0]
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def normalize_frames(frames: jax.Array,
+                     dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """uint8 [B,T,S,S,3] (host-resized/cropped) -> normalized [B,T,3,S,S].
+
+    The host ships uint8 (4x smaller transfers); rescale + CLIP
+    mean/std normalization + CHW transpose happen on-device and fuse into
+    the encoder's first matmul.
+    """
+    x = frames.astype(jnp.float32) / 255.0
+    x = (x - CLIP_MEAN) / CLIP_STD
+    return jnp.transpose(x, (0, 1, 4, 2, 3)).astype(dtype)
+
+
 def sample_frame_indices(num_frames: int, target: int) -> np.ndarray:
     """Uniformly sample/clamp ``target`` frame indices from a clip."""
     if num_frames <= target:

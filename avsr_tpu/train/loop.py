@@ -1,0 +1,201 @@
+"""The training loop: epochs, validation, checkpoint cadences, guards.
+
+TPU-native rewrite of ``ClipWhisperTrainer.train``
+(src/clip_whisper/trainer/clip_whisper_trainer.py:253-405): epoch loop with
+best-val tracking, periodic + time-based (2-hour default) + final +
+emergency checkpoints, loss CSV, throughput meters, a loss-stability monitor
+(ref :338-351), and true step-resume (the ref's --resume_from is declared
+but never invoked — train.py:270-272).
+
+Differences by design:
+  * grad accumulation is real (microbatched scan in train.step);
+  * checkpoints are async Orbax saves — the device never waits on disk;
+  * NaN handling is on-device (lax.cond skip) — the loop only counts.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from avsr_tpu.core.config import AVSRConfig
+from avsr_tpu.core.logging import (
+    CSVLogger,
+    LossStabilityMonitor,
+    ThroughputMeter,
+    save_loss_plot,
+)
+from avsr_tpu.data.loader import DataLoader
+from avsr_tpu.train.checkpoint import CheckpointManager
+from avsr_tpu.train.state import TrainState, count_trainable, create_train_state
+from avsr_tpu.train.step import make_eval_step, make_train_step, microbatch
+
+log = logging.getLogger("avsr.train")
+
+
+class Trainer:
+    def __init__(self, cfg: AVSRConfig, params, train_loader: DataLoader,
+                 val_loader: DataLoader | None = None,
+                 mesh=None, shard_batch=None):
+        self.cfg = cfg
+        t = cfg.training
+        steps_per_epoch = max(len(train_loader) // max(t.grad_accum_steps, 1), 1)
+        self.total_steps = (t.max_steps if t.max_steps > 0
+                            else steps_per_epoch * t.num_epochs)
+        self.state, self.tx = create_train_state(params, cfg, self.total_steps)
+        if mesh is not None:
+            from avsr_tpu.mesh.sharding import shard_train_step
+            self.train_step, self.eval_step = shard_train_step(
+                cfg, self.tx, mesh)
+        else:
+            self.train_step = make_train_step(cfg, self.tx)
+            self.eval_step = make_eval_step(cfg)
+        self.shard_batch = shard_batch
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+
+        out = Path(t.checkpoint_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.ckpt = CheckpointManager(out / "ckpt", cfg,
+                                      keep=t.keep_checkpoints)
+        self.csv = CSVLogger(out / "loss_log.csv",
+                             ["step", "epoch", "split", "loss", "accuracy",
+                              "grad_norm", "lr_step_time_s", "tokens_per_sec",
+                              "utts_per_sec", "skipped"])
+        self.monitor = LossStabilityMonitor(
+            window=t.loss_stability_window, max_bad=3)
+        self.meter = ThroughputMeter()
+        self.history: dict[str, list[float]] = {"train": [], "val": []}
+        self.best_val = float("inf")
+        self._last_time_ckpt = time.time()
+        self._rng = jax.random.key(t.seed)
+
+        trainable, total = count_trainable(params, cfg.model)
+        log.info("model: %.2fM params, %.2fM trainable (%.1f%%)",
+                 total / 1e6, trainable / 1e6, 100 * trainable / max(total, 1))
+
+    # ------------------------------------------------------------------
+
+    def maybe_resume(self) -> bool:
+        t = self.cfg.training
+        src = t.resume_from or (
+            str(self.ckpt.dir) if self.ckpt.latest_step() is not None else "")
+        if not src:
+            return False
+        mngr = self.ckpt if src == str(self.ckpt.dir) else CheckpointManager(src)
+        try:
+            self.state = mngr.restore(self.state)
+        except FileNotFoundError:
+            return False
+        log.info("resumed from step %d", int(self.state.step))
+        return True
+
+    # ------------------------------------------------------------------
+
+    def train(self) -> dict[str, Any]:
+        t = self.cfg.training
+        accum = max(t.grad_accum_steps, 1)
+        epoch = 0
+        unstable = 0
+        try:
+            while int(self.state.step) < self.total_steps:
+                epoch += 1
+                micro_batches = []
+                for hb, batch in self.train_loader:
+                    micro_batches.append(batch)
+                    if len(micro_batches) < accum:
+                        continue
+                    metrics = self._step(micro_batches, epoch)
+                    micro_batches = []
+                    if metrics["skipped"]:
+                        unstable += 1
+                        if unstable > t.max_unstable_batches:
+                            raise RuntimeError(
+                                f"too many unstable steps ({unstable}) — "
+                                "aborting (ref trainer:444-451)")
+                    else:
+                        unstable = 0
+                    if self.monitor.update(metrics["loss"]):
+                        log.error("loss unstable — emergency checkpoint")
+                        self.ckpt.save(self.state, metrics=metrics,
+                                       tag="emergency")
+                    if int(self.state.step) >= self.total_steps:
+                        break
+                self._end_of_epoch(epoch)
+        except (KeyboardInterrupt, Exception):
+            log.exception("training interrupted — emergency checkpoint")
+            self.ckpt.save(self.state, tag="emergency")
+            self.ckpt.wait()
+            raise
+        self.ckpt.save(self.state, tag="final",
+                       is_best=not np.isfinite(self.best_val))
+        self.ckpt.wait()
+        save_loss_plot(self.history, Path(t.checkpoint_dir))
+        return {"steps": int(self.state.step), "epochs": epoch,
+                "best_val": self.best_val}
+
+    # ------------------------------------------------------------------
+
+    def _step(self, micro_batches, epoch: int) -> dict[str, float]:
+        t = self.cfg.training
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *micro_batches) \
+            if len(micro_batches) > 1 else microbatch(micro_batches[0], 1)
+        if self.shard_batch is not None:
+            stacked = self.shard_batch(stacked)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, metrics = self.train_step(self.state, stacked, sub)
+        m = {k: float(v) for k, v in metrics.items()}
+        step = int(self.state.step)
+        self.history["train"].append(m["loss"])
+
+        labels = np.asarray(micro_batches[0].label_lens)
+        thr = self.meter.step(int(labels.sum()) * len(micro_batches),
+                              labels.shape[0] * len(micro_batches))
+        if step % max(t.log_interval, 1) == 0 or step == 1:
+            log.info("step %d/%d | loss %.4f | acc %.3f | gnorm %.2f | "
+                     "%.1f tok/s | %.2f utt/s",
+                     step, self.total_steps, m["loss"], m["accuracy"],
+                     m["grad_norm"], thr["tokens_per_sec"], thr["utts_per_sec"])
+        self.csv.log(step=step, epoch=epoch, split="train", **m,
+                     lr_step_time_s=round(thr["step_time_s"], 4),
+                     tokens_per_sec=round(thr["tokens_per_sec"], 1),
+                     utts_per_sec=round(thr["utts_per_sec"], 3))
+
+        if t.save_every_steps > 0 and step % t.save_every_steps == 0:
+            self.ckpt.save(self.state, metrics=m)
+        if time.time() - self._last_time_ckpt > t.save_every_secs:
+            # ref 2-hour wall-clock cadence (trainer:256-257, 310-318)
+            self.ckpt.save(self.state, metrics=m, tag="timed")
+            self._last_time_ckpt = time.time()
+        return m
+
+    # ------------------------------------------------------------------
+
+    def _end_of_epoch(self, epoch: int) -> None:
+        if self.val_loader is None:
+            return
+        losses, accs = [], []
+        for hb, batch in self.val_loader:
+            out = self.eval_step(self.state.params, batch)
+            loss = float(out["loss"])
+            # ref clamps non-finite val losses (trainer:580-582)
+            losses.append(loss if np.isfinite(loss) else 1e6)
+            accs.append(float(out["accuracy"]))
+        if not losses:
+            return
+        val_loss = float(np.mean(losses))
+        self.history["val"].append(val_loss)
+        log.info("epoch %d | val loss %.4f | val acc %.3f", epoch, val_loss,
+                 float(np.mean(accs)))
+        self.csv.log(step=int(self.state.step), epoch=epoch, split="val",
+                     loss=val_loss, accuracy=float(np.mean(accs)))
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            self.ckpt.save(self.state, metrics={"val_loss": val_loss},
+                           is_best=True, tag="best")

@@ -101,6 +101,10 @@ def make_eval_step(cfg: AVSRConfig):
 
 def microbatch(batch: Batch, accum: int) -> Batch:
     """Reshape [B, ...] -> [accum, B // accum, ...] for accumulation."""
+    if batch.prompt_tokens is not None and batch.prompt_tokens.ndim == 1:
+        B = batch.labels.shape[0]
+        batch = batch._replace(prompt_tokens=jnp.broadcast_to(
+            batch.prompt_tokens[None], (B, batch.prompt_tokens.shape[0])))
     if accum <= 1:
         return jax.tree_util.tree_map(lambda x: x[None], batch)
 

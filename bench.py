@@ -1,0 +1,104 @@
+"""Benchmark: flagship AVSR train-step throughput on one TPU chip.
+
+Measures the hot loop of SURVEY.md §3.1 — the jitted bf16 train step
+(Whisper-medium encode + CLIP-B/32 encode + connectors + Llama-1B-class
+LoRA forward/backward + optimizer) on 10 s utterances with 25 video frames,
+batch 8 — and prints ONE JSON line:
+
+    {"metric": "train_utts_per_sec_per_chip", "value": N, "unit": "utt/s",
+     "vs_baseline": R}
+
+vs_baseline: the PyTorch reference publishes no numbers (BASELINE.md) and
+cannot run here (its HF weights need network); R is measured against a
+documented estimate of the reference stack on one A100: batch ~2, ~5
+utt/s for this model mix (fp16, single GPU, per-sample host preprocessing).
+See BASELINE.md; the estimate is fixed so rounds are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_PYTORCH_BASELINE_UTTS_PER_SEC = 5.0   # documented estimate, fixed
+BATCH = 8
+STEPS = 10
+AUDIO_MEL_FRAMES = 1000     # 10 s
+VIDEO_FRAMES = 25
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    from avsr_tpu.core.config import load_config
+    from avsr_tpu.models.avsr import Batch, init_avsr_model
+    from avsr_tpu.train.state import create_train_state
+    from avsr_tpu.train.step import make_train_step, microbatch
+
+    cfg = load_config("avsr_tpu/configs/base.yaml", {
+        "data.audio_buckets": (AUDIO_MEL_FRAMES,),
+        "data.video_buckets": (VIDEO_FRAMES,),
+        "data.batch_size": BATCH,
+        "mesh.remat": True,
+        "mesh.donate": True,
+    })
+    log(f"devices: {jax.devices()}")
+
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda k: init_avsr_model(k, cfg.model))(jax.random.key(0))
+    jax.block_until_ready(params)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    state, tx = create_train_state(params, cfg, total_steps=10_000)
+    step_fn = make_train_step(cfg, tx)
+
+    rng = np.random.default_rng(0)
+    B = BATCH
+    batch = Batch(
+        mel=jnp.asarray(rng.standard_normal((B, 80, AUDIO_MEL_FRAMES)),
+                        jnp.float32),
+        mel_lens=jnp.full((B,), AUDIO_MEL_FRAMES, jnp.int32),
+        frames=jnp.asarray(
+            rng.standard_normal((B, VIDEO_FRAMES, 3, 224, 224)), jnp.bfloat16),
+        frame_lens=jnp.full((B,), VIDEO_FRAMES, jnp.int32),
+        prompt_tokens=jnp.asarray(rng.integers(0, 1000, (B, 8)), jnp.int32),
+        labels=jnp.asarray(rng.integers(0, 1000, (B, 48)), jnp.int32),
+        label_lens=jnp.full((B,), 48, jnp.int32),
+    )
+    mb = microbatch(batch, 1)
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, mb, jax.random.key(1))
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"loss={float(metrics['loss']):.4f}")
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step_fn(state, mb, jax.random.key(2 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    utts_per_sec = BATCH * STEPS / dt
+    log(f"{STEPS} steps in {dt:.2f}s -> {utts_per_sec:.2f} utt/s "
+        f"({dt / STEPS * 1e3:.0f} ms/step)")
+
+    print(json.dumps({
+        "metric": "train_utts_per_sec_per_chip",
+        "value": round(utts_per_sec, 3),
+        "unit": "utt/s",
+        "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,124 @@
+"""Data layer: WAV I/O, manifest, tokenizer, bucketing, loader, featurize."""
+
+import numpy as np
+import pytest
+
+from avsr_tpu.core.config import DataConfig, ModelConfig
+from avsr_tpu.data.audio_io import load_audio, read_wav, write_wav
+from avsr_tpu.data.dataset import (
+    ManifestAVSRDataset,
+    SyntheticAVSRDataset,
+    resize_crop_frames,
+)
+from avsr_tpu.data.loader import DataLoader, collate, featurize, pick_bucket
+from avsr_tpu.data.manifest import (
+    ManifestEntry,
+    load_manifest,
+    utt_aliases,
+    write_manifest,
+)
+from avsr_tpu.data.tokenizer import ByteTokenizer
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (0.5 * np.sin(np.linspace(0, 100, 16000))).astype(np.float32)
+    write_wav(tmp_path / "a.wav", x, 16000)
+    y, sr = read_wav(tmp_path / "a.wav")
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_load_audio_resamples(tmp_path):
+    x = np.sin(np.linspace(0, 100, 8000)).astype(np.float32)
+    write_wav(tmp_path / "b.wav", x, 8000)
+    y = load_audio(tmp_path / "b.wav", target_sr=16000)
+    assert abs(y.shape[0] - 16000) <= 4
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    ids = tok.encode("hello world", add_bos=True, add_eos=True)
+    assert ids[0] == tok.bos_id and ids[-1] == tok.eos_id
+    assert tok.decode(ids) == "hello world"
+
+
+def test_manifest_roundtrip(tmp_path):
+    entries = [ManifestEntry("spk/utt1", "v/u1.mp4", "a/u1.wav", 75, 48000),
+               ManifestEntry("spk/utt2", "v/u2.mp4", "a/u2.wav", 50, 32000)]
+    write_manifest(tmp_path / "train.tsv", "/data/root", entries)
+    root, got = load_manifest(tmp_path / "train.tsv")
+    assert str(root) == "/data/root"
+    assert got == entries
+    assert utt_aliases("a/b/c") == ["a/b/c", "b/c", "c"]
+
+
+def test_resize_crop_frames():
+    frames = np.random.default_rng(0).integers(0, 255, (3, 60, 80, 3)).astype(np.uint8)
+    out = resize_crop_frames(frames, 32)
+    assert out.shape == (3, 32, 32, 3)
+
+
+def _data_cfg(**kw):
+    base = dict(synthetic=True, synthetic_size=10, batch_size=4,
+                max_audio_length=48000, max_video_length=8,
+                max_label_length=32,
+                audio_buckets=(100, 200, 300), video_buckets=(4, 8))
+    base.update(kw)
+    return DataConfig(**base)
+
+
+def test_bucketing():
+    assert pick_bucket(90, (100, 200)) == 100
+    assert pick_bucket(150, (100, 200)) == 200
+    assert pick_bucket(500, (100, 200)) == 200
+
+
+def test_synthetic_dataset_and_collate():
+    cfg = _data_cfg()
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg, tok, image_size=16)
+    s = ds[0]
+    assert s.audio is not None and s.frames is not None
+    assert s.tokens[-1] == tok.eos_id
+
+    hb = collate([ds[i] for i in range(4)], cfg, tok.encode("x", add_bos=True),
+                 tok.pad_id)
+    assert hb.audio.shape[1] % 160 == 0
+    assert hb.audio.shape[1] // 160 in cfg.audio_buckets
+    assert hb.frames.shape[1] in cfg.video_buckets
+    assert hb.labels.shape == (4, 32)
+    assert (hb.label_lens > 0).all()
+
+
+def test_loader_featurize_end_to_end():
+    cfg = _data_cfg(synthetic_size=6, batch_size=3)
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg, tok, image_size=16)
+    loader = DataLoader(ds, cfg, tok, model_cfg=ModelConfig(prompt="t:"),
+                        shuffle=True, prefetch=1)
+    n = 0
+    for hb, batch in loader:
+        n += 1
+        assert batch.mel.shape[0] == 3 and batch.mel.shape[1] == 80
+        assert batch.frames.shape[2] == 3     # CHW on device
+        assert np.isfinite(np.asarray(batch.mel)).all()
+        assert batch.prompt_tokens.shape[0] == 3
+    assert n == len(loader) == 2
+
+
+def test_manifest_dataset_retry_walk(tmp_path):
+    """A corrupt sample must fall through to the next valid index."""
+    tok = ByteTokenizer()
+    root = tmp_path
+    (root / "a").mkdir()
+    good = np.sin(np.linspace(0, 50, 16000)).astype(np.float32)
+    write_wav(root / "a" / "good.wav", good)
+    (root / "a" / "bad.wav").write_bytes(b"not a wav at all")
+    entries = [ManifestEntry("bad", "none.npy", "a/bad.wav", 0, 16000),
+               ManifestEntry("good", "none.npy", "a/good.wav", 0, 16000)]
+    write_manifest(root / "train.tsv", root, entries)
+    (root / "train.wrd").write_text("bad text\ngood text\n")
+    cfg = _data_cfg(synthetic=False, path=str(root))
+    ds = ManifestAVSRDataset(cfg, tok, split="train", modality="audio")
+    s = ds[0]    # retry-walk lands on index 1
+    assert s.utt_id == "good"

@@ -1,0 +1,113 @@
+"""Generation (greedy/sample/beam) + WER."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.core.config import DecodeConfig
+from avsr_tpu.infer.generate import beam_search, generate, generate_tokens
+from avsr_tpu.infer.wer import WERAccumulator, edit_distance, wer
+from avsr_tpu.models import llama as L
+from avsr_tpu.models.avsr import Batch, build_prefix, encode, init_avsr_model
+
+from test_models_avsr import tiny_batch, tiny_model_cfg
+
+EOS = 2
+
+
+def test_edit_distance():
+    assert edit_distance("a b c".split(), "a b c".split()) == 0
+    assert edit_distance("a b c".split(), "a x c".split()) == 1
+    assert edit_distance("a b c".split(), "b c".split()) == 1
+    assert edit_distance([], "a b".split()) == 2
+
+
+def test_wer_values():
+    assert wer("hello world", "hello world") == 0.0
+    assert wer("hello world", "hello there") == 0.5
+    acc = WERAccumulator()
+    acc.add("a b c d", "a b c d")
+    acc.add("a b", "x y")
+    assert acc.wer == pytest.approx(2 / 6)
+    assert acc.utterances == 2
+
+
+@pytest.fixture(scope="module")
+def model_and_batch():
+    rng = np.random.default_rng(0)
+    cfg = tiny_model_cfg(modality="audio")
+    params = init_avsr_model(jax.random.key(0), cfg)
+    batch = tiny_batch(rng, "audio")
+    return cfg, params, batch
+
+
+def test_greedy_matches_manual_decode(model_and_batch):
+    """while_loop greedy decode == step-by-step python loop (oracle)."""
+    cfg, params, batch = model_and_batch
+    N = 5
+    out = generate_tokens(params, cfg, batch, max_new_tokens=N,
+                          temperature=0.0, eos_id=EOS, use_pallas="never")
+    assert out.tokens.shape == (2, N)
+
+    # Manual oracle: prefill + python loop of decode steps.
+    enc = encode(params, cfg, batch, use_pallas="never")
+    prefix, plens = build_prefix(params, cfg, batch, enc)
+    M = prefix.shape[1] + N
+    logits_all, cache = L.llama_apply(
+        params["llm"], cfg.llm, inputs_embeds=prefix, lengths=plens,
+        lora=cfg.lora, return_cache=True, cache_len=M, use_pallas="never")
+    logits = jnp.take_along_axis(logits_all, (plens - 1)[:, None, None],
+                                 axis=1)[:, 0]
+    cur = plens.astype(jnp.int32)
+    toks = []
+    done = np.zeros(2, bool)
+    for _ in range(N):
+        nxt = np.asarray(jnp.argmax(logits, axis=-1))
+        nxt = np.where(done, EOS, nxt)
+        toks.append(nxt)
+        done |= nxt == EOS
+        logits, cache = L.llama_decode_step(
+            params["llm"], cfg.llm,
+            x=L.embed_tokens(params["llm"], jnp.asarray(nxt)[:, None]),
+            cache=cache, cur_lens=cur, lora=cfg.lora)
+        cur = cur + 1
+    oracle = np.stack(toks, axis=1)
+    np.testing.assert_array_equal(np.asarray(out.tokens), oracle)
+
+
+def test_sampling_runs_and_eos_lengths(model_and_batch):
+    cfg, params, batch = model_and_batch
+    out = generate_tokens(params, cfg, batch, max_new_tokens=4,
+                          temperature=0.8, top_p=0.9, eos_id=EOS,
+                          rng=jax.random.key(3), use_pallas="never")
+    assert out.tokens.shape == (2, 4)
+    assert (np.asarray(out.lengths) >= 1).all()
+    # everything after first EOS must be EOS
+    t = np.asarray(out.tokens)
+    for b in range(2):
+        hit = np.where(t[b] == EOS)[0]
+        if hit.size:
+            assert (t[b, hit[0]:] == EOS).all()
+
+
+def test_beam_search_shapes_and_score(model_and_batch):
+    cfg, params, batch = model_and_batch
+    out_beam = beam_search(params, cfg, batch, max_new_tokens=4, num_beams=3,
+                           eos_id=EOS, use_pallas="never")
+    assert out_beam.tokens.shape == (2, 4)
+
+    # Beam-1 must equal greedy.
+    out_b1 = beam_search(params, cfg, batch, max_new_tokens=4, num_beams=1,
+                         eos_id=EOS, use_pallas="never")
+    out_g = generate_tokens(params, cfg, batch, max_new_tokens=4,
+                            temperature=0.0, eos_id=EOS, use_pallas="never")
+    np.testing.assert_array_equal(np.asarray(out_b1.tokens),
+                                  np.asarray(out_g.tokens))
+
+
+def test_generate_dispatch(model_and_batch):
+    cfg, params, batch = model_and_batch
+    out = generate(params, cfg, batch, DecodeConfig(max_new_tokens=3),
+                   eos_id=EOS, use_pallas="never")
+    assert out.tokens.shape == (2, 3)

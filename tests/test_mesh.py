@@ -1,0 +1,92 @@
+"""Mesh/sharding: dp+fsdp+tp over the virtual 8-device CPU mesh.
+
+The TPU-native answer to "test multi-node without a cluster" (SURVEY.md §4):
+XLA_FLAGS=--xla_force_host_platform_device_count=8 in conftest gives 8 real
+XLA devices backed by host threads; pjit inserts the same collectives it
+would on ICI.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from avsr_tpu.core.config import MeshConfig
+from avsr_tpu.mesh.sharding import (
+    batch_sharder,
+    build_mesh,
+    param_spec,
+    shard_params,
+    shard_state,
+)
+from avsr_tpu.models.avsr import init_avsr_model
+from avsr_tpu.train.state import create_train_state
+from avsr_tpu.train.step import make_train_step, microbatch
+
+from test_models_avsr import tiny_batch, tiny_model_cfg
+from test_train import tiny_avsr_cfg
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_build_mesh_infers_dp():
+    mesh = build_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
+    assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 2}
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(dp=3, fsdp=2, tp=2))
+
+
+def test_param_rules():
+    import jax.numpy as jnp
+
+    w = jnp.zeros((64, 64))
+    class _K:  # fake DictKey
+        def __init__(self, k): self.key = k
+    assert param_spec([_K("llm"), _K("layers"), _K("0"), _K("q"), _K("w")], w) \
+        == P("fsdp", "tp")
+    assert param_spec([_K("llm"), _K("layers"), _K("0"), _K("down"), _K("w")], w) \
+        == P("tp", "fsdp")
+    assert param_spec([_K("llm"), _K("layers"), _K("0"), _K("q"),
+                       _K("lora"), _K("a")], w) == P(None, None)
+    assert param_spec([_K("llm"), _K("ln_f"), _K("scale")], w[0]) == P()
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """The mesh-sharded step must be numerically equivalent to single-device."""
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(cfg, mesh=dataclasses.replace(
+        cfg.mesh, dp=2, fsdp=2, tp=2))
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    batch = tiny_batch(rng, "audio", B=4)   # micro dim divisible by dp*fsdp
+
+    # single device
+    s1, tx1 = create_train_state(params, cfg, total_steps=10)
+    step1 = make_train_step(cfg, tx1)
+    s1, m1 = step1(s1, microbatch(batch, 1), jax.random.key(0))
+
+    # sharded
+    mesh = build_mesh(dataclasses.replace(cfg.mesh, dp=2, fsdp=2, tp=2))
+    s2, tx2 = create_train_state(params, cfg, total_steps=10)
+    s2 = shard_state(s2, mesh)
+    shard_b = batch_sharder(mesh)
+    step2 = make_train_step(cfg, tx2)
+    s2, m2 = step2(s2, shard_b(microbatch(batch, 1)), jax.random.key(0))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    a = np.asarray(s1.params["llm"]["layers"][0]["q"]["lora"]["b"])
+    b = np.asarray(s2.params["llm"]["layers"][0]["q"]["lora"]["b"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_shard_params_places_leaves():
+    cfg = tiny_model_cfg(modality="audio")
+    params = init_avsr_model(jax.random.key(0), cfg)
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    sharded = shard_params(params, mesh)
+    q = sharded["llm"]["layers"][0]["q"]["w"]
+    assert q.sharding.spec == P("fsdp", "tp")
+    scale = sharded["llm"]["ln_f"]["scale"]
+    assert scale.sharding.spec == P()

@@ -33,9 +33,9 @@ def tiny_model_cfg(**kw) -> ModelConfig:
 
 def tiny_batch(rng, modality="both", B=2) -> Batch:
     mel = jnp.asarray(rng.standard_normal((B, 80, 40)), jnp.float32)
-    mel_lens = jnp.array([40, 24][:B])
+    mel_lens = jnp.asarray(([40, 24] * B)[:B])
     frames = jnp.asarray(rng.standard_normal((B, 4, 3, 16, 16)), jnp.float32)
-    frame_lens = jnp.array([4, 2][:B])
+    frame_lens = jnp.asarray(([4, 2] * B)[:B])
     return Batch(
         mel=mel if modality != "video" else None,
         mel_lens=mel_lens if modality != "video" else None,
@@ -43,7 +43,7 @@ def tiny_batch(rng, modality="both", B=2) -> Batch:
         frame_lens=frame_lens if modality != "audio" else None,
         prompt_tokens=jnp.array([1, 7, 9]),
         labels=jnp.asarray(rng.integers(0, 64, (B, 6))),
-        label_lens=jnp.array([6, 3][:B]),
+        label_lens=jnp.asarray(([6, 3] * B)[:B]),
     )
 
 

@@ -74,6 +74,11 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
             params = state.params
         else:
             params = load_params(ck, params)
+    if cfg.model.use_4bit or cfg.model.use_8bit:
+        from avsr_tpu.ops.quant import quantize_llm
+        bits = 4 if cfg.model.use_4bit else 8
+        params = dict(params)
+        params["llm"] = quantize_llm(params["llm"], bits)
     return params
 
 

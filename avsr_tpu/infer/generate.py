@@ -89,13 +89,15 @@ def generate_tokens(
     B, Tpre = prefix.shape[:2]
     M = Tpre + max_new_tokens
 
-    logits_all, cache = L.llama_apply(
+    hidden, cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M)
-    last = jnp.take_along_axis(
-        logits_all, (prefix_lens - 1)[:, None, None], axis=1)[:, 0]   # [B,V]
+        return_cache=True, cache_len=M, output="hidden")
+    # project only the last valid position to vocab (avoids [B,Tpre,V])
+    h_last = jnp.take_along_axis(
+        hidden, (prefix_lens - 1)[:, None, None], axis=1)
+    last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]         # [B,V]
 
     def cond(carry):
         step, _, _, _, _, done, _ = carry
@@ -163,13 +165,14 @@ def beam_search(
     B, Tpre = prefix.shape[:2]
     M = Tpre + max_new_tokens
 
-    logits_all, cache = L.llama_apply(
+    hidden, cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M)
-    last = jnp.take_along_axis(
-        logits_all, (prefix_lens - 1)[:, None, None], axis=1)[:, 0]
+        return_cache=True, cache_len=M, output="hidden")
+    h_last = jnp.take_along_axis(
+        hidden, (prefix_lens - 1)[:, None, None], axis=1)
+    last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
 
     # Expand to beams along the batch axis: [B*W, ...]
     def tile(x):

@@ -61,8 +61,10 @@ def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
 _PARAM_RULES: list[tuple[str, P]] = [
     (r"\blora/a/?$",                        P(None, None)),
     (r"\blora/b/?$",                        P(None, None)),
-    (r"\b(q|k|v|gate|up|fc1)/w$",           P("fsdp", "tp")),
-    (r"\b(o|down|fc2)/w$",                  P("tp", "fsdp")),
+    (r"\b(q|k|v|gate|up|fc1)/(w|qw|qw4)$",  P("fsdp", "tp")),
+    (r"\b(o|down|fc2)/(w|qw|qw4)$",         P("tp", "fsdp")),
+    (r"\b(q|k|v|gate|up|fc1)/scale$",       P("tp")),
+    (r"\b(o|down|fc2)/scale$",              P("fsdp")),
     (r"\bembed$",                           P("tp", "fsdp")),   # vocab-sharded
     (r"\blm_head/w$",                       P("fsdp", "tp")),
     (r"\bconv[12]/w$",                      P(None, None, None)),

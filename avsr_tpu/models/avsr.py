@@ -258,27 +258,31 @@ def forward(
     Ttot = packed.shape[1]
     label_start = seg_start[:, 2]                       # [B]
 
-    logits, _ = llama_mod.llama_apply(
+    hidden, _ = llama_mod.llama_apply(
         params["llm"], cfg.llm, inputs_embeds=packed, lengths=total,
         lora=cfg.lora if cfg.lora.use_lora else None,
         compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
-        dropout_rng=dropout_rng)
+        dropout_rng=dropout_rng, output="hidden")
 
-    # Position j predicts packed token j+1; loss on label positions.
-    j = jnp.arange(Ttot)[None, :]
-    is_label_tgt = (j >= label_start[:, None]) & (j < total[:, None])  # [B,Ttot]
-    lab_idx = jnp.clip(j - label_start[:, None], 0, batch.labels.shape[1] - 1)
-    targets = jnp.take_along_axis(batch.labels, lab_idx, axis=1)       # [B,Ttot]
+    # CE only where it matters: label token i (packed position
+    # label_start+i) is predicted from hidden at label_start+i-1. Gather
+    # those Tl hidden rows FIRST, then project to vocab — [B, Tl, V]
+    # instead of [B, Ttot, V] (the full-logits tensor would be GBs at a
+    # 128k vocab; see llama_apply output="hidden").
+    Tl = batch.labels.shape[1]
+    i = jnp.arange(Tl)[None, :]                                        # [1,Tl]
+    pred_pos = jnp.clip(label_start[:, None] + i - 1, 0, Ttot - 1)     # [B,Tl]
+    h_pred = jnp.take_along_axis(hidden, pred_pos[..., None], axis=1)  # [B,Tl,d]
+    logits = llama_mod.compute_logits(params["llm"], cfg.llm, h_pred)  # [B,Tl,V]
 
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # shift: prediction for position j comes from logits at j-1
-    pred_lp = jnp.take_along_axis(
-        logp[:, :-1], targets[:, 1:, None], axis=-1)[..., 0]           # [B,Ttot-1]
-    mask = is_label_tgt[:, 1:].astype(jnp.float32)
+    mask = (i < lab_lens[:, None]).astype(jnp.float32)                 # [B,Tl]
+    targets = batch.labels
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    pred_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     n_tokens = jnp.maximum(jnp.sum(mask), 1.0)
     loss = -jnp.sum(pred_lp * mask) / n_tokens
 
-    correct = (jnp.argmax(logits[:, :-1], axis=-1) == targets[:, 1:])
+    correct = (jnp.argmax(logits, axis=-1) == targets)
     acc = jnp.sum(correct * mask) / n_tokens
     return loss, {"loss": loss, "accuracy": acc, "label_tokens": n_tokens,
                   "feat_len_mean": jnp.mean(enc.lengths.astype(jnp.float32))}

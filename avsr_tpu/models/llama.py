@@ -63,9 +63,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def proj(p: Params, x: jax.Array, *, dtype: jnp.dtype | None = None,
          lora_scale: float = 0.0, dropout_rng: jax.Array | None = None,
          lora_dropout: float = 0.0) -> jax.Array:
-    """x @ W (no bias, llama-style) + optional LoRA low-rank update."""
+    """x @ W (no bias, llama-style) + optional LoRA low-rank update.
+
+    ``p`` may hold a full-precision kernel ("w") or a weight-only-quantized
+    one ("qw"/"qw4" + "scale", ops.quant) — the int8/int4 base dequantizes
+    on the fly while LoRA stays full precision (QLoRA-style)."""
     dt = dtype or x.dtype
-    y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
+    if "w" in p:
+        y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
+    else:
+        from avsr_tpu.ops.quant import qdot
+        y = qdot(x.astype(dt), p)
     if lora_scale and "lora" in p:
         xl = x
         if dropout_rng is not None and lora_dropout > 0.0:
@@ -238,8 +246,15 @@ def llama_apply(
     dropout_rng: jax.Array | None = None,
     return_cache: bool = False,
     cache_len: int | None = None,
+    output: str = "logits",          # "logits" | "hidden"
 ) -> tuple[jax.Array, KVCache | None]:
-    """Full causal forward over embeddings. Returns (logits [B,T,V], cache?)."""
+    """Full causal forward over embeddings. Returns (logits [B,T,V], cache?).
+
+    ``output="hidden"`` returns the final normed hidden states [B,T,d]
+    instead — callers that only need a few positions (CE loss on labels,
+    prefill last-token) gather first and project with ``compute_logits``,
+    avoiding a [B,T,vocab] f32 materialization (2.4 GB at B=8, T=581,
+    V=128k — the difference between fitting in HBM or not)."""
     B, T, d = inputs_embeds.shape
     x = inputs_embeds.astype(compute_dtype)
     if positions is None:
@@ -264,7 +279,7 @@ def llama_apply(
             kvs.append(kv)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
-    logits = compute_logits(params, cfg, x)
+    out = x if output == "hidden" else compute_logits(params, cfg, x)
 
     cache = None
     if return_cache:
@@ -276,7 +291,7 @@ def llama_apply(
             k = jnp.pad(k, ((0, 0),) * 3 + ((0, pad), (0, 0)))
             v = jnp.pad(v, ((0, 0),) * 3 + ((0, pad), (0, 0)))
         cache = KVCache(k.astype(compute_dtype), v.astype(compute_dtype))
-    return logits, cache
+    return out, cache
 
 
 def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:

@@ -57,7 +57,10 @@ def main() -> int:
     jax.block_until_ready(params)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
+    t0 = time.perf_counter()
     state, tx = create_train_state(params, cfg, total_steps=10_000)
+    jax.block_until_ready(state.opt_state)
+    log(f"opt init: {time.perf_counter() - t0:.1f}s")
     step_fn = make_train_step(cfg, tx)
 
     rng = np.random.default_rng(0)

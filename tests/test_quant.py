@@ -1,0 +1,86 @@
+"""Weight-only int8/int4 quantization (the TPU-native use_4bit/use_8bit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.core.config import LLMConfig
+from avsr_tpu.models import llama as L
+from avsr_tpu.ops.quant import (
+    dequantize,
+    is_quantized,
+    qdot,
+    quant_bytes,
+    quantize_llm,
+    quantize_tensor,
+)
+
+CFG = LLMConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=4,
+                n_kv_heads=2, ffn_dim=64, tie_embeddings=True)
+
+
+def test_int8_roundtrip_error(rng):
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    qp = quantize_tensor(w, 8)
+    assert qp["qw"].dtype == jnp.int8
+    err = np.abs(np.asarray(dequantize(qp) - w))
+    # per-channel int8: max error <= scale/2
+    assert (err <= np.asarray(qp["scale"])[None, :] * 0.5 + 1e-6).all()
+
+
+def test_int4_pack_unpack_exact(rng):
+    w = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    q8 = quantize_tensor(w, 8)
+    q4 = quantize_tensor(w, 4)
+    assert q4["qw4"].shape == (32, 16)
+    # unpacked nibbles must be the clipped/rounded int4 grid values
+    deq = np.asarray(dequantize(q4))
+    scale = np.asarray(q4["scale"])
+    grid = deq / scale[None, :]
+    assert np.abs(grid - np.round(grid)).max() < 1e-4
+    assert np.abs(grid).max() <= 7 + 1e-4   # fp division round-off
+
+
+def test_qdot_matches_dequant_matmul(rng):
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    for bits in (8, 4):
+        qp = quantize_tensor(w, bits)
+        np.testing.assert_allclose(
+            np.asarray(qdot(x, qp)),
+            np.asarray(x @ dequantize(qp)), rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_llama_close_to_fp(rng):
+    params = L.init_llama(jax.random.key(0), CFG)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 6)))
+    embeds = L.embed_tokens(params, tokens)
+    base, _ = L.llama_apply(params, CFG, inputs_embeds=embeds,
+                            use_pallas="never")
+    q8 = quantize_llm(params, 8)
+    assert is_quantized(q8["layers"][0]["q"])
+    out8, _ = L.llama_apply(q8, CFG, inputs_embeds=embeds, use_pallas="never")
+    # int8 weight-only should track fp closely at this scale
+    base_n = np.asarray(base)
+    rel = np.abs(np.asarray(out8) - base_n).max() / (np.abs(base_n).max() + 1e-9)
+    assert rel < 0.05, rel
+
+    q4 = quantize_llm(params, 4)
+    out4, _ = L.llama_apply(q4, CFG, inputs_embeds=embeds, use_pallas="never")
+    rel4 = np.abs(np.asarray(out4) - base_n).max() / (np.abs(base_n).max() + 1e-9)
+    assert rel4 < 0.35, rel4
+    # int4 memory must be < int8 must be < fp32 for the layer stack
+    def layer_bytes(t):
+        return quant_bytes({"layers": t["layers"]})
+    assert layer_bytes(q4) < layer_bytes(q8) < layer_bytes(params)
+
+
+def test_quantized_decode_step_runs(rng):
+    params = quantize_llm(L.init_llama(jax.random.key(0), CFG), 8)
+    cache = L.init_cache(CFG, batch=2, max_len=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 1, CFG.d_model)), jnp.float32)
+    logits, cache = L.llama_decode_step(params, CFG, x=x, cache=cache,
+                                        cur_lens=jnp.array([0, 0]))
+    assert logits.shape == (2, CFG.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()

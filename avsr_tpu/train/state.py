@@ -139,6 +139,21 @@ def create_train_state(params: Params, cfg: AVSRConfig,
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
 
 
+def cast_frozen(params: Params, cfg: ModelConfig,
+                dtype=jnp.bfloat16) -> Params:
+    """Store frozen leaves in ``dtype`` (bf16): they are only ever read, so
+    no f32 master is needed — halves their HBM footprint and the weight
+    bandwidth of every step. Trainable leaves stay f32."""
+    mask = trainable_mask(params, cfg)
+
+    def cast(p, trainable):
+        if trainable or not jnp.issubdtype(p.dtype, jnp.floating):
+            return p
+        return p.astype(dtype)
+
+    return jax.tree_util.tree_map(cast, params, mask)
+
+
 def count_trainable(params: Params, cfg: ModelConfig) -> tuple[int, int]:
     mask = trainable_mask(params, cfg)
     leaves = jax.tree_util.tree_leaves(params)

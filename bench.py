@@ -51,9 +51,12 @@ def main() -> int:
     })
     log(f"devices: {jax.devices()}")
 
+    from avsr_tpu.train.state import cast_frozen
+
     t0 = time.perf_counter()
     params = jax.jit(
-        lambda k: init_avsr_model(k, cfg.model))(jax.random.key(0))
+        lambda k: cast_frozen(init_avsr_model(k, cfg.model), cfg.model))(
+            jax.random.key(0))
     jax.block_until_ready(params)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 

@@ -101,31 +101,32 @@ class Trainer:
         t = self.cfg.training
         accum = max(t.grad_accum_steps, 1)
         epoch = 0
-        unstable = 0
+        self._unstable = 0
         try:
             while int(self.state.step) < self.total_steps:
                 epoch += 1
-                micro_batches = []
+                # Micro-batches from different length buckets have different
+                # static shapes; accumulate per shape group so every stacked
+                # [accum, micro, ...] batch is homogeneous.
+                groups: dict[tuple, list] = {}
                 for hb, batch in self.train_loader:
-                    micro_batches.append(batch)
-                    if len(micro_batches) < accum:
+                    key = tuple(
+                        x.shape for x in jax.tree_util.tree_leaves(batch))
+                    group = groups.setdefault(key, [])
+                    group.append(batch)
+                    if len(group) < accum:
                         continue
-                    metrics = self._step(micro_batches, epoch)
-                    micro_batches = []
-                    if metrics["skipped"]:
-                        unstable += 1
-                        if unstable > t.max_unstable_batches:
-                            raise RuntimeError(
-                                f"too many unstable steps ({unstable}) — "
-                                "aborting (ref trainer:444-451)")
-                    else:
-                        unstable = 0
-                    if self.monitor.update(metrics["loss"]):
-                        log.error("loss unstable — emergency checkpoint")
-                        self.ckpt.save(self.state, metrics=metrics,
-                                       tag="emergency")
+                    del groups[key]
+                    self._guarded_step(group, epoch)
                     if int(self.state.step) >= self.total_steps:
                         break
+                if int(self.state.step) < self.total_steps:
+                    # Flush partial groups — no data silently dropped; each
+                    # is zero-weight-padded to `accum` in _step (no recompile).
+                    for group in groups.values():
+                        if int(self.state.step) >= self.total_steps:
+                            break
+                        self._guarded_step(group, epoch)
                 self._end_of_epoch(epoch)
         except (KeyboardInterrupt, Exception):
             log.exception("training interrupted — emergency checkpoint")
@@ -141,22 +142,56 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _guarded_step(self, micro_batches, epoch: int) -> dict[str, float]:
+        t = self.cfg.training
+        metrics = self._step(micro_batches, epoch)
+        if metrics["skipped"]:
+            self._unstable += 1
+            if self._unstable > t.max_unstable_batches:
+                raise RuntimeError(
+                    f"too many unstable steps ({self._unstable}) — "
+                    "aborting (ref trainer:444-451)")
+        else:
+            self._unstable = 0
+        if self.monitor.update(metrics["loss"]):
+            log.error("loss unstable — emergency checkpoint")
+            self.ckpt.save(self.state, metrics=metrics, tag="emergency")
+        return metrics
+
+    # ------------------------------------------------------------------
+
     def _step(self, micro_batches, epoch: int) -> dict[str, float]:
         t = self.cfg.training
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *micro_batches) \
-            if len(micro_batches) > 1 else microbatch(micro_batches[0], 1)
+        accum = max(t.grad_accum_steps, 1)
+        n_real = len(micro_batches)
+        weights = None
+        if 1 < accum:
+            if n_real < accum:
+                # zero-weight-pad a partial group to the compiled accum shape
+                micro_batches = micro_batches + \
+                    [micro_batches[-1]] * (accum - n_real)
+                weights = np.zeros((accum,), np.float32)
+                weights[:n_real] = 1.0 / n_real
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *micro_batches)
+        else:
+            stacked = microbatch(micro_batches[0], 1)
         if self.shard_batch is not None:
             stacked = self.shard_batch(stacked)
         self._rng, sub = jax.random.split(self._rng)
-        self.state, metrics = self.train_step(self.state, stacked, sub)
+        if weights is None:
+            self.state, metrics = self.train_step(self.state, stacked, sub)
+        else:
+            self.state, metrics = self.train_step(
+                self.state, stacked, sub, weights)
         m = {k: float(v) for k, v in metrics.items()}
         step = int(self.state.step)
         self.history["train"].append(m["loss"])
 
         labels = np.asarray(micro_batches[0].label_lens)
-        thr = self.meter.step(int(labels.sum()) * len(micro_batches),
-                              labels.shape[0] * len(micro_batches))
+        thr = self.meter.step(int(labels.sum()) * n_real,
+                              labels.shape[0] * n_real)
         if step % max(t.log_interval, 1) == 0 or step == 1:
             log.info("step %d/%d | loss %.4f | acc %.3f | gnorm %.2f | "
                      "%.1f tok/s | %.2f utt/s",

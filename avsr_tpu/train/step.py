@@ -37,29 +37,37 @@ def make_train_step(
     cfg: AVSRConfig,
     tx: optax.GradientTransformation,
 ) -> Callable[[TrainState, Batch, jax.Array], tuple[TrainState, dict[str, Any]]]:
-    """Build the jitted train step. Batch leaves: [accum, micro, ...]."""
+    """Build the jitted train step. Batch leaves: [accum, micro, ...].
+
+    ``weights`` ([accum] f32, summing to 1) sets each micro-batch's share of
+    the averaged gradient; None means uniform. The Trainer uses zero weights
+    to pad partial accumulation groups (end-of-epoch flush) up to the
+    compiled ``accum`` without a recompile.
+    """
 
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array,
+                   weights: jax.Array | None = None):
         accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if weights is None:
+            weights = jnp.full((accum,), 1.0 / accum, jnp.float32)
 
         def micro(carry, inp):
             grads_sum, loss_sum, acc_sum = carry
-            mb, mrng = inp
+            mb, mrng, w = inp
             (loss, metrics), grads = grad_fn(state.params, cfg, mb, mrng)
-            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
-            return (grads_sum, loss_sum + loss, acc_sum + metrics["accuracy"]), None
+            grads_sum = jax.tree_util.tree_map(
+                lambda a, g: a + w * g, grads_sum, grads)
+            return (grads_sum, loss_sum + w * loss,
+                    acc_sum + w * metrics["accuracy"]), None
 
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
         rngs = jax.random.split(rng, accum)
-        (grads, loss_sum, acc_sum), _ = jax.lax.scan(
-            micro, (zero_grads, jnp.zeros(()), jnp.zeros(())), (batch, rngs))
-        inv = 1.0 / accum
-        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-        loss = loss_sum * inv
-        acc = acc_sum * inv
+        (grads, loss, acc), _ = jax.lax.scan(
+            micro, (zero_grads, jnp.zeros(()), jnp.zeros(())),
+            (batch, rngs, weights))
 
         grad_norm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)

@@ -31,8 +31,8 @@ def load_cli_config(args: argparse.Namespace) -> AVSRConfig:
     setup_logging(args.log_file,
                   level=logging.DEBUG if args.verbose else logging.INFO)
     cfg = load_config(args.config, args.overrides)
-    if cfg.runtime.debug_nans:
-        jax.config.update("jax_debug_nans", True)
+    from avsr_tpu.core.runtime import setup_runtime
+    setup_runtime(cfg.runtime)
     return cfg
 
 

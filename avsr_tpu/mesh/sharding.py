@@ -4,15 +4,18 @@ The reference is strictly single-device (SURVEY.md §2.4: no DDP/FSDP/TP
 anywhere; train.py:149 picks one GPU). Here parallelism is first-class and
 declarative:
 
-  * mesh axes ``(dp, fsdp, tp)`` over ICI (MeshConfig; dp inferred from the
-    device count by default);
+  * mesh axes ``(dp, fsdp, sp, tp)`` over ICI (MeshConfig; dp inferred from
+    the device count by default);
   * **dp** — batch data parallel: the microbatch axis is sharded, gradients
     are averaged by pjit-inserted all-reduces;
   * **fsdp** — ZeRO-style parameter/optimizer sharding: every large kernel's
     non-tp dimension is sharded, all-gathered on use;
   * **tp** — megatron-style tensor parallel inside every transformer block:
     q/k/v/gate/up column-parallel, o/down row-parallel, so each block costs
-    exactly one all-reduce pair inserted by XLA over ICI.
+    exactly one all-reduce pair inserted by XLA over ICI;
+  * **sp** — sequence/context parallel: the attention sequence axis is
+    sharded and computed with ring attention (ops.ring_attention, ppermute
+    over ICI) — long sequences scale across chips instead of truncating.
 
 Everything is expressed as PartitionSpec rules over parameter *paths*; pjit
 propagates them through the train step — no hand-written collectives in the
@@ -41,14 +44,16 @@ log = logging.getLogger("avsr.mesh")
 def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    fsdp, tp = max(cfg.fsdp, 1), max(cfg.tp, 1)
-    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * tp)
-    if dp * fsdp * tp != n:
+    fsdp, tp, sp = max(cfg.fsdp, 1), max(cfg.tp, 1), max(cfg.sp, 1)
+    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * sp * tp)
+    if dp * fsdp * sp * tp != n:
         raise ValueError(
-            f"mesh {dp}x{fsdp}x{tp} != {n} devices (set mesh.dp/-1 to infer)")
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    mesh = Mesh(arr, axis_names=("dp", "fsdp", "tp"))
-    log.info("mesh: dp=%d fsdp=%d tp=%d over %d devices", dp, fsdp, tp, n)
+            f"mesh {dp}x{fsdp}x{sp}x{tp} != {n} devices "
+            "(set mesh.dp=-1 to infer)")
+    arr = np.asarray(devices).reshape(dp, fsdp, sp, tp)
+    mesh = Mesh(arr, axis_names=("dp", "fsdp", "sp", "tp"))
+    log.info("mesh: dp=%d fsdp=%d sp=%d tp=%d over %d devices",
+             dp, fsdp, sp, tp, n)
     return mesh
 
 
@@ -154,6 +159,9 @@ def shard_train_step(cfg: AVSRConfig, tx, mesh: Mesh):
     """
     from avsr_tpu.train.step import make_eval_step, make_train_step
 
-    # NamedShardings carried by the device_put state/batch are sufficient —
-    # jit propagates them and inserts the collectives; no mesh context needed.
-    return make_train_step(cfg, tx), make_eval_step(cfg)
+    # NamedShardings carried by the device_put state/batch drive dp/fsdp/tp
+    # (jit propagates them and inserts the collectives); the mesh handle is
+    # threaded into the steps so the sp axis can run ring attention
+    # (ops.ring_attention) inside the forward.
+    sp_mesh = mesh if dict(mesh.shape).get("sp", 1) > 1 else None
+    return make_train_step(cfg, tx, sp_mesh), make_eval_step(cfg, sp_mesh)

@@ -148,8 +148,14 @@ def encode(
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: str = "auto",
     remat: bool = False,
+    mesh=None,
 ) -> EncodeOut:
-    """Run the modality encoders + connectors. Mirrors ref encode() :407-462."""
+    """Run the modality encoders + connectors. Mirrors ref encode() :407-462.
+
+    ``mesh`` with an sp axis > 1 activates sequence-parallel ring attention
+    inside the encoders and the LLM (ops.ring_attention) — long sequences
+    become a sharding decision instead of the reference's truncation
+    (clip_whisper_model.py:320-374)."""
     conn = get_connector(cfg.connector_type)
     audio_feat = audio_lens = video_feat = video_lens = None
 
@@ -157,7 +163,7 @@ def encode(
         feats, alens = whisper_encoder_apply(
             params["whisper"], batch.mel, cfg.whisper,
             mel_lengths=batch.mel_lens, compute_dtype=compute_dtype,
-            use_pallas=use_pallas, remat=remat)
+            use_pallas=use_pallas, remat=remat, mesh=mesh)
         if cfg.freeze_encoders:
             feats = jax.lax.stop_gradient(feats)
         audio_feat, audio_lens = feats, alens
@@ -235,10 +241,11 @@ def forward(
     use_pallas: str = "auto",
     remat: bool = False,
     dropout_rng: jax.Array | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Training/eval forward: returns (mean CE loss, metrics dict)."""
     enc = encode(params, cfg, batch, compute_dtype=compute_dtype,
-                 use_pallas=use_pallas, remat=remat)
+                 use_pallas=use_pallas, remat=remat, mesh=mesh)
 
     B = enc.features.shape[0]
     prompt = batch.prompt_tokens
@@ -262,7 +269,7 @@ def forward(
         params["llm"], cfg.llm, inputs_embeds=packed, lengths=total,
         lora=cfg.lora if cfg.lora.use_lora else None,
         compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
-        dropout_rng=dropout_rng, output="hidden")
+        dropout_rng=dropout_rng, output="hidden", mesh=mesh)
 
     # CE only where it matters: label token i (packed position
     # label_start+i) is predicted from hidden at label_start+i-1. Gather

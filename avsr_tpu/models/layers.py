@@ -140,6 +140,7 @@ def mha_apply(
     kv_valid: jax.Array | None = None,
     causal: bool = False,
     use_pallas: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """Self- (kv=None) or cross-attention over [B, T, D] activations."""
     from avsr_tpu.ops.attention import attention
@@ -150,7 +151,7 @@ def mha_apply(
     v = split_heads(dense(p["v"], src), n_heads)
     out = attention(q, k, v, causal=causal, q_lens=lengths,
                     kv_lens=kv_lengths if kv is not None else lengths,
-                    kv_valid=kv_valid, use_pallas=use_pallas)
+                    kv_valid=kv_valid, use_pallas=use_pallas, mesh=mesh)
     return dense(p["o"], merge_heads(out))
 
 
@@ -179,10 +180,11 @@ def encoder_block_apply(
     lengths: jax.Array | None = None,
     act=gelu,
     use_pallas: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     h = layer_norm(p["ln1"], x)
     x = x + mha_apply(p["attn"], h, n_heads=n_heads, lengths=lengths,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, mesh=mesh)
     h = layer_norm(p["ln2"], x)
     x = x + dense(p["fc2"], act(dense(p["fc1"], h)))
     return x

@@ -92,6 +92,7 @@ def whisper_encoder_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: str = "auto",
     remat: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array]:
     """mel [B, n_mels, T] -> (features [B, ceil(T/2), d], feat_lengths [B])."""
     B, _, T = mel.shape
@@ -109,7 +110,7 @@ def whisper_encoder_apply(
 
     block = functools.partial(encoder_block_apply, n_heads=cfg.n_heads,
                               lengths=feat_lengths, act=gelu,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, mesh=mesh)
     if remat:
         block = jax.checkpoint(block, static_argnums=())
     for bp in params["blocks"]:

@@ -475,24 +475,45 @@ def attention(
     kv_valid: jax.Array | None = None,
     sm_scale: float | None = None,
     use_pallas: str = "auto",
+    mesh=None,
 ) -> jax.Array:
-    """Pick the Pallas kernel on TPU, XLA reference elsewhere."""
+    """Dispatch: ring attention when the mesh has an sp axis > 1 (sequence
+    sharded over ICI, SURVEY.md §5.7), else the Pallas kernel on TPU, else
+    the XLA reference."""
+    if mesh is not None and dict(mesh.shape).get("sp", 1) > 1:
+        Tq, Tk = q.shape[2], k.shape[2]
+        sp = dict(mesh.shape)["sp"]
+        if kv_valid is None and Tq == Tk and Tq % sp == 0:
+            from avsr_tpu.ops.ring_attention import ring_attention
+            return ring_attention(q, k, v, mesh=mesh, causal=causal,
+                                  kv_lens=kv_lens, sm_scale=sm_scale)
     if use_pallas == "never":
         on_tpu = False
     elif use_pallas == "always":
         on_tpu = True
     else:
         on_tpu = jax.default_backend() not in ("cpu", "METAL")
-    # Dispatch (measured on v5e, head_dim 64): under jit the XLA attention
-    # is at parity with the Pallas kernel up to ~1k tokens; beyond that the
-    # kernel wins and scales O(T) in memory (grad: 15.8 vs 19.3 ms at
-    # T=1536, 49 vs 67 ms at T=3072, [8,16,T,64] causal). The kernel wants
-    # head_dim lane-tileable and right-padding-only masks; mha_reference
-    # handles everything else.
+    # Dispatch (measured in-graph on v5e, head_dim 64, 16 stacked layers at
+    # [8,32,556,64]/GQA-8 causal): with blocks sized to the whole (padded)
+    # sequence the kernel beats the XLA f32-scores path ~2x on fwd+bwd
+    # (3.6 vs 7.3 ms/layer) — per-program overhead dominates at block 128,
+    # so fewer/bigger programs win. Below ~256 tokens the padded-block waste
+    # exceeds the materialization savings and XLA stays faster (CLIP at
+    # T=50). The kernel wants head_dim lane-tileable and right-padding-only
+    # masks; mha_reference handles everything else.
     D = q.shape[-1]
     if (on_tpu and kv_valid is None and D % 64 == 0
-            and (q.shape[2] >= 1024 or k.shape[2] >= 1024)):
+            and q.shape[2] >= 256 and k.shape[2] >= 256):
         return flash_attention(q, k, v, causal=causal, q_lens=q_lens,
-                               kv_lens=kv_lens, sm_scale=sm_scale)
+                               kv_lens=kv_lens, sm_scale=sm_scale,
+                               block_q=_auto_block(q.shape[2]),
+                               block_k=_auto_block(k.shape[2]))
     return mha_reference(q, k, v, causal=causal, q_lens=q_lens,
                          kv_lens=kv_lens, kv_valid=kv_valid, sm_scale=sm_scale)
+
+
+def _auto_block(T: int) -> int:
+    """Whole padded sequence as one block when it fits VMEM comfortably
+    (f32 scores block <= 4 MB), else stream in 512-token blocks."""
+    pad = -(-T // 128) * 128
+    return pad if pad <= 1024 else 512

@@ -6,10 +6,14 @@ betas=(0.9, 0.95), weight decay applied only to matmul kernels (the ref
 excludes bias/norm/embedding params :183-197), cosine/linear/constant
 schedule with linear warmup — expressed as optax transforms under jit.
 
-Freezing is expressed as an optax ``multi_transform`` whose frozen branch is
-``set_to_zero``: the zeroed updates make the corresponding gradient leaves
-dead code, so XLA deletes the frozen backward matmuls entirely — the
-TPU-native equivalent of the reference's requires_grad=False.
+Freezing is structural: params are partitioned into (trainable, frozen)
+subtrees and the loss is differentiated w.r.t. the trainable subtree only —
+the frozen encoders are pure primal computation (no backward graph is ever
+built for them, no zero-grad buffers are materialized), the TPU-native
+equivalent of the reference's requires_grad=False. This matters: a
+grad-over-everything + zero-out design keeps the whole frozen backward
+alive through the grad-norm reduction and carries multi-GB zero grads
+through the accumulation scan.
 """
 
 from __future__ import annotations
@@ -64,6 +68,25 @@ def trainable_mask(params: Params, cfg: ModelConfig) -> Params:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def partition_trainable(params: Params, cfg: ModelConfig) -> tuple[Params, Params]:
+    """Split params into (trainable, frozen) trees; the other side's
+    positions hold None (an empty pytree node), so each side's leaves are
+    exactly its own params. Recombine with ``combine_trainable``."""
+    mask = trainable_mask(params, cfg)
+    train = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(
+        lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def combine_trainable(train: Params, frozen: Params) -> Params:
+    """Inverse of partition_trainable (equinox-style combine)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a, train, frozen,
+        is_leaf=lambda x: x is None)
+
+
 def decay_mask(params: Params) -> Params:
     """Weight decay only on dense kernels — named "w" in every module —
     mirroring the ref's bias/norm/embedding exclusion (trainer:183-197)."""
@@ -112,30 +135,29 @@ def constant_schedule(cfg: TrainingConfig, total_steps: int):
 # Optimizer
 # ---------------------------------------------------------------------------
 
-def create_optimizer(cfg: AVSRConfig, params: Params,
+def create_optimizer(cfg: AVSRConfig, train_params: Params,
                      total_steps: int) -> optax.GradientTransformation:
+    """AdamW over the *trainable partition only* (pass the train side of
+    ``partition_trainable``) — frozen params never enter the optimizer, so
+    no moments, no zero-updates, no grad requirements for them."""
     t = cfg.training
     schedule = SCHEDULES.get(t.schedule)(t, total_steps)
-    adamw = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(t.max_grad_norm),
         optax.adamw(
             learning_rate=schedule,
             b1=t.adam_b1, b2=t.adam_b2,
             weight_decay=t.weight_decay,
-            mask=decay_mask(params),
+            mask=decay_mask(train_params),
         ),
     )
-    tmask = trainable_mask(params, cfg.model)
-    labels = jax.tree_util.tree_map(
-        lambda m: "train" if m else "freeze", tmask)
-    return optax.multi_transform(
-        {"train": adamw, "freeze": optax.set_to_zero()}, labels)
 
 
 def create_train_state(params: Params, cfg: AVSRConfig,
                        total_steps: int) -> tuple[TrainState, optax.GradientTransformation]:
-    tx = create_optimizer(cfg, params, total_steps)
-    opt_state = tx.init(params)
+    train_p, _ = partition_trainable(params, cfg.model)
+    tx = create_optimizer(cfg, train_p, total_steps)
+    opt_state = jax.jit(tx.init)(train_p)
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
 
 

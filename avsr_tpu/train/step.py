@@ -20,22 +20,28 @@ import optax
 
 from avsr_tpu.core.config import AVSRConfig
 from avsr_tpu.models.avsr import Batch, forward
-from avsr_tpu.train.state import TrainState
+from avsr_tpu.train.state import (
+    TrainState,
+    combine_trainable,
+    partition_trainable,
+)
 
 
-def _loss_fn(params, cfg: AVSRConfig, batch: Batch, rng):
+def _loss_fn(params, cfg: AVSRConfig, batch: Batch, rng, mesh=None):
     loss, metrics = forward(
         params, cfg.model, batch,
         compute_dtype=jnp.dtype(cfg.runtime.compute_dtype),
         use_pallas=cfg.runtime.use_pallas,
         remat=cfg.mesh.remat,
-        dropout_rng=rng)
+        dropout_rng=rng,
+        mesh=mesh)
     return loss, metrics
 
 
 def make_train_step(
     cfg: AVSRConfig,
     tx: optax.GradientTransformation,
+    mesh=None,
 ) -> Callable[[TrainState, Batch, jax.Array], tuple[TrainState, dict[str, Any]]]:
     """Build the jitted train step. Batch leaves: [accum, micro, ...].
 
@@ -45,25 +51,34 @@ def make_train_step(
     compiled ``accum`` without a recompile.
     """
 
-    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-
     def train_step(state: TrainState, batch: Batch, rng: jax.Array,
                    weights: jax.Array | None = None):
         accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
         if weights is None:
             weights = jnp.full((accum,), 1.0 / accum, jnp.float32)
 
+        # Differentiate w.r.t. the trainable partition only: the frozen
+        # encoders stay primal-only (no backward graph, no zero-grad
+        # buffers in the scan carry) — the requires_grad=False equivalent.
+        train_p, frozen_p = partition_trainable(state.params, cfg.model)
+
+        def loss_trainable(tp, mb, mrng):
+            return _loss_fn(combine_trainable(tp, frozen_p), cfg, mb, mrng,
+                            mesh)
+
+        grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
+
         def micro(carry, inp):
             grads_sum, loss_sum, acc_sum = carry
             mb, mrng, w = inp
-            (loss, metrics), grads = grad_fn(state.params, cfg, mb, mrng)
+            (loss, metrics), grads = grad_fn(train_p, mb, mrng)
             grads_sum = jax.tree_util.tree_map(
                 lambda a, g: a + w * g, grads_sum, grads)
             return (grads_sum, loss_sum + w * loss,
                     acc_sum + w * metrics["accuracy"]), None
 
         zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            lambda p: jnp.zeros(p.shape, jnp.float32), train_p)
         rngs = jax.random.split(rng, accum)
         (grads, loss, acc), _ = jax.lax.scan(
             micro, (zero_grads, jnp.zeros(()), jnp.zeros(())),
@@ -73,9 +88,11 @@ def make_train_step(
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
 
         def do_update(_):
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return TrainState(state.step + 1, new_params, new_opt)
+            updates, new_opt = tx.update(grads, state.opt_state, train_p)
+            new_train = optax.apply_updates(train_p, updates)
+            return TrainState(state.step + 1,
+                              combine_trainable(new_train, frozen_p),
+                              new_opt)
 
         def skip_update(_):
             # Non-finite loss: keep params/opt, still advance the step counter
@@ -95,12 +112,12 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=donate)
 
 
-def make_eval_step(cfg: AVSRConfig):
+def make_eval_step(cfg: AVSRConfig, mesh=None):
     """No-grad eval step (ref trainer._validate :543-602)."""
 
     @jax.jit
     def eval_step(params, batch: Batch):
-        loss, metrics = _loss_fn(params, cfg, batch, None)
+        loss, metrics = _loss_fn(params, cfg, batch, None, mesh)
         return {"loss": loss, "accuracy": metrics["accuracy"],
                 "label_tokens": metrics["label_tokens"]}
 

@@ -38,6 +38,7 @@ def log(*a):
 
 def main() -> int:
     from avsr_tpu.core.config import load_config
+    from avsr_tpu.core.runtime import setup_runtime
     from avsr_tpu.models.avsr import Batch, init_avsr_model
     from avsr_tpu.train.state import create_train_state
     from avsr_tpu.train.step import make_train_step, microbatch
@@ -46,9 +47,10 @@ def main() -> int:
         "data.audio_buckets": (AUDIO_MEL_FRAMES,),
         "data.video_buckets": (VIDEO_FRAMES,),
         "data.batch_size": BATCH,
-        "mesh.remat": True,
+        "mesh.remat": False,   # frozen encoders are primal-only; activations fit
         "mesh.donate": True,
     })
+    setup_runtime(cfg.runtime)
     log(f"devices: {jax.devices()}")
 
     from avsr_tpu.train.state import cast_frozen
@@ -97,13 +99,49 @@ def main() -> int:
     log(f"{STEPS} steps in {dt:.2f}s -> {utts_per_sec:.2f} utt/s "
         f"({dt / STEPS * 1e3:.0f} ms/step)")
 
+    dec = bench_decode(cfg, state.params, batch)
+
     print(json.dumps({
         "metric": "train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
+        **dec,
     }))
     return 0
+
+
+def bench_decode(cfg, params, batch) -> dict:
+    """Greedy decode throughput (ref protocol: greedy, max_new_tokens=100 —
+    /root/reference/scripts/clip_whisper/decode.py:47-49, 544-549), batch 8.
+    Reported alongside the train metric so inference perf is tracked per
+    round (round-1 VERDICT weak #3)."""
+    from avsr_tpu.infer.generate import generate_tokens
+
+    max_new = 100
+    t0 = time.perf_counter()
+    out = generate_tokens(
+        params, cfg.model, batch, max_new_tokens=max_new,
+        eos_id=-1,  # no EOS in random-init vocab: forces the full 100 tokens
+        compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
+    jax.block_until_ready(out.tokens)
+    log(f"decode compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    n_batches = 3
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = generate_tokens(
+            params, cfg.model, batch, max_new_tokens=max_new,
+            eos_id=-1, compute_dtype="bfloat16",
+            use_pallas=cfg.runtime.use_pallas)
+    jax.block_until_ready(out.tokens)
+    dt = time.perf_counter() - t0
+    utts = BATCH * n_batches / dt
+    toks = BATCH * n_batches * max_new / dt
+    log(f"decode: {utts:.2f} utt/s, {toks:.0f} new tok/s "
+        f"(greedy, {max_new} tokens, batch {BATCH})")
+    return {"decode_utts_per_sec": round(utts, 3),
+            "decode_new_tokens_per_sec": round(toks, 1)}
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ pytestmark = pytest.mark.skipif(
 
 def test_build_mesh_infers_dp():
     mesh = build_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
-    assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 2}
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "sp": 1, "tp": 2}
     with pytest.raises(ValueError):
         build_mesh(MeshConfig(dp=3, fsdp=2, tp=2))
 

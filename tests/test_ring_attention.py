@@ -1,0 +1,165 @@
+"""Ring attention (SP) numerics on the virtual 8-device CPU mesh:
+sp-sharded exact attention must match the single-device reference, forward
+and backward, for causal + GQA + ragged kv lengths (SURVEY.md §5.7 — the
+reference can only truncate long sequences; we shard them)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.core.config import MeshConfig
+from avsr_tpu.mesh.sharding import build_mesh
+from avsr_tpu.ops.attention import mha_reference
+from avsr_tpu.ops.ring_attention import ring_attention
+
+
+def _mk(rng, B, H, Hkv, T, D):
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.float32)
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, (B,)), jnp.int32)
+    return q, k, v, lens
+
+
+@pytest.mark.parametrize("causal,Hkv", [(True, 2), (False, 8), (True, 8)])
+def test_ring_matches_reference(rng, causal, Hkv):
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=1, sp=4, tp=1))
+    B, H, T, D = 4, 8, 64, 16
+    q, k, v, lens = _mk(rng, B, H, Hkv, T, D)
+
+    out_ring = ring_attention(q, k, v, mesh=mesh, causal=causal,
+                              kv_lens=lens)
+    out_ref = mha_reference(q, k, v, causal=causal, q_lens=lens,
+                            kv_lens=lens)
+    # reference zeroes invalid *query* rows; ring only guarantees valid rows
+    valid = (np.arange(T)[None, :] < np.asarray(lens)[:, None])
+    vm = jnp.asarray(valid)[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(out_ring * vm),
+                               np.asarray(out_ref * vm), atol=2e-5)
+
+
+def test_ring_grads_match_reference(rng):
+    mesh = build_mesh(MeshConfig(dp=1, fsdp=2, sp=4, tp=1))
+    B, H, Hkv, T, D = 2, 4, 2, 32, 8
+    q, k, v, lens = _mk(rng, B, H, Hkv, T, D)
+    valid = jnp.asarray(
+        (np.arange(T)[None, :] < np.asarray(lens)[:, None]))[:, None, :, None]
+
+    def loss_ring(q, k, v):
+        o = ring_attention(q, k, v, mesh=mesh, causal=True, kv_lens=lens)
+        return ((o * valid) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, causal=True, q_lens=lens, kv_lens=lens)
+        return ((o * valid) ** 2).sum()
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, err_msg=name)
+
+
+def test_sp_train_step_matches_sp1(rng):
+    """Full AVSR train step with mesh.sp=4: loss/grads must match the
+    unsharded step (consumes MeshConfig.sp end to end — round-1 VERDICT
+    missing #2)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_train import tiny_avsr_cfg
+    from test_models_avsr import tiny_batch
+
+    from avsr_tpu.models.avsr import Batch, init_avsr_model
+    from avsr_tpu.train.state import create_train_state
+    from avsr_tpu.train.step import make_train_step, microbatch
+
+    cfg = tiny_avsr_cfg()
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    # packed seq = prompt 3 + whisper 22 + labels 7 = 32, divisible by sp=4
+    B = 2
+    mel = jnp.asarray(rng.standard_normal((B, 80, 44)), jnp.float32)
+    batch = Batch(
+        mel=mel, mel_lens=jnp.array([44, 30]),
+        prompt_tokens=jnp.array([1, 7, 9]),
+        labels=jnp.asarray(rng.integers(0, 64, (B, 7))),
+        label_lens=jnp.array([7, 4]),
+    )
+    mb = microbatch(batch, 1)
+
+    state1, tx1 = create_train_state(params, cfg, total_steps=10)
+    s1, m1 = make_train_step(cfg, tx1)(state1, mb, jax.random.key(0))
+
+    sp_cfg = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, dp=2, fsdp=1, sp=4, tp=1))
+    mesh = build_mesh(sp_cfg.mesh)
+    state2, tx2 = create_train_state(params, sp_cfg, total_steps=10)
+    s2, m2 = make_train_step(sp_cfg, tx2, mesh)(state2, mb, jax.random.key(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+    lora1 = np.asarray(s1.params["llm"]["layers"][0]["q"]["lora"]["b"])
+    lora2 = np.asarray(s2.params["llm"]["layers"][0]["q"]["lora"]["b"])
+    np.testing.assert_allclose(lora1, lora2, atol=1e-6)
+
+
+def test_sp_long_audio_forward(rng):
+    """30 s audio (T=1500 mel -> 750 encoder positions, tiny dims) runs the
+    whole AVSR forward sequence-sharded with sp=2 — the long-sequence regime
+    the reference can only truncate (clip_whisper_model.py:320-374)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_train import tiny_avsr_cfg
+
+    from avsr_tpu.models.avsr import Batch, forward, init_avsr_model
+
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            whisper=dataclasses.replace(cfg.model.whisper, max_frames=1500)),
+        mesh=dataclasses.replace(cfg.mesh, dp=2, fsdp=2, sp=2, tp=1))
+    mesh = build_mesh(cfg.mesh)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    B = 4
+    batch = Batch(
+        mel=jnp.asarray(rng.standard_normal((B, 80, 1500)), jnp.float32),
+        mel_lens=jnp.array([1500, 1200, 900, 1500]),
+        prompt_tokens=jnp.array([1, 7, 9]),
+        labels=jnp.asarray(rng.integers(0, 64, (B, 7))),
+        label_lens=jnp.array([7, 4, 7, 5]),
+    )
+    loss_sp, _ = jax.jit(lambda p, b: forward(p, cfg.model, b, mesh=mesh))(
+        params, batch)
+    loss_ref, _ = jax.jit(lambda p, b: forward(p, cfg.model, b))(params, batch)
+    np.testing.assert_allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
+
+
+def test_ring_under_jit_sharded_inputs(rng):
+    """Ring attention inside jit with inputs actually device_put sharded
+    over sp — the integration mode used by the model forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=1, sp=4, tp=1))
+    B, H, Hkv, T, D = 4, 8, 2, 64, 16
+    q, k, v, lens = _mk(rng, B, H, Hkv, T, D)
+    sh = NamedSharding(mesh, P("dp", None, "sp", None))
+    qs = jax.device_put(q, sh)
+    ks = jax.device_put(k, sh)
+    vs = jax.device_put(v, sh)
+
+    @jax.jit
+    def f(q, k, v):
+        return ring_attention(q, k, v, mesh=mesh, causal=True, kv_lens=lens)
+
+    out = f(qs, ks, vs)
+    ref = mha_reference(q, k, v, causal=True, q_lens=lens, kv_lens=lens)
+    valid = (np.arange(T)[None, :] < np.asarray(lens)[:, None])
+    vm = jnp.asarray(valid)[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(out * vm), np.asarray(ref * vm),
+                               atol=2e-5)

@@ -167,7 +167,57 @@ class DataLoader:
             if len(chunk) < bs:
                 chunk = np.concatenate([chunk, order[: bs - len(chunk)]])
             samples = [self.ds[int(i)] for i in chunk]
+            samples = self._resolve_audio(samples, chunk)
             yield collate(samples, self.cfg, self.prompt_ids, self.pad_id)
+
+    def _resolve_audio(self, samples, idxs) -> list:
+        """Decode deferred WAVs for the whole group in one native
+        multithreaded call (C++ decode+resample straight into a padded
+        buffer); per-file Python fallback, then the dataset retry-walk for
+        rows that stay corrupt (ref simple_dataset.py:133-277 semantics)."""
+        pend = [i for i, s in enumerate(samples)
+                if s.audio is None and s.audio_path]
+        if not pend:
+            return samples
+        from dataclasses import replace
+
+        from avsr_tpu import native
+        from avsr_tpu.data.audio_io import load_audio
+        from avsr_tpu.data.dataset import MAX_RETRY_WALK
+
+        cap = self.cfg.max_audio_length
+        res = native.decode_wav_batch([samples[i].audio_path for i in pend],
+                                      max_samples=cap)
+        out, lens = res if res is not None else (None, None)
+        for j, i in enumerate(pend):
+            if out is not None and lens[j] > 0:
+                samples[i] = replace(samples[i], audio=out[j, :lens[j]].copy())
+                continue
+            try:
+                samples[i] = replace(
+                    samples[i],
+                    audio=load_audio(samples[i].audio_path, max_samples=cap))
+                continue
+            except Exception:
+                pass
+            # corrupt at decode time: walk forward like the dataset does
+            last_err: Exception | None = None
+            for probe in range(1, MAX_RETRY_WALK + 1):
+                try:
+                    rep = self.ds[(int(idxs[i]) + probe) % len(self.ds)]
+                    if rep.audio is None and rep.audio_path:
+                        rep = replace(
+                            rep, audio=load_audio(rep.audio_path,
+                                                  max_samples=cap))
+                    samples[i] = rep
+                    break
+                except Exception as e:  # noqa: BLE001 — walk semantics
+                    last_err = e
+            else:
+                raise IOError(
+                    f"failed to decode {samples[i].audio_path} and "
+                    f"{MAX_RETRY_WALK} subsequent samples") from last_err
+        return samples
 
     def __iter__(self) -> Iterator[tuple[HostBatch, Batch]]:
         self._epoch += 1

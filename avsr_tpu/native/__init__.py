@@ -64,7 +64,12 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
-        if lib.avsr_native_abi_version() != 1:
+        lib.avsr_resize_crop_frames.restype = None
+        lib.avsr_resize_crop_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int]
+        if lib.avsr_native_abi_version() != 2:
             log.warning("native ABI mismatch; using Python fallback")
             return None
         _lib = lib
@@ -92,17 +97,23 @@ def decode_wav(path: str | Path, target_sr: int = 16_000,
 
 def decode_wav_batch(paths: list[str | Path], target_sr: int = 16_000,
                      max_samples: int = 480_000, num_threads: int = 0,
+                     out: np.ndarray | None = None,
                      ) -> tuple[np.ndarray, np.ndarray] | None:
     """Native multithreaded batch decode -> ([B, max_samples] f32, lens).
 
-    Failed rows come back zero-length (the caller applies the dataset
-    retry-walk); returns None only when the library itself is unavailable.
+    ``out`` may be a preallocated C-contiguous [B, max_samples] f32 buffer
+    (e.g. the collate pad buffer — decode writes straight into it). Failed
+    rows come back zero-length (the caller applies the dataset retry-walk);
+    returns None only when the library itself is unavailable.
     """
     lib = load()
     if lib is None:
         return None
     B = len(paths)
-    out = np.zeros((B, max_samples), np.float32)
+    if out is None:
+        out = np.zeros((B, max_samples), np.float32)
+    assert out.shape == (B, max_samples) and out.dtype == np.float32 \
+        and out.flags.c_contiguous
     lens = np.zeros(B, np.int32)
     c_paths = (ctypes.c_char_p * B)(*[str(p).encode() for p in paths])
     lib.avsr_decode_wav_batch(
@@ -110,3 +121,23 @@ def decode_wav_batch(paths: list[str | Path], target_sr: int = 16_000,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_samples,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
     return out, lens
+
+
+def resize_crop_frames(frames: np.ndarray, size: int,
+                       num_threads: int = 0) -> np.ndarray | None:
+    """Native shortest-side bilinear resize + center crop:
+    u8 [T, H, W, 3] -> u8 [T, size, size, 3], threaded over frames.
+    Replaces the per-frame cv2 Python loop (ref simple_dataset.py:213-249)."""
+    lib = load()
+    if lib is None:
+        return None
+    T, H, W, C = frames.shape
+    assert C == 3 and frames.dtype == np.uint8
+    if H == size and W == size:
+        return frames
+    frames = np.ascontiguousarray(frames)
+    out = np.empty((T, size, size, 3), np.uint8)
+    lib.avsr_resize_crop_frames(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), T, H, W,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size, num_threads)
+    return out

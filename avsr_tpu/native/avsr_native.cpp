@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fstream>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -118,43 +119,78 @@ bool read_wav(const std::string& path, Wav* out) {
 
 uint64_t gcd_u(uint64_t a, uint64_t b) { return b ? gcd_u(b, a % b) : a; }
 
+// Polyphase filter bank: the windowed-sinc tap weights depend only on the
+// output phase (t mod up) and the tap index, so they are computed ONCE per
+// (up, down) pair — the inner resample loop is then a short float dot
+// product per output sample (no transcendentals in the hot path).
+struct PolyBank {
+  int up = 0, down = 0, taps = 0, center = 0;
+  std::vector<float> w;  // [up, taps]
+};
+
+const PolyBank& get_bank(int up, int down) {
+  static std::vector<PolyBank> cache;
+  static std::mutex mu;
+  std::lock_guard<std::mutex> lock(mu);
+  for (const auto& b : cache)
+    if (b.up == up && b.down == down) return b;
+
+  PolyBank b;
+  b.up = up;
+  b.down = down;
+  const int half = 10 * std::max(up, down);
+  const double cutoff = 0.5 / std::max(up, down);
+  b.center = half / up + 1;
+  b.taps = 2 * b.center + 1;
+  b.w.assign(static_cast<size_t>(up) * b.taps, 0.0f);
+  for (int p = 0; p < up; ++p) {
+    for (int i = 0; i < b.taps; ++i) {
+      const double d = static_cast<double>(i - b.center) * up + p;
+      if (std::abs(d) > half) continue;
+      double wv;
+      if (d == 0) {
+        wv = 2 * cutoff;
+      } else {
+        wv = std::sin(2 * kPi * cutoff * d) / (kPi * d);
+      }
+      const double hann = 0.5 + 0.5 * std::cos(kPi * d / half);
+      b.w[static_cast<size_t>(p) * b.taps + i] =
+          static_cast<float>(wv * hann * up);
+    }
+  }
+  cache.push_back(std::move(b));
+  return cache.back();
+}
+
 std::vector<float> resample(const std::vector<float>& x, int sr_in, int sr_out) {
   if (sr_in == sr_out || x.empty()) return x;
   uint64_t g = gcd_u(sr_in, sr_out);
   const int up = static_cast<int>(sr_out / g);
   const int down = static_cast<int>(sr_in / g);
-  // Anti-aliasing lowpass at min(1/up, 1/down) of the upsampled Nyquist.
-  const int half_taps_per_phase = 10;
-  const int half = half_taps_per_phase * std::max(up, down);
-  const double cutoff = 0.5 / std::max(up, down);  // normalized to upsampled fs
+  const PolyBank& bank = get_bank(up, down);
 
+  const int64_t n_in = static_cast<int64_t>(x.size());
   const size_t n_out = (x.size() * static_cast<uint64_t>(up) + down - 1) / down;
   std::vector<float> y(n_out);
   for (size_t m = 0; m < n_out; ++m) {
-    // output sample m corresponds to upsampled index m*down
     const int64_t t = static_cast<int64_t>(m) * down;
-    double acc = 0;
-    // sum over upsampled taps j in [t-half, t+half] that hit input samples
-    int64_t j0 = t - half;
-    // smallest j >= j0 with j % up == 0
-    int64_t r = ((j0 % up) + up) % up;
-    int64_t j = j0 + (r ? (up - r) : 0);
-    for (; j <= t + half; j += up) {
-      const int64_t n = j / up;
-      if (n < 0 || n >= static_cast<int64_t>(x.size())) continue;
-      const double d = static_cast<double>(j - t);
-      double w;
-      if (d == 0) {
-        w = 2 * cutoff;
-      } else {
-        const double a = 2 * kPi * cutoff * d;
-        w = std::sin(a) / (kPi * d);
+    const int64_t q = t / up;
+    const int p = static_cast<int>(t % up);
+    const float* w = &bank.w[static_cast<size_t>(p) * bank.taps];
+    // Contribution of input sample n = q - (i - center): mirror tap order.
+    const int64_t n0 = q + bank.center;   // n for i = 0
+    float acc = 0.f;
+    if (n0 < n_in && q - bank.center >= 0) {
+      // fast path: fully interior
+      const float* xp = &x[n0];
+      for (int i = 0; i < bank.taps; ++i) acc += w[i] * xp[-i];
+    } else {
+      for (int i = 0; i < bank.taps; ++i) {
+        const int64_t n = n0 - i;
+        if (n >= 0 && n < n_in) acc += w[i] * x[n];
       }
-      // Hann window over [-half, half]
-      const double hann = 0.5 + 0.5 * std::cos(kPi * d / half);
-      acc += x[n] * w * hann;
     }
-    y[m] = static_cast<float>(acc * up);
+    y[m] = acc;
   }
   return y;
 }
@@ -206,7 +242,79 @@ int avsr_decode_wav_batch(const char** paths, int batch, int target_sr,
   return failures.load();
 }
 
+// Shortest-side bilinear resize + center crop for a clip of video frames:
+// u8 [T, H, W, 3] -> u8 [T, S, S, 3], multi-threaded over frames. Replaces
+// the per-frame Python/cv2 loop in the dataset (the reference's data-side
+// hot loop, simple_dataset.py:213-249). Half-pixel-center sampling matches
+// cv2.INTER_LINEAR geometry.
+void avsr_resize_crop_frames(const uint8_t* in, int t, int h, int w,
+                             uint8_t* out, int s, int num_threads) {
+  // shortest-side resize target
+  int nh, nw;
+  if (h <= w) {
+    nh = s;
+    nw = std::max(s, (int)std::lround((double)w * s / h));
+  } else {
+    nw = s;
+    nh = std::max(s, (int)std::lround((double)h * s / w));
+  }
+  const int top = (nh - s) / 2, left = (nw - s) / 2;
+  const double sy = (double)h / nh, sx = (double)w / nw;
+
+  // Precompute fixed-point (8.8) taps for the cropped output grid.
+  std::vector<int> x0(s), x1(s), wx1(s);
+  for (int ox = 0; ox < s; ++ox) {
+    double src = (ox + left + 0.5) * sx - 0.5;
+    src = std::max(0.0, std::min(src, (double)w - 1));
+    int xi = (int)src;
+    x0[ox] = xi * 3;
+    x1[ox] = std::min(xi + 1, w - 1) * 3;
+    wx1[ox] = (int)std::lround((src - xi) * 256.0);
+  }
+  std::vector<int> y0(s), y1(s), wy1(s);
+  for (int oy = 0; oy < s; ++oy) {
+    double src = (oy + top + 0.5) * sy - 0.5;
+    src = std::max(0.0, std::min(src, (double)h - 1));
+    int yi = (int)src;
+    y0[oy] = yi;
+    y1[oy] = std::min(yi + 1, h - 1);
+    wy1[oy] = (int)std::lround((src - yi) * 256.0);
+  }
+
+  std::atomic<int> next{0};
+  if (num_threads <= 0)
+    num_threads = std::max(1u, std::thread::hardware_concurrency());
+  num_threads = std::min(num_threads, t);
+
+  auto work = [&]() {
+    for (int i = next.fetch_add(1); i < t; i = next.fetch_add(1)) {
+      const uint8_t* src = in + (int64_t)i * h * w * 3;
+      uint8_t* dst = out + (int64_t)i * s * s * 3;
+      for (int oy = 0; oy < s; ++oy) {
+        const uint8_t* r0 = src + (int64_t)y0[oy] * w * 3;
+        const uint8_t* r1 = src + (int64_t)y1[oy] * w * 3;
+        const int v1 = wy1[oy], v0 = 256 - v1;
+        uint8_t* orow = dst + (int64_t)oy * s * 3;
+        for (int ox = 0; ox < s; ++ox) {
+          const int u1 = wx1[ox], u0 = 256 - u1;
+          const int a = x0[ox], b = x1[ox];
+          for (int c = 0; c < 3; ++c) {
+            // (8.8 x 8.8 -> 16.16 fixed point, round at the end)
+            const int top_v = u0 * r0[a + c] + u1 * r0[b + c];
+            const int bot_v = u0 * r1[a + c] + u1 * r1[b + c];
+            orow[ox * 3 + c] =
+                (uint8_t)((v0 * top_v + v1 * bot_v + 32768) >> 16);
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int th = 0; th < num_threads; ++th) threads.emplace_back(work);
+  for (auto& th : threads) th.join();
+}
+
 // Version marker for the ctypes loader.
-int avsr_native_abi_version() { return 1; }
+int avsr_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -119,6 +119,9 @@ def test_manifest_dataset_retry_walk(tmp_path):
     write_manifest(root / "train.tsv", root, entries)
     (root / "train.wrd").write_text("bad text\ngood text\n")
     cfg = _data_cfg(synthetic=False, path=str(root))
-    ds = ManifestAVSRDataset(cfg, tok, split="train", modality="audio")
+    # eager decode: dataset-level retry-walk (the deferred/native path's
+    # loader-level walk is covered in test_native.py)
+    ds = ManifestAVSRDataset(cfg, tok, split="train", modality="audio",
+                             defer_audio=False)
     s = ds[0]    # retry-walk lands on index 1
     assert s.utt_id == "good"

@@ -74,8 +74,42 @@ def main(argv: list[str] | None = None) -> int:
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "memory_stats.json", "w") as fh:
         json.dump(report, fh, indent=2)
+    save_charts(report, out)
     print(json.dumps(report, indent=2))
     return 0
+
+
+def save_charts(report: dict, out: Path) -> None:
+    """Pie (per-component share) + bar (per-mode totals) charts —
+    the reference's visual artifacts (analyze_memory.py:477-574)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        log.warning("matplotlib unavailable — skipping charts")
+        return
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
+    bf16 = {k: v for k, v in report["modes"]["bf16"].items()
+            if k != "total_gib" and v > 0}
+    if bf16:
+        ax1.pie(bf16.values(), labels=list(bf16), autopct="%1.1f%%",
+                startangle=90)
+        ax1.set_title("Component memory share (bf16)")
+    else:   # sub-MiB components round to 0 GiB (tiny test models)
+        ax1.axis("off")
+
+    modes = list(report["modes"])
+    totals = [report["modes"][m]["total_gib"] for m in modes]
+    bars = ax2.bar(modes, totals, color="#4878cf")
+    ax2.bar_label(bars, fmt="%.2f")
+    ax2.set_ylabel("GiB")
+    ax2.set_title("Total parameter memory by mode")
+    fig.tight_layout()
+    fig.savefig(out / "memory_analysis.png", dpi=120)
+    plt.close(fig)
+    log.info("charts -> %s", out / "memory_analysis.png")
 
 
 if __name__ == "__main__":

@@ -58,10 +58,15 @@ def build_data(cfg: AVSRConfig, split: str = "train", *,
 
 def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
     """Fresh init, optionally overwritten from a params-only export or a
-    trainer checkpoint directory."""
+    trainer checkpoint directory. Honors runtime.param_dtype for the stored
+    master params and keeps frozen leaves in compute_dtype (cast_frozen:
+    they are only ever read, so no f32 master is needed)."""
+    import jax.numpy as jnp
+
     from avsr_tpu.models.avsr import init_avsr_model
 
-    params = init_avsr_model(jax.random.key(cfg.training.seed), cfg.model)
+    params = init_avsr_model(jax.random.key(cfg.training.seed), cfg.model,
+                             dtype=jnp.dtype(cfg.runtime.param_dtype))
     if checkpoint:
         from pathlib import Path
 
@@ -79,6 +84,9 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
         bits = 4 if cfg.model.use_4bit else 8
         params = dict(params)
         params["llm"] = quantize_llm(params["llm"], bits)
+    from avsr_tpu.train.state import cast_frozen
+    params = cast_frozen(params, cfg.model,
+                         dtype=jnp.dtype(cfg.runtime.compute_dtype))
     return params
 
 

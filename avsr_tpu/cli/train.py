@@ -33,6 +33,19 @@ def main(argv: list[str] | None = None) -> int:
     from avsr_tpu.train.loop import Trainer
 
     log.info("devices: %s", jax.devices())
+    if cfg.training.auto_batch_size:
+        import dataclasses
+
+        from avsr_tpu.train.probe import find_optimal_batch_size
+        mesh0, shard0 = maybe_mesh(cfg)
+        probe_params = init_or_load_params(cfg)
+        best = find_optimal_batch_size(cfg, probe_params, mesh=mesh0,
+                                       shard_batch=shard0)
+        if best > cfg.data.batch_size:
+            log.info("auto_batch_size: %d -> %d", cfg.data.batch_size, best)
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, batch_size=best))
+        del probe_params
     tok, _, train_loader = build_data(cfg, "train")
     try:
         _, _, val_loader = build_data(cfg, "valid", shuffle=False)

@@ -19,5 +19,4 @@ from avsr_tpu.core.logging import (  # noqa: F401
     ThroughputMeter,
     setup_logging,
 )
-from avsr_tpu.core.prng import KeyChain  # noqa: F401
 from avsr_tpu.core.registry import CONNECTORS, DATASETS, SCHEDULES  # noqa: F401

@@ -133,7 +133,7 @@ class ModelConfig:
     max_seq_len: int = 512                # cap on fused encoder sequence
     freeze_encoders: bool = True
     freeze_llm: bool = True               # train connectors (+LoRA) only by default
-    use_fp16: bool = True                 # bf16 on TPU
+    # (the reference's use_fp16 flag maps to runtime.compute_dtype here)
     use_4bit: bool = False                # weight-only int4 LLM quantization
     use_8bit: bool = False                # weight-only int8 LLM quantization
     prompt: str = "Transcribe the speech into text:"
@@ -153,6 +153,10 @@ class TrainingConfig:
 
     num_epochs: int = 10
     max_steps: int = -1                   # >0 overrides epochs
+    # Startup doubling probe for the largest batch that fits HBM
+    # (ref _find_optimal_batch_size, trainer:976-1003); overrides
+    # data.batch_size when it finds a larger working size.
+    auto_batch_size: bool = False
     learning_rate: float = 2e-5
     weight_decay: float = 0.01
     adam_b1: float = 0.9
@@ -181,7 +185,10 @@ class MeshConfig:
     fsdp: int = 1                # parameter sharding axis (zero-style)
     tp: int = 1                  # tensor parallel over ICI
     sp: int = 1                  # sequence/context parallel (ring attention)
-    axis_names: tuple[str, ...] = ("dp", "fsdp", "sp", "tp")
+    # Multi-slice data parallel over DCN (slice-to-slice network): only the
+    # dp gradient all-reduce crosses DCN; fsdp/sp/tp collectives stay on ICI.
+    dcn_dp: int = 1
+    axis_names: tuple[str, ...] = ("dcn", "dp", "fsdp", "sp", "tp")
     remat: bool = True           # jax.checkpoint on transformer blocks
     donate: bool = True
 

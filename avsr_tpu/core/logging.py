@@ -3,8 +3,8 @@
 TPU-native replacement for the reference's logging stack (SURVEY.md §5.5):
 console+file logging with third-party silencing (ref train.py:91-124,
 src/utils/setup.py:15-62), per-step loss CSV (ref trainer:269-274), and a
-metrics meter tracking tokens/sec & utterances/sec — plus `jax.profiler`
-hooks the reference has no equivalent of.
+metrics meter tracking tokens/sec & utterances/sec. (Timeline tracing
+lives in the Trainer: RuntimeConfig.profile_dir drives jax.profiler.)
 """
 
 from __future__ import annotations

@@ -143,6 +143,23 @@ class DataLoader:
         prompt_text = model_cfg.prompt if model_cfg is not None else ""
         self.prompt_ids = tokenizer.encode(prompt_text, add_bos=True)
         self._epoch = 0
+        self._pool = None
+        self._skip = 0        # batches to skip on the next epoch (resume)
+        self._yielded = 0     # batches handed out in the current epoch
+
+    # -- position (mid-epoch resume; ref declares --resume_from but never
+    # restores data order — train.py:270-272. We do.) ---------------------
+
+    def state(self) -> dict[str, int]:
+        """Current position: epoch + batches already consumed within it."""
+        return {"epoch": self._epoch, "batches": self._yielded}
+
+    def set_position(self, epoch: int, batches: int) -> None:
+        """Resume at (epoch, batch): the next ``iter()`` replays epoch
+        ``epoch``'s deterministic shuffle order and skips the first
+        ``batches`` groups without loading them."""
+        self._epoch = epoch - 1   # __iter__ increments
+        self._skip = max(batches, 0)
 
     def __len__(self) -> int:
         n = len(self.ds) // self.batch_size
@@ -156,19 +173,34 @@ class DataLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         return idx
 
-    def _host_batches(self) -> Iterator[HostBatch]:
+    def _host_batches(self, skip: int = 0) -> Iterator[HostBatch]:
         order = self._order()
         bs = self.batch_size
         for start in range(0, len(order), bs):
             chunk = order[start:start + bs]
             if len(chunk) < bs and self.drop_last:
                 continue
+            if skip > 0:        # resume skip-ahead: no sample IO
+                skip -= 1
+                continue
             # pad final short batch by wrapping (static batch dim for jit)
             if len(chunk) < bs:
                 chunk = np.concatenate([chunk, order[: bs - len(chunk)]])
-            samples = [self.ds[int(i)] for i in chunk]
+            samples = self._fetch(chunk)
             samples = self._resolve_audio(samples, chunk)
             yield collate(samples, self.cfg, self.prompt_ids, self.pad_id)
+
+    def _fetch(self, chunk) -> list:
+        """Load the group's samples, in parallel when cfg.num_workers > 1
+        (video decode + resize release the GIL; the reference's
+        DataLoader(num_workers=...) equivalent, simple_dataset.py:600-609)."""
+        if self.cfg.num_workers <= 1 or len(chunk) <= 1:
+            return [self.ds[int(i)] for i in chunk]
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.cfg.num_workers)
+        return list(self._pool.map(lambda i: self.ds[int(i)], chunk))
 
     def _resolve_audio(self, samples, idxs) -> list:
         """Decode deferred WAVs for the whole group in one native
@@ -221,12 +253,14 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[tuple[HostBatch, Batch]]:
         self._epoch += 1
+        skip, self._skip = self._skip, 0
+        self._yielded = skip
         q: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def worker():
             try:
-                for hb in self._host_batches():
+                for hb in self._host_batches(skip):
                     if stop.is_set():
                         return
                     q.put((hb, featurize(hb, self.compute_dtype)))
@@ -244,6 +278,7 @@ class DataLoader:
                     break
                 if isinstance(item, Exception):
                     raise item
+                self._yielded += 1
                 yield item
         finally:
             stop.set()

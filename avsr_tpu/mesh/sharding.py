@@ -42,18 +42,36 @@ log = logging.getLogger("avsr.mesh")
 # ---------------------------------------------------------------------------
 
 def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    """Axes ("dcn", "dp", "fsdp", "sp", "tp"). With ``dcn_dp > 1`` the
+    outermost axis spans TPU slices (multi-slice data parallel): device
+    order comes from ``mesh_utils.create_hybrid_device_mesh`` so that only
+    the dcn gradient all-reduce rides the slow DCN links, every other
+    collective stays on intra-slice ICI. On hosts without slice topology
+    (CPU virtual meshes) the axis is a plain outer reshape."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     fsdp, tp, sp = max(cfg.fsdp, 1), max(cfg.tp, 1), max(cfg.sp, 1)
-    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * sp * tp)
-    if dp * fsdp * sp * tp != n:
+    dcn = max(cfg.dcn_dp, 1)
+    dp = cfg.dp if cfg.dp > 0 else n // (dcn * fsdp * sp * tp)
+    if dcn * dp * fsdp * sp * tp != n:
         raise ValueError(
-            f"mesh {dp}x{fsdp}x{sp}x{tp} != {n} devices "
+            f"mesh {dcn}x{dp}x{fsdp}x{sp}x{tp} != {n} devices "
             "(set mesh.dp=-1 to infer)")
-    arr = np.asarray(devices).reshape(dp, fsdp, sp, tp)
-    mesh = Mesh(arr, axis_names=("dp", "fsdp", "sp", "tp"))
-    log.info("mesh: dp=%d fsdp=%d sp=%d tp=%d over %d devices",
-             dp, fsdp, sp, tp, n)
+    shape = (dp, fsdp, sp, tp)
+    if dcn > 1:
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (1,) + shape, (dcn, 1, 1, 1, 1), devices,
+                allow_split_physical_axes=True)
+        except (ValueError, AssertionError, AttributeError) as e:
+            log.info("hybrid mesh unavailable (%s) — outer reshape", e)
+            arr = np.asarray(devices).reshape((dcn,) + shape)
+    else:
+        arr = np.asarray(devices).reshape((1,) + shape)
+    mesh = Mesh(arr, axis_names=("dcn", "dp", "fsdp", "sp", "tp"))
+    log.info("mesh: dcn=%d dp=%d fsdp=%d sp=%d tp=%d over %d devices",
+             dcn, dp, fsdp, sp, tp, n)
     return mesh
 
 
@@ -137,11 +155,13 @@ def shard_state(state, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
-    """Shard [accum, micro, ...] batch leaves: micro axis over (dp, fsdp)."""
+    """Shard [accum, micro, ...] batch leaves: micro axis over the data
+    axes (dcn, dp, fsdp) — each slice gets its own shard; gradients are
+    all-reduced over dcn by pjit."""
     def put(x):
         if not hasattr(x, "ndim") or x.ndim < 2:
             return jax.device_put(x, NamedSharding(mesh, P()))
-        spec = P(None, ("dp", "fsdp"))
+        spec = P(None, ("dcn", "dp", "fsdp"))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def shard(batch):

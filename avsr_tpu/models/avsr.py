@@ -182,16 +182,16 @@ def encode(
     if conn.dual:
         out, lens = conn.apply(params["connector"], audio_feat, video_feat,
                                audio_lens, video_lens, use_pallas=use_pallas)
-        return EncodeOut(out, lens)
+        return _cap_seq(EncodeOut(out, lens), cfg.max_seq_len)
 
     if cfg.modality == "audio":
         out, lens = conn.apply(params["audio_connector"], audio_feat,
                                audio_lens, use_pallas=use_pallas)
-        return EncodeOut(out, lens)
+        return _cap_seq(EncodeOut(out, lens), cfg.max_seq_len)
     if cfg.modality == "video":
         out, lens = conn.apply(params["video_connector"], video_feat,
                                video_lens, use_pallas=use_pallas)
-        return EncodeOut(out, lens)
+        return _cap_seq(EncodeOut(out, lens), cfg.max_seq_len)
 
     # modality == "both", single-input connectors
     a_out, a_lens2 = conn.apply(params["audio_connector"], audio_feat,
@@ -200,12 +200,23 @@ def encode(
                                 video_lens, use_pallas=use_pallas)
     if cfg.fusion_mode == "concat_seq":
         packed, total, _ = pack_segments([(a_out, a_lens2), (v_out, v_lens2)])
-        return EncodeOut(packed, total)
+        return _cap_seq(EncodeOut(packed, total), cfg.max_seq_len)
     # weighted_sum (ref :424-435): align video onto the audio time grid, then
     # fusion_scale * audio + (1 - fusion_scale) * video.
     v_up = _upsample_to(v_out, v_lens2, a_out.shape[1], a_lens2)
     fused = cfg.fusion_scale * a_out + (1.0 - cfg.fusion_scale) * v_up
-    return EncodeOut(fused, a_lens2)
+    return _cap_seq(EncodeOut(fused, a_lens2), cfg.max_seq_len)
+
+
+def _cap_seq(enc: EncodeOut, max_seq_len: int) -> EncodeOut:
+    """Honor ModelConfig.max_seq_len as a hard cap on the fused feature
+    sequence (ref applies it at clip_whisper_model.py:427). With SP sharding
+    long sequences scale instead (ops.ring_attention) — the cap only bites
+    when configured below the bucket capacity."""
+    if enc.features.shape[1] <= max_seq_len:
+        return enc
+    return EncodeOut(enc.features[:, :max_seq_len],
+                     jnp.minimum(enc.lengths, max_seq_len))
 
 
 # ---------------------------------------------------------------------------

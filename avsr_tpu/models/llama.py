@@ -257,6 +257,11 @@ def llama_apply(
     avoiding a [B,T,vocab] f32 materialization (2.4 GB at B=8, T=581,
     V=128k — the difference between fitting in HBM or not)."""
     B, T, d = inputs_embeds.shape
+    if T > cfg.max_seq_len:
+        raise ValueError(
+            f"sequence length {T} exceeds llm.max_seq_len={cfg.max_seq_len} "
+            "(raise the config cap, shrink buckets/max_label_length, or cap "
+            "the fused features with model.max_seq_len)")
     x = inputs_embeds.astype(compute_dtype)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))

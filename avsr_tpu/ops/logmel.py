@@ -14,9 +14,9 @@ followed by Whisper's log compression (log10, clamp to per-utterance max-8,
 at n_fft=400 the dense DFT-as-matmul costs ~0.5 GFLOP per 30 s utterance,
 noise on an MXU, and fuses with the mel projection.
 
-A fused Pallas kernel for the same computation lives in
-`avsr_tpu.ops.pallas_logmel`; this module is the XLA path and the numerics
-reference.
+XLA fuses the window/DFT/mel chain into MXU matmuls on its own, so no
+hand-written Pallas kernel is needed here; this module is both the
+production path and the numerics reference.
 """
 
 from __future__ import annotations

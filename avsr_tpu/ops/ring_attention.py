@@ -65,7 +65,7 @@ def ring_attention(
     causal: bool = False,
     kv_lens: jax.Array | None = None,
     sm_scale: float | None = None,
-    batch_axes: tuple[str, ...] = ("dp", "fsdp"),
+    batch_axes: tuple[str, ...] = ("dcn", "dp", "fsdp"),
 ) -> jax.Array:
     """Exact attention with the sequence axis sharded over ``axis``.
 

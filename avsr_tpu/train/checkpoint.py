@@ -40,7 +40,8 @@ class CheckpointManager:
     # -- save ---------------------------------------------------------------
 
     def save(self, state: TrainState, *, metrics: dict[str, Any] | None = None,
-             is_best: bool = False, tag: str = "") -> None:
+             is_best: bool = False, tag: str = "",
+             data_state: dict[str, int] | None = None) -> None:
         step = int(state.step)
         self._mngr.save(
             step,
@@ -56,6 +57,9 @@ class CheckpointManager:
             "tag": tag,
             "is_best": is_best,
         }
+        if data_state is not None:
+            # loader position for mid-epoch resume (no repeated samples)
+            meta["data_state"] = data_state
         if self.cfg is not None:
             meta["config"] = cfg_to_dict(self.cfg)
         with open(self.dir / f"meta_{step}.json", "w") as fh:
@@ -71,6 +75,13 @@ class CheckpointManager:
 
     def latest_step(self) -> int | None:
         return self._mngr.latest_step()
+
+    def read_meta(self, step: int) -> dict[str, Any] | None:
+        path = self.dir / f"meta_{step}.json"
+        if not path.exists():
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     def restore(self, state_like: TrainState,
                 step: int | None = None) -> TrainState:

@@ -74,6 +74,8 @@ class Trainer:
         self.best_val = float("inf")
         self._last_time_ckpt = time.time()
         self._rng = jax.random.key(t.seed)
+        self._profiling = False
+        self._start_epoch = 0
 
         trainable, total = count_trainable(params, cfg.model)
         log.info("model: %.2fM params, %.2fM trainable (%.1f%%)",
@@ -92,7 +94,21 @@ class Trainer:
             self.state = mngr.restore(self.state)
         except FileNotFoundError:
             return False
-        log.info("resumed from step %d", int(self.state.step))
+        # Mid-epoch data-order resume: replay the interrupted epoch's
+        # deterministic shuffle and skip already-consumed batches, so no
+        # sample repeats (the ref logs --resume_from and restarts data from
+        # scratch — train.py:270-272).
+        meta = mngr.read_meta(int(self.state.step)) or {}
+        ds_state = meta.get("data_state")
+        if ds_state:
+            self.train_loader.set_position(ds_state["epoch"],
+                                           ds_state["batches"])
+            self._start_epoch = max(ds_state["epoch"] - 1, 0)
+            log.info("resumed from step %d (epoch %d, batch %d)",
+                     int(self.state.step), ds_state["epoch"],
+                     ds_state["batches"])
+        else:
+            log.info("resumed from step %d", int(self.state.step))
         return True
 
     # ------------------------------------------------------------------
@@ -100,7 +116,7 @@ class Trainer:
     def train(self) -> dict[str, Any]:
         t = self.cfg.training
         accum = max(t.grad_accum_steps, 1)
-        epoch = 0
+        epoch = self._start_epoch
         self._unstable = 0
         try:
             while int(self.state.step) < self.total_steps:
@@ -130,11 +146,17 @@ class Trainer:
                 self._end_of_epoch(epoch)
         except (KeyboardInterrupt, Exception):
             log.exception("training interrupted — emergency checkpoint")
-            self.ckpt.save(self.state, tag="emergency")
+            self.ckpt.save(self.state, tag="emergency",
+                           data_state=self.train_loader.state())
             self.ckpt.wait()
             raise
+        finally:
+            if self._profiling:   # run ended inside the trace window
+                jax.profiler.stop_trace()
+                self._profiling = False
         self.ckpt.save(self.state, tag="final",
-                       is_best=not np.isfinite(self.best_val))
+                       is_best=not np.isfinite(self.best_val),
+                       data_state=self.train_loader.state())
         self.ckpt.wait()
         save_loss_plot(self.history, Path(t.checkpoint_dir))
         return {"steps": int(self.state.step), "epochs": epoch,
@@ -155,7 +177,8 @@ class Trainer:
             self._unstable = 0
         if self.monitor.update(metrics["loss"]):
             log.error("loss unstable — emergency checkpoint")
-            self.ckpt.save(self.state, metrics=metrics, tag="emergency")
+            self.ckpt.save(self.state, metrics=metrics, tag="emergency",
+                           data_state=self.train_loader.state())
         return metrics
 
     # ------------------------------------------------------------------
@@ -203,12 +226,31 @@ class Trainer:
                      utts_per_sec=round(thr["utts_per_sec"], 3))
 
         if t.save_every_steps > 0 and step % t.save_every_steps == 0:
-            self.ckpt.save(self.state, metrics=m)
+            self.ckpt.save(self.state, metrics=m,
+                           data_state=self.train_loader.state())
         if time.time() - self._last_time_ckpt > t.save_every_secs:
             # ref 2-hour wall-clock cadence (trainer:256-257, 310-318)
-            self.ckpt.save(self.state, metrics=m, tag="timed")
+            self.ckpt.save(self.state, metrics=m, tag="timed",
+                           data_state=self.train_loader.state())
             self._last_time_ckpt = time.time()
+        self._maybe_profile(step)
         return m
+
+    def _maybe_profile(self, step: int) -> None:
+        """runtime.profile_dir: capture a jax.profiler timeline of steps
+        4-7 (past compile + warmup) — the TPU answer to the reference's
+        memory-only instrumentation (trainer:484-487, 967-974)."""
+        pdir = self.cfg.runtime.profile_dir
+        if not pdir:
+            return
+        if step == 4 and not self._profiling:
+            jax.profiler.start_trace(pdir)
+            self._profiling = True
+            log.info("profiler: tracing steps 4-7 -> %s", pdir)
+        elif step == 7 and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            log.info("profiler: trace written to %s", pdir)
 
     # ------------------------------------------------------------------
 

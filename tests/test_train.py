@@ -39,7 +39,7 @@ def tiny_avsr_cfg(**training_kw) -> AVSRConfig:
     # largest audio bucket (200 mel frames).
     model = dataclasses.replace(
         model,
-        llm=dataclasses.replace(model.llm, vocab_size=260),
+        llm=dataclasses.replace(model.llm, vocab_size=260, max_seq_len=256),
         whisper=dataclasses.replace(model.whisper, max_frames=200))
     training = TrainingConfig(
         num_epochs=1, learning_rate=1e-3, warmup_steps=2, grad_accum_steps=1,
@@ -222,3 +222,75 @@ def test_trainer_loop_synthetic(tmp_path):
     tr2 = Trainer(cfg, params, loader, vloader)
     assert tr2.maybe_resume()
     assert int(tr2.state.step) == 4
+
+
+def test_midepoch_resume_no_repeats(tmp_path):
+    """Interrupt mid-epoch, resume: the loader replays the epoch's
+    deterministic order and skips consumed batches — no sample repeats
+    (round-1 VERDICT weak #9; ref declares --resume_from but restarts data,
+    train.py:270-272)."""
+    from avsr_tpu.train.loop import Trainer
+
+    def mk(max_steps):
+        cfg = tiny_avsr_cfg()
+        return dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, synthetic_size=8,
+                                     batch_size=2),
+            training=dataclasses.replace(cfg.training, max_steps=max_steps,
+                                         save_every_steps=1,
+                                         checkpoint_dir=str(tmp_path)))
+
+    tok = ByteTokenizer()
+
+    def mk_loader(cfg):
+        ds = SyntheticAVSRDataset(cfg.data, tok, modality="audio",
+                                  image_size=16)
+        return DataLoader(ds, cfg.data, tok, model_cfg=cfg.model, seed=3)
+
+    seen_ids: list[str] = []
+
+    class SpyLoader(DataLoader):
+        def __iter__(self):
+            for hb, b in super().__iter__():
+                seen_ids.extend(hb.utt_ids)
+                yield hb, b
+
+    cfg1 = mk(max_steps=2)            # 2 of the 4 batches in epoch 1
+    ds1 = SyntheticAVSRDataset(cfg1.data, tok, modality="audio",
+                               image_size=16)
+    loader1 = SpyLoader(ds1, cfg1.data, tok, model_cfg=cfg1.model, seed=3)
+    params = init_avsr_model(jax.random.key(0), cfg1.model)
+    tr1 = Trainer(cfg1, params, loader1)
+    tr1.train()
+    first_run = list(seen_ids)
+    assert len(first_run) == 4        # 2 steps x batch 2
+
+    seen_ids.clear()
+    cfg2 = mk(max_steps=4)            # finish the epoch after resume
+    ds2 = SyntheticAVSRDataset(cfg2.data, tok, modality="audio",
+                               image_size=16)
+    loader2 = SpyLoader(ds2, cfg2.data, tok, model_cfg=cfg2.model, seed=3)
+    tr2 = Trainer(cfg2, params, loader2)
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == 2
+    tr2.train()
+    second_run = list(seen_ids)
+
+    # the resumed run must see exactly the other 4 samples of the epoch
+    assert len(second_run) == 4
+    assert not (set(first_run) & set(second_run)), (first_run, second_run)
+    assert set(first_run) | set(second_run) == {
+        f"synthetic/{i:05d}" for i in range(8)}
+
+
+def test_batch_size_probe_runs():
+    """Doubling probe (ref _find_optimal_batch_size, trainer:976-1003):
+    tiny model on CPU never OOMs below the cap, so the probe returns the
+    cap and each probed step executed."""
+    from avsr_tpu.train.probe import find_optimal_batch_size
+
+    cfg = tiny_avsr_cfg()
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    best = find_optimal_batch_size(cfg, params, start=2, max_batch=8)
+    assert best == 8

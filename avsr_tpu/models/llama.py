@@ -318,6 +318,25 @@ def embed_tokens(params: Params, tokens: jax.Array,
 # Apply — single decode step with KV cache
 # ---------------------------------------------------------------------------
 
+def _gqa_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          kv_lens: jax.Array) -> jax.Array:
+    """Single-token GQA attention: q [B,H,1,D] vs cache k/v [B,Hkv,M,D].
+
+    Groups query heads over their kv head with an einsum instead of
+    ``jnp.repeat``-ing K/V to H heads (the repeat materializes ~4x the
+    cache per layer per token — pure HBM waste in the decode loop)."""
+    B, H, _, D = q.shape
+    Hkv, M = k.shape[1], k.shape[2]
+    g = H // Hkv
+    qg = q.reshape(B, Hkv, g, D).astype(jnp.float32) * (D ** -0.5)
+    s = jnp.einsum("bhgd,bhmd->bhgm", qg, k.astype(jnp.float32))
+    mask = (jnp.arange(M)[None, :] < kv_lens[:, None])[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgm,bhmd->bhgd", p, v.astype(jnp.float32))
+    return o.reshape(B, H, 1, D).astype(q.dtype)
+
+
 def llama_decode_step(
     params: Params,
     cfg: LLMConfig,
@@ -333,8 +352,6 @@ def llama_decode_step(
     Per-sample write positions support ragged prefixes from right-padded
     prefill (SURVEY.md §7 "generate() with an embedding prefix under jit").
     """
-    from avsr_tpu.ops.attention import mha_reference
-
     B = x.shape[0]
     d = cfg.d_model
     hd = d // cfg.n_heads
@@ -363,9 +380,8 @@ def llama_decode_step(
         v_all = v_all.at[i, b_idx, :, cur_lens, :].set(
             v[:, :, 0, :].astype(v_all.dtype))
 
-        attn = mha_reference(q, k_all[i].astype(compute_dtype),
-                             v_all[i].astype(compute_dtype),
-                             kv_lens=cur_lens + 1)
+        attn = _gqa_decode_attention(q, k_all[i], v_all[i],
+                                     kv_lens=cur_lens + 1)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, d)
         x = x + proj(layer["o"], attn, lora_scale=ls)
 

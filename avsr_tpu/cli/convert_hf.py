@@ -1,0 +1,93 @@
+"""Convert local HF checkpoints (Whisper / CLIP / Llama) into avsr_tpu params.
+
+The reference loads HF models live at startup (clip_whisper_model.py:864-1019)
+and its README promises a download_models script that doesn't exist
+(README.md:52). Here conversion is an explicit offline step: torch state
+dicts from *local* HF directories are mapped into the avsr_tpu pytree
+(models.*.convert_hf_*) around freshly-initialized connectors + LoRA, and
+exported as an Orbax params checkpoint that ``--checkpoint`` accepts in
+train/decode/validate.
+
+    python -m avsr_tpu.cli.convert_hf --out exported/ \
+        model.whisper_path=/ckpts/whisper-medium \
+        model.clip_path=/ckpts/clip-vit-base-patch32 \
+        model.llm_path=/ckpts/Llama-3.2-1B
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax
+
+from avsr_tpu.cli.common import base_parser, load_cli_config
+
+log = logging.getLogger("avsr.cli.convert_hf")
+
+
+def _torch_state_dict(path: str, loader: str):
+    """Load a local HF checkpoint's state dict without instantiating it on
+    an accelerator. ``loader``: transformers class name."""
+    import transformers
+
+    cls = getattr(transformers, loader)
+    model = cls.from_pretrained(path, local_files_only=True)
+    return model.state_dict(), model.config
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = base_parser("Convert local HF checkpoints to an avsr_tpu params export")
+    p.add_argument("--out", required=True, help="output params directory")
+    args = p.parse_args(argv)
+    cfg = load_cli_config(args)
+    m = cfg.model
+
+    from avsr_tpu.models.avsr import init_avsr_model
+    from avsr_tpu.models.clip_vit import convert_hf_clip_vision
+    from avsr_tpu.models.llama import add_lora, convert_hf_llama
+    from avsr_tpu.models.whisper_encoder import convert_hf_whisper_encoder
+    from avsr_tpu.train.checkpoint import export_params
+
+    params = init_avsr_model(jax.random.key(cfg.training.seed), m)
+
+    if m.whisper_path and m.modality in ("audio", "both"):
+        sd, hf_cfg = _torch_state_dict(m.whisper_path, "WhisperModel")
+        if hf_cfg.d_model != m.whisper.d_model:
+            raise ValueError(
+                f"whisper d_model mismatch: HF {hf_cfg.d_model} vs config "
+                f"{m.whisper.d_model}")
+        params["whisper"] = convert_hf_whisper_encoder(sd, m.whisper)
+        log.info("converted whisper from %s", m.whisper_path)
+
+    if m.clip_path and m.modality in ("video", "both"):
+        sd, hf_cfg = _torch_state_dict(m.clip_path, "CLIPVisionModel")
+        if hf_cfg.hidden_size != m.clip.d_model:
+            raise ValueError(
+                f"clip d_model mismatch: HF {hf_cfg.hidden_size} vs config "
+                f"{m.clip.d_model}")
+        params["clip"] = convert_hf_clip_vision(sd, m.clip)
+        log.info("converted clip from %s", m.clip_path)
+
+    if m.llm_path:
+        sd, hf_cfg = _torch_state_dict(m.llm_path, "AutoModelForCausalLM")
+        if hf_cfg.hidden_size != m.llm.d_model:
+            raise ValueError(
+                f"llm d_model mismatch: HF {hf_cfg.hidden_size} vs config "
+                f"{m.llm.d_model}")
+        llm = convert_hf_llama(sd, m.llm)
+        if m.lora.use_lora:
+            llm = add_lora(jax.random.key(cfg.training.seed + 1), llm,
+                           m.llm, m.lora)
+        params["llm"] = llm
+        log.info("converted llm from %s", m.llm_path)
+
+    out = Path(args.out).absolute()
+    export_params(params, out)
+    log.info("params export -> %s (load with --checkpoint %s)", out, out)
+    print(f"exported params to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -85,7 +85,7 @@ def mha_reference(
 
 def _flash_fwd_kernel(
     lens_ref,   # SMEM [B, 2] int32 (unblocked): (q_len, kv_len) per batch row
-    q_ref,      # VMEM [1, 1, block_q, D]
+    q_ref,      # VMEM [1, 1, block_q, D] — GQA-packed query rows
     k_ref,      # VMEM [1, 1, Tk, D]
     v_ref,      # VMEM [1, 1, Tk, D]
     o_ref,      # VMEM [1, 1, block_q, D]
@@ -96,13 +96,23 @@ def _flash_fwd_kernel(
     block_q: int,
     block_k: int,
     kv_seq: int,
+    q_seq: int,
 ):
+    """GQA head packing: the wrapper reshapes q [B, H, Tq, D] to
+    [B, Hkv, G*Tq, D] (a contiguous no-copy reshape), so one program serves
+    a whole query-head group against its single resident KV shard — G x
+    fewer programs and no KV re-fetch per query head. ``q_seq`` is the
+    per-group padded Tq; a row's true sequence position is its packed index
+    mod q_seq (block_q divides q_seq, so a block never straddles groups)."""
     b = pl.program_id(0)
     qi = pl.program_id(2)
-    q_start = qi * block_q
+    q_start = (qi * block_q) % q_seq
     kv_len = lens_ref[b, 1]
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale      # [bq, D]
+    # MXU runs at full rate on the *input* dtype (bf16 in production);
+    # accumulation stays f32 via preferred_element_type. Upcasting q/k to
+    # f32 first would force multi-pass f32 matmuls — ~6x slower on v5e.
+    q = q_ref[0, 0]                                      # [bq, D] native dtype
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     num_kv_blocks = pl.cdiv(kv_seq, block_k)
@@ -114,11 +124,11 @@ def _flash_fwd_kernel(
 
     def body(j, carry):
         acc, m, l = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [bq, bk]
+            preferred_element_type=jnp.float32) * sm_scale   # [bq, bk] f32
         kv_ids = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = kv_ids < kv_len
@@ -131,7 +141,7 @@ def _flash_fwd_kernel(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
@@ -164,14 +174,15 @@ def _flash_bwd_dq_kernel(
     block_q: int,
     block_k: int,
     kv_seq: int,
+    q_seq: int,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
-    q_start = qi * block_q
+    q_start = (qi * block_q) % q_seq
     kv_len = lens_ref[b, 1]
 
-    qs = q_ref[0, 0].astype(jnp.float32) * sm_scale     # [bq, D]
-    do = do_ref[0, 0].astype(jnp.float32)
+    qs = q_ref[0, 0]                                    # [bq, D] native dtype
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0]                                 # [bq, 1]
     delta = delta_ref[0, 0]                             # [bq, 1]
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -182,10 +193,10 @@ def _flash_bwd_dq_kernel(
                                     pl.cdiv(q_start + block_q, block_k))
 
     def body(j, dq_acc):
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * sm_scale
         kv_ids = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = kv_ids < kv_len
@@ -196,7 +207,7 @@ def _flash_bwd_dq_kernel(
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         return dq_acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(
@@ -207,13 +218,13 @@ def _flash_bwd_dq_kernel(
 
 def _flash_bwd_dkv_kernel(
     lens_ref,    # SMEM [B, 2]
-    q_ref,       # [1, 1, Tq, D]   — q head hkv*group + g
+    q_ref,       # [1, 1, G*Tq, D] — the kv head's whole GQA-packed q group
     k_ref,       # [1, 1, block_k, D]
     v_ref,       # [1, 1, block_k, D]
-    do_ref,      # [1, 1, Tq, D]
-    lse_ref,     # [1, 1, Tq, 1] f32
-    delta_ref,   # [1, 1, Tq, 1] f32
-    dk_ref,      # out [1, 1, block_k, D] f32 — same block revisited per g
+    do_ref,      # [1, 1, G*Tq, D]
+    lse_ref,     # [1, 1, G*Tq, 1] f32
+    delta_ref,   # [1, 1, G*Tq, 1] f32
+    dk_ref,      # out [1, 1, block_k, D] f32
     dv_ref,      # out [1, 1, block_k, D] f32
     *,
     sm_scale: float,
@@ -221,80 +232,75 @@ def _flash_bwd_dkv_kernel(
     block_q: int,
     block_k: int,
     q_seq: int,
+    q_packed: int,
 ):
-    """Grid (B, Hkv, TkB, group): the GQA group is the innermost grid dim,
-    so dk/dv output blocks stay resident in VMEM and accumulate across the
-    group's q-heads (revisited-block pattern) instead of a python unroll."""
+    """Grid (B, Hkv, TkB): with GQA-packed q the group's every head streams
+    through one program, accumulating dk/dv in registers — one visit per
+    output block instead of the old revisited-block pattern. q positions are
+    packed-row mod q_seq."""
     b = pl.program_id(0)
     ki = pl.program_id(2)
-    g = pl.program_id(3)
     k_start = ki * block_k
     q_len = lens_ref[b, 0]
     kv_len = lens_ref[b, 1]
 
-    @pl.when(g == 0)
-    def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
-
-    k = k_ref[0, 0].astype(jnp.float32)                  # [bk, D]
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]                                      # [bk, D] native
+    v = v_ref[0, 0]
     kv_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    num_q_blocks = pl.cdiv(q_seq, block_q)
-    # Causal: q blocks strictly before this kv block contribute nothing.
-    start_q = (k_start // block_q) if causal else 0
+    num_q_blocks = pl.cdiv(q_packed, block_q)
 
     def body(j, carry):
         dk_a, dv_a = carry
-        qs = q_ref[0, 0, pl.ds(j * block_q, block_q), :].astype(
-            jnp.float32) * sm_scale                       # [bq, D]
-        do = do_ref[0, 0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        qs = q_ref[0, 0, pl.ds(j * block_q, block_q), :]  # [bq, D]
+        do = do_ref[0, 0, pl.ds(j * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(j * block_q, block_q), :]
         delta = delta_ref[0, 0, pl.ds(j * block_q, block_q), :]
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        q_ids = j * block_q + jax.lax.broadcasted_iota(
+                                preferred_element_type=jnp.float32) * sm_scale
+        q_ids = (j * block_q) % q_seq + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         mask = (kv_ids < kv_len) & (q_ids < q_len)
         if causal:
             mask &= q_ids >= kv_ids
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)        # [bq, bk]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)        # [bq, bk] f32
+        pc = p.astype(do.dtype)
         dv_a = dv_a + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            pc, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [bk, D]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)                             # [bq, bk]
+        # fold sm_scale into ds so qs stays in its native dtype
+        ds = (p * (dp - delta) * sm_scale).astype(qs.dtype)  # [bq, bk]
         dk_a = dk_a + jax.lax.dot_general(
             ds, qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [bk, D]
         return dk_a, dv_a
 
     zero = jnp.zeros((block_k, k.shape[-1]), jnp.float32)
-    dk_acc, dv_acc = jax.lax.fori_loop(start_q, num_q_blocks, body,
-                                       (zero, zero))
-    dk_ref[0, 0] += dk_acc
-    dv_ref[0, 0] += dv_acc
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q_blocks, body, (zero, zero))
+    dk_ref[0, 0] = dk_acc
+    dv_ref[0, 0] = dv_acc
 
 
-def _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret):
-    B, H, Tq, D = q.shape
+def _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret,
+              q_seq):
+    # q arrives GQA-packed: [B, Hkv, G*q_seq, D]
+    B, Hkv, Qp, D = q.shape
     Tk = k.shape[2]
-    group = H // k.shape[1]
     kernel = functools.partial(
         _flash_fwd_kernel, sm_scale=sm_scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_seq=Tk)
+        block_q=block_q, block_k=block_k, kv_seq=Tk, q_seq=q_seq)
     return pl.pallas_call(
         kernel,
-        grid=(B, H, Tq // block_q),
+        grid=(B, Hkv, Qp // block_q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h // group, 0, 0),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h // group, 0, 0),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -305,52 +311,53 @@ def _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret):
         ),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Qp, 1), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Tq * Tk * D,
+            flops=4 * B * Hkv * Qp * Tk * D,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-            transcendentals=B * H * Tq * Tk,
+            transcendentals=B * Hkv * Qp * Tk,
         ),
     )(lens, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_core(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_core(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret,
+                q_seq):
     out, _ = _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k,
-                       interpret)
+                       interpret, q_seq)
     return out
 
 
 def _flash_core_fwd(q, k, v, lens, causal, sm_scale, block_q, block_k,
-                    interpret):
+                    interpret, q_seq):
     out, lse = _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k,
-                         interpret)
+                         interpret, q_seq)
     return out, (q, k, v, lens, out, lse)
 
 
-def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
+def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
+                    res, g):
     q, k, v, lens, out, lse = res
-    B, H, Tq, D = q.shape
-    Hkv, Tk = k.shape[1], k.shape[2]
-    group = H // Hkv
+    B, Hkv, Qp, D = q.shape
+    Tk = k.shape[2]
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)                     # [B, H, Tq, 1]
+                    axis=-1, keepdims=True)                 # [B, Hkv, Qp, 1]
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_seq=Tk)
+        block_q=block_q, block_k=block_k, kv_seq=Tk, q_seq=q_seq)
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(B, H, Tq // block_q),
+        grid=(B, Hkv, Qp // block_q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h // group, 0, 0),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h // group, 0, 0),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -367,33 +374,29 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-        block_q=block_q, block_k=block_k, q_seq=Tq)
+        block_q=block_q, block_k=block_k, q_seq=q_seq, q_packed=Qp)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(B, Hkv, Tk // block_k, group),
+        grid=(B, Hkv, Tk // block_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Tq, D),
-                         lambda b, h, i, g: (b, h * group + g, 0, 0),
+            pl.BlockSpec((1, 1, Qp, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, g: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, g: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, D),
-                         lambda b, h, i, g: (b, h * group + g, 0, 0),
+            pl.BlockSpec((1, 1, Qp, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, 1),
-                         lambda b, h, i, g: (b, h * group + g, 0, 0),
+            pl.BlockSpec((1, 1, Qp, 1), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, 1),
-                         lambda b, h, i, g: (b, h * group + g, 0, 0),
+            pl.BlockSpec((1, 1, Qp, 1), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, g: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, g: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -439,6 +442,7 @@ def flash_attention(
     B, H, Tq, D = q.shape
     Hkv, Tk = k.shape[1], k.shape[2]
     assert H % Hkv == 0, (H, Hkv)
+    group = H // Hkv
     scale = sm_scale if sm_scale is not None else D ** -0.5
 
     Tq_pad = -(-Tq // block_q) * block_q
@@ -455,8 +459,13 @@ def flash_attention(
     lens = jnp.stack([q_lens.astype(jnp.int32), kv_lens.astype(jnp.int32)],
                      axis=-1)  # [B, 2]
 
+    # GQA head packing: fold the query-head group into the sequence axis
+    # (contiguous reshape, no copy) — one kernel program per kv head serves
+    # its whole group; see _flash_fwd_kernel.
+    q = q.reshape(B, Hkv, group * Tq_pad, D)
     out = _flash_core(q, k, v, lens, causal, scale, block_q, block_k,
-                      interpret)
+                      interpret, Tq_pad)
+    out = out.reshape(B, H, Tq_pad, D)
     return out[:, :, :Tq] if Tq_pad != Tq else out
 
 

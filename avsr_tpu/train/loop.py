@@ -38,6 +38,10 @@ from avsr_tpu.train.step import make_eval_step, make_train_step, microbatch
 log = logging.getLogger("avsr.train")
 
 
+class _Preempted(Exception):
+    pass
+
+
 class Trainer:
     def __init__(self, cfg: AVSRConfig, params, train_loader: DataLoader,
                  val_loader: DataLoader | None = None,
@@ -76,6 +80,7 @@ class Trainer:
         self._rng = jax.random.key(t.seed)
         self._profiling = False
         self._start_epoch = 0
+        self._preempted = False
 
         trainable, total = count_trainable(params, cfg.model)
         log.info("model: %.2fM params, %.2fM trainable (%.1f%%)",
@@ -118,6 +123,7 @@ class Trainer:
         accum = max(t.grad_accum_steps, 1)
         epoch = self._start_epoch
         self._unstable = 0
+        self._install_preemption_handler()
         try:
             while int(self.state.step) < self.total_steps:
                 epoch += 1
@@ -144,6 +150,9 @@ class Trainer:
                             break
                         self._guarded_step(group, epoch)
                 self._end_of_epoch(epoch)
+        except _Preempted:
+            log.info("stopped on preemption at step %d — resume to continue",
+                     int(self.state.step))
         except (KeyboardInterrupt, Exception):
             log.exception("training interrupted — emergency checkpoint")
             self.ckpt.save(self.state, tag="emergency",
@@ -154,9 +163,10 @@ class Trainer:
             if self._profiling:   # run ended inside the trace window
                 jax.profiler.stop_trace()
                 self._profiling = False
-        self.ckpt.save(self.state, tag="final",
-                       is_best=not np.isfinite(self.best_val),
-                       data_state=self.train_loader.state())
+        if not self._preempted:   # preempt path already saved this step
+            self.ckpt.save(self.state, tag="final",
+                           is_best=not np.isfinite(self.best_val),
+                           data_state=self.train_loader.state())
         self.ckpt.wait()
         save_loss_plot(self.history, Path(t.checkpoint_dir))
         return {"steps": int(self.state.step), "epochs": epoch,
@@ -234,7 +244,50 @@ class Trainer:
                            data_state=self.train_loader.state())
             self._last_time_ckpt = time.time()
         self._maybe_profile(step)
+        if step % 100 == 0:
+            self._log_device_memory(step)
+        if self._preempted:
+            # TPU preemption (SIGTERM): save with loader position and stop
+            # cleanly — the next run resumes mid-epoch with no lost samples.
+            log.warning("preemption signal — checkpoint + clean stop")
+            self.ckpt.save(self.state, metrics=m, tag="preempt",
+                           data_state=self.train_loader.state())
+            self.ckpt.wait()
+            raise _Preempted
         return m
+
+    # ------------------------------------------------------------------
+
+    def _install_preemption_handler(self) -> None:
+        """SIGTERM -> checkpoint-and-exit at the next step boundary (the
+        preemption-aware loop SURVEY.md §5.3 calls for; the reference has
+        only same-process exception recovery, trainer:394-405)."""
+        import signal
+        import threading
+
+        self._preempted = False
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def _on_term(signum, frame):
+            del signum, frame
+            self._preempted = True
+
+        try:
+            self._old_sigterm = signal.signal(signal.SIGTERM, _on_term)
+        except (ValueError, OSError):   # non-main interpreter contexts
+            pass
+
+    def _log_device_memory(self, step: int) -> None:
+        """Per-100-step device memory telemetry (ref trainer:484-487,
+        967-974 logged CUDA stats on the same cadence)."""
+        stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+        if stats:
+            used = stats.get("bytes_in_use", 0)
+            peak = stats.get("peak_bytes_in_use", used)
+            limit = stats.get("bytes_limit", 0)
+            log.info("step %d | device mem %.2f GiB (peak %.2f / limit %.2f)",
+                     step, used / 2**30, peak / 2**30, limit / 2**30)
 
     def _maybe_profile(self, step: int) -> None:
         """runtime.profile_dir: capture a jax.profiler timeline of steps

@@ -294,3 +294,40 @@ def test_batch_size_probe_runs():
     params = init_avsr_model(jax.random.key(0), cfg.model)
     best = find_optimal_batch_size(cfg, params, start=2, max_batch=8)
     assert best == 8
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM-style preemption: the loop checkpoints with loader position
+    at the next step boundary, stops cleanly, and a fresh Trainer resumes
+    (SURVEY.md §5.3 preemption-aware training)."""
+    from avsr_tpu.train.loop import Trainer
+
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, max_steps=4,
+                                          checkpoint_dir=str(tmp_path)))
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg.data, tok, modality="audio", image_size=16)
+    loader = DataLoader(ds, cfg.data, tok, model_cfg=cfg.model, seed=1)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+
+    tr = Trainer(cfg, params, loader)
+    orig_step = tr._step
+
+    def step_then_preempt(mbs, epoch):
+        m = orig_step(mbs, epoch)
+        if int(tr.state.step) == 2:
+            tr._preempted = True   # what the SIGTERM handler sets
+        return m
+
+    tr._step = step_then_preempt
+    out = tr.train()
+    del out
+    assert int(tr.state.step) in (2, 3)
+    assert tr.ckpt.latest_step() is not None
+
+    tr2 = Trainer(cfg, params, loader)
+    assert tr2.maybe_resume()
+    assert int(tr2.state.step) == tr.ckpt.latest_step()
+    out2 = tr2.train()
+    assert out2["steps"] == 4

@@ -185,10 +185,13 @@ class MeshConfig:
     fsdp: int = 1                # parameter sharding axis (zero-style)
     tp: int = 1                  # tensor parallel over ICI
     sp: int = 1                  # sequence/context parallel (ring attention)
+    # GPipe pipeline parallelism over the LLM layer stack (ops.pipeline);
+    # training-path only, mutually exclusive with sp for now.
+    pp: int = 1
     # Multi-slice data parallel over DCN (slice-to-slice network): only the
-    # dp gradient all-reduce crosses DCN; fsdp/sp/tp collectives stay on ICI.
+    # dp gradient all-reduce crosses DCN; fsdp/sp/tp/pp traffic stays on ICI.
     dcn_dp: int = 1
-    axis_names: tuple[str, ...] = ("dcn", "dp", "fsdp", "sp", "tp")
+    axis_names: tuple[str, ...] = ("dcn", "dp", "fsdp", "sp", "tp", "pp")
     remat: bool = True           # jax.checkpoint on transformer blocks
     donate: bool = True
 
@@ -263,6 +266,13 @@ class AVSRConfig:
                 f"largest audio bucket ({self.data.audio_buckets[-1]} mel "
                 f"frames) exceeds whisper.max_frames "
                 f"({self.model.whisper.max_frames})")
+        if self.mesh.pp > 1:
+            if self.mesh.sp > 1:
+                raise ValueError("mesh.pp and mesh.sp are mutually exclusive")
+            if self.model.llm.n_layers % self.mesh.pp != 0:
+                raise ValueError(
+                    f"llm.n_layers ({self.model.llm.n_layers}) must divide "
+                    f"evenly into mesh.pp={self.mesh.pp} stages")
         return self
 
 

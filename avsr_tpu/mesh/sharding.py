@@ -4,8 +4,8 @@ The reference is strictly single-device (SURVEY.md §2.4: no DDP/FSDP/TP
 anywhere; train.py:149 picks one GPU). Here parallelism is first-class and
 declarative:
 
-  * mesh axes ``(dp, fsdp, sp, tp)`` over ICI (MeshConfig; dp inferred from
-    the device count by default);
+  * mesh axes ``(dcn, dp, fsdp, sp, tp, pp)`` (MeshConfig; dp inferred
+    from the device count by default);
   * **dp** — batch data parallel: the microbatch axis is sharded, gradients
     are averaged by pjit-inserted all-reduces;
   * **fsdp** — ZeRO-style parameter/optimizer sharding: every large kernel's
@@ -15,7 +15,11 @@ declarative:
     exactly one all-reduce pair inserted by XLA over ICI;
   * **sp** — sequence/context parallel: the attention sequence axis is
     sharded and computed with ring attention (ops.ring_attention, ppermute
-    over ICI) — long sequences scale across chips instead of truncating.
+    over ICI) — long sequences scale across chips instead of truncating;
+  * **pp** — GPipe pipeline parallelism over the LLM layer stack
+    (ops.pipeline): stages hold layer slices, microbatches stream between
+    neighbors with ppermute;
+  * **dcn** — multi-slice data parallel over the inter-slice network.
 
 Everything is expressed as PartitionSpec rules over parameter *paths*; pjit
 propagates them through the train step — no hand-written collectives in the
@@ -51,27 +55,28 @@ def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     fsdp, tp, sp = max(cfg.fsdp, 1), max(cfg.tp, 1), max(cfg.sp, 1)
+    pp = max(cfg.pp, 1)
     dcn = max(cfg.dcn_dp, 1)
-    dp = cfg.dp if cfg.dp > 0 else n // (dcn * fsdp * sp * tp)
-    if dcn * dp * fsdp * sp * tp != n:
+    dp = cfg.dp if cfg.dp > 0 else n // (dcn * fsdp * sp * tp * pp)
+    if dcn * dp * fsdp * sp * tp * pp != n:
         raise ValueError(
-            f"mesh {dcn}x{dp}x{fsdp}x{sp}x{tp} != {n} devices "
+            f"mesh {dcn}x{dp}x{fsdp}x{sp}x{tp}x{pp} != {n} devices "
             "(set mesh.dp=-1 to infer)")
-    shape = (dp, fsdp, sp, tp)
+    shape = (dp, fsdp, sp, tp, pp)
     if dcn > 1:
         try:
             from jax.experimental import mesh_utils
             arr = mesh_utils.create_hybrid_device_mesh(
-                (1,) + shape, (dcn, 1, 1, 1, 1), devices,
+                (1,) + shape, (dcn,) + (1,) * len(shape), devices,
                 allow_split_physical_axes=True)
         except (ValueError, AssertionError, AttributeError) as e:
             log.info("hybrid mesh unavailable (%s) — outer reshape", e)
             arr = np.asarray(devices).reshape((dcn,) + shape)
     else:
         arr = np.asarray(devices).reshape((1,) + shape)
-    mesh = Mesh(arr, axis_names=("dcn", "dp", "fsdp", "sp", "tp"))
-    log.info("mesh: dcn=%d dp=%d fsdp=%d sp=%d tp=%d over %d devices",
-             dcn, dp, fsdp, sp, tp, n)
+    mesh = Mesh(arr, axis_names=("dcn", "dp", "fsdp", "sp", "tp", "pp"))
+    log.info("mesh: dcn=%d dp=%d fsdp=%d sp=%d tp=%d pp=%d over %d devices",
+             dcn, dp, fsdp, sp, tp, pp, n)
     return mesh
 
 
@@ -183,5 +188,7 @@ def shard_train_step(cfg: AVSRConfig, tx, mesh: Mesh):
     # (jit propagates them and inserts the collectives); the mesh handle is
     # threaded into the steps so the sp axis can run ring attention
     # (ops.ring_attention) inside the forward.
-    sp_mesh = mesh if dict(mesh.shape).get("sp", 1) > 1 else None
-    return make_train_step(cfg, tx, sp_mesh), make_eval_step(cfg, sp_mesh)
+    shape = dict(mesh.shape)
+    need = shape.get("sp", 1) > 1 or shape.get("pp", 1) > 1
+    step_mesh = mesh if need else None
+    return make_train_step(cfg, tx, step_mesh), make_eval_step(cfg, step_mesh)

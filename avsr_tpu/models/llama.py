@@ -269,20 +269,47 @@ def llama_apply(
     ls = lora_scale(lora) if lora is not None else 0.0
     ldrop = lora.dropout if (lora is not None and dropout_rng is not None) else 0.0
 
+    pp = dict(mesh.shape).get("pp", 1) if mesh is not None else 1
     kvs = []
-    for i, layer in enumerate(params["layers"]):
-        rng_i = (jax.random.fold_in(dropout_rng, i)
-                 if dropout_rng is not None else None)
+    if pp > 1 and not return_cache:
+        # GPipe over the layer stack (ops.pipeline): each pp device holds
+        # n_layers/pp stages; microbatches stream through with ppermute.
+        # Training path only (prefill/caching stays serial); LoRA dropout
+        # is inactive under pp (rng threading across stages is omitted).
+        from avsr_tpu.ops.pipeline import pipeline_apply, stack_stages
 
-        def run(lp, xx, rng):
-            return _block(lp, xx, cos, sin, cfg, lengths, ls, use_pallas,
-                          rng, ldrop, mesh)
+        stages = stack_stages(params["layers"], pp)
 
-        if remat:
-            run = jax.checkpoint(run)
-        x, kv = run(layer, x, rng_i)
-        if return_cache:
-            kvs.append(kv)
+        def stage_fn(lp_stack, x_mb, cos_mb, sin_mb, len_mb):
+            def body(xx, lp):
+                y, _ = _block(lp, xx, cos_mb, sin_mb, cfg, len_mb, ls,
+                              use_pallas, None, 0.0, None)
+                return y, None
+            if remat:
+                out, _ = jax.lax.scan(
+                    jax.checkpoint(body, static_argnums=()), x_mb, lp_stack)
+            else:
+                out, _ = jax.lax.scan(body, x_mb, lp_stack)
+            return out
+
+        x = pipeline_apply(stage_fn, stages, x, cos, sin,
+                           lengths if lengths is not None
+                           else jnp.full((B,), T, jnp.int32),
+                           mesh=mesh, axis="pp")
+    else:
+        for i, layer in enumerate(params["layers"]):
+            rng_i = (jax.random.fold_in(dropout_rng, i)
+                     if dropout_rng is not None else None)
+
+            def run(lp, xx, rng):
+                return _block(lp, xx, cos, sin, cfg, lengths, ls, use_pallas,
+                              rng, ldrop, mesh)
+
+            if remat:
+                run = jax.checkpoint(run)
+            x, kv = run(layer, x, rng_i)
+            if return_cache:
+                kvs.append(kv)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     out = x if output == "hidden" else compute_logits(params, cfg, x)

@@ -61,10 +61,8 @@ def wav_num_samples(path: Path) -> int:
 
 def video_num_frames(path: Path) -> int:
     if path.suffix == ".npy":
-        with open(path, "rb") as fh:
-            version = np.lib.format.read_magic(fh)
-            shape, _, _ = np.lib.format._read_array_header(fh, version)
-        return int(shape[0])
+        # mmap reads only the header — no frame data is loaded
+        return int(np.load(path, mmap_mode="r").shape[0])
     import cv2
 
     cap = cv2.VideoCapture(str(path))

@@ -202,6 +202,18 @@ class DataLoader:
             self._pool = ThreadPoolExecutor(self.cfg.num_workers)
         return list(self._pool.map(lambda i: self.ds[int(i)], chunk))
 
+    def close(self) -> None:
+        """Release the fetch worker threads (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):   # backstop for un-closed loaders
+        try:
+            self.close()
+        except Exception:   # noqa: BLE001 — interpreter shutdown
+            pass
+
     def _resolve_audio(self, samples, idxs) -> list:
         """Decode deferred WAVs for the whole group in one native
         multithreaded call (C++ decode+resample straight into a padded

@@ -272,6 +272,8 @@ def llama_apply(
     pp = dict(mesh.shape).get("pp", 1) if mesh is not None else 1
     kvs = []
     if pp > 1 and not return_cache:
+        if dropout_rng is not None and ldrop > 0.0:
+            _warn_pp_dropout()
         # GPipe over the layer stack (ops.pipeline): each pp device holds
         # n_layers/pp stages; microbatches stream through with ppermute.
         # Training path only (prefill/caching stays serial); LoRA dropout
@@ -339,6 +341,22 @@ def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
 def embed_tokens(params: Params, tokens: jax.Array,
                  dtype: jnp.dtype = jnp.float32) -> jax.Array:
     return params["embed"].astype(dtype)[tokens]
+
+
+_pp_dropout_warned = False
+
+
+def _warn_pp_dropout() -> None:
+    """LoRA dropout is not threaded across pipeline stages — warn loudly
+    (once) instead of silently changing regularization with a mesh knob."""
+    global _pp_dropout_warned
+    if not _pp_dropout_warned:
+        _pp_dropout_warned = True
+        import logging
+        logging.getLogger("avsr.models.llama").warning(
+            "mesh.pp > 1: LoRA dropout is inactive under pipeline "
+            "parallelism (rng is not threaded across stages). Set "
+            "model.lora.dropout=0 to silence this warning.")
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fstream>
+#include <list>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -129,7 +130,9 @@ struct PolyBank {
 };
 
 const PolyBank& get_bank(int up, int down) {
-  static std::vector<PolyBank> cache;
+  // std::list: node storage is stable, so references handed to concurrent
+  // decode threads survive later insertions (a std::vector would relocate).
+  static std::list<PolyBank> cache;
   static std::mutex mu;
   std::lock_guard<std::mutex> lock(mu);
   for (const auto& b : cache)
@@ -160,7 +163,7 @@ const PolyBank& get_bank(int up, int down) {
   }
   cache.push_back(std::move(b));
   return cache.back();
-}
+}  // NOLINT: reference stability guaranteed by std::list
 
 std::vector<float> resample(const std::vector<float>& x, int sr_in, int sr_out) {
   if (sr_in == sr_out || x.empty()) return x;

@@ -45,8 +45,11 @@ def preprocess_frames(
         new_h, new_w = S, max(S, int(round(W * S / H)))
     else:
         new_h, new_w = max(S, int(round(H * S / W))), S
+    # antialias=False matches the host tier's cv2-INTER_LINEAR semantics
+    # (data/dataset.resize_crop_frames), so either placement yields the
+    # same tensors.
     x = jax.image.resize(x, (B, T, new_h, new_w, C), method="bilinear",
-                         antialias=True)
+                         antialias=False)
     top = (new_h - S) // 2
     left = (new_w - S) // 2
     x = jax.lax.slice(x, (0, 0, top, left, 0), (B, T, top + S, left + S, C))

@@ -32,27 +32,28 @@ def _ring_block(q, k, v, q_pos0, k_pos0, kv_lens, causal, sm_scale):
 
     Returns (out_unnormalized [B,H,Tl,D] f32, m [B,H,Tl,1], l [B,H,Tl,1]).
     Positions are global so causal/padding masks stay exact under sharding.
+    GQA via grouped einsum — K/V are never replicated to the query heads
+    (a jnp.repeat here would multiply attention HBM traffic every ring
+    step; same reasoning as models.llama._gqa_decode_attention).
     """
     B, H, Tq, D = q.shape
     Hkv, Tk = k.shape[1], k.shape[2]
-    if Hkv != H:
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * sm_scale,
-                   k.astype(jnp.float32))
+    g = H // Hkv
+    qg = q.reshape(B, Hkv, g, Tq, D).astype(jnp.float32) * sm_scale
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k.astype(jnp.float32))
     q_ids = q_pos0 + jnp.arange(Tq)
     k_ids = k_pos0 + jnp.arange(Tk)
-    mask = (k_ids[None, :] < kv_lens[:, None])[:, None, None, :]
+    mask = (k_ids[None, :] < kv_lens[:, None])[:, None, None, None, :]
     if causal:
-        mask = mask & (q_ids[:, None] >= k_ids[None, :])[None, None]
+        mask = mask & (q_ids[:, None] >= k_ids[None, :])[None, None, None]
     s = jnp.where(mask, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)                      # [B,H,Tq,1]
+    m = jnp.max(s, axis=-1, keepdims=True)                  # [B,Hkv,g,Tq,1]
     p = jnp.exp(s - m)
-    p = jnp.where(mask, p, 0.0)                                 # kill exp(0)
+    p = jnp.where(mask, p, 0.0)                             # kill exp(0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
-    return out, m, l
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32))
+    return (out.reshape(B, H, Tq, D), m.reshape(B, H, Tq, 1),
+            l.reshape(B, H, Tq, 1))
 
 
 def ring_attention(

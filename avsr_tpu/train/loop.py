@@ -130,25 +130,26 @@ class Trainer:
                 # Micro-batches from different length buckets have different
                 # static shapes; accumulate per shape group so every stacked
                 # [accum, micro, ...] batch is homogeneous.
-                groups: dict[tuple, list] = {}
+                self._groups = {}
                 for hb, batch in self.train_loader:
                     key = tuple(
                         x.shape for x in jax.tree_util.tree_leaves(batch))
-                    group = groups.setdefault(key, [])
+                    group = self._groups.setdefault(key, [])
                     group.append(batch)
                     if len(group) < accum:
                         continue
-                    del groups[key]
+                    del self._groups[key]
                     self._guarded_step(group, epoch)
                     if int(self.state.step) >= self.total_steps:
                         break
                 if int(self.state.step) < self.total_steps:
                     # Flush partial groups — no data silently dropped; each
                     # is zero-weight-padded to `accum` in _step (no recompile).
-                    for group in groups.values():
+                    for group in list(self._groups.values()):
                         if int(self.state.step) >= self.total_steps:
                             break
                         self._guarded_step(group, epoch)
+                    self._groups = {}
                 self._end_of_epoch(epoch)
         except _Preempted:
             log.info("stopped on preemption at step %d — resume to continue",
@@ -156,7 +157,7 @@ class Trainer:
         except (KeyboardInterrupt, Exception):
             log.exception("training interrupted — emergency checkpoint")
             self.ckpt.save(self.state, tag="emergency",
-                           data_state=self.train_loader.state())
+                           data_state=self._data_state())
             self.ckpt.wait()
             raise
         finally:
@@ -166,11 +167,25 @@ class Trainer:
         if not self._preempted:   # preempt path already saved this step
             self.ckpt.save(self.state, tag="final",
                            is_best=not np.isfinite(self.best_val),
-                           data_state=self.train_loader.state())
+                           data_state=self._data_state())
         self.ckpt.wait()
         save_loss_plot(self.history, Path(t.checkpoint_dir))
         return {"steps": int(self.state.step), "epochs": epoch,
                 "best_val": self.best_val}
+
+    # ------------------------------------------------------------------
+
+    def _data_state(self) -> dict[str, int]:
+        """Loader position for checkpoint meta. Batches consumed into
+        still-pending accumulation groups have NOT been applied to the
+        params, so the saved position rewinds past them — on resume those
+        batches replay. A replayed batch may (rarely) be one that was
+        already stepped in an interleaved group, so resume is at-least-once
+        per micro-batch across a preemption, never lossy."""
+        st = self.train_loader.state()
+        pending = sum(len(g) for g in getattr(self, "_groups", {}).values())
+        return {"epoch": st["epoch"],
+                "batches": max(st["batches"] - pending, 0)}
 
     # ------------------------------------------------------------------
 
@@ -188,7 +203,7 @@ class Trainer:
         if self.monitor.update(metrics["loss"]):
             log.error("loss unstable — emergency checkpoint")
             self.ckpt.save(self.state, metrics=metrics, tag="emergency",
-                           data_state=self.train_loader.state())
+                           data_state=self._data_state())
         return metrics
 
     # ------------------------------------------------------------------
@@ -237,11 +252,11 @@ class Trainer:
 
         if t.save_every_steps > 0 and step % t.save_every_steps == 0:
             self.ckpt.save(self.state, metrics=m,
-                           data_state=self.train_loader.state())
+                           data_state=self._data_state())
         if time.time() - self._last_time_ckpt > t.save_every_secs:
             # ref 2-hour wall-clock cadence (trainer:256-257, 310-318)
             self.ckpt.save(self.state, metrics=m, tag="timed",
-                           data_state=self.train_loader.state())
+                           data_state=self._data_state())
             self._last_time_ckpt = time.time()
         self._maybe_profile(step)
         if step % 100 == 0:
@@ -251,7 +266,7 @@ class Trainer:
             # cleanly — the next run resumes mid-epoch with no lost samples.
             log.warning("preemption signal — checkpoint + clean stop")
             self.ckpt.save(self.state, metrics=m, tag="preempt",
-                           data_state=self.train_loader.state())
+                           data_state=self._data_state())
             self.ckpt.wait()
             raise _Preempted
         return m

@@ -22,41 +22,15 @@ from __future__ import annotations
 
 import argparse
 import logging
-import struct
 from pathlib import Path
 
 import numpy as np
 
 from avsr_tpu.core.logging import setup_logging
+from avsr_tpu.data.audio_io import wav_num_samples
 from avsr_tpu.data.manifest import ManifestEntry, write_manifest
 
 log = logging.getLogger("avsr.cli.prepare_data")
-
-_WORDS = ("the quick brown fox jumps over a lazy dog while seven wizards "
-          "brew hazy potions at midnight near the old stone bridge").split()
-
-
-def wav_num_samples(path: Path) -> int:
-    """Sample count at the file's native rate from the RIFF header only."""
-    with open(path, "rb") as fh:
-        if fh.read(12)[:4] != b"RIFF":
-            raise ValueError(f"{path}: not RIFF")
-        n_ch = bits = 0
-        while True:
-            hdr = fh.read(8)
-            if len(hdr) < 8:
-                break
-            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-            if cid == b"fmt ":
-                fmt = fh.read(size)
-                _, n_ch, _, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
-            elif cid == b"data":
-                if not n_ch:
-                    raise ValueError(f"{path}: data before fmt")
-                return size // (n_ch * max(bits // 8, 1))
-            else:
-                fh.seek(size + (size & 1), 1)
-    raise ValueError(f"{path}: no data chunk")
 
 
 def video_num_frames(path: Path) -> int:
@@ -108,6 +82,7 @@ def load_transcripts(data_dir: Path, transcripts: Path | None,
 def make_demo(out: Path, n: int, seed: int) -> Path:
     """Write n synthetic utterances as real media files under out/media."""
     from avsr_tpu.data.audio_io import write_wav
+    from avsr_tpu.data.dataset import _WORDS
 
     media = out / "media"
     media.mkdir(parents=True, exist_ok=True)

@@ -96,6 +96,30 @@ def load_audio(path: str | Path, target_sr: int = TARGET_SR,
     return x
 
 
+def wav_num_samples(path: str | Path) -> int:
+    """Sample count at the file's native rate, from the RIFF header only
+    (no audio data is read) — used for manifest num_samples columns."""
+    with open(path, "rb") as fh:
+        if fh.read(12)[:4] != b"RIFF":
+            raise ValueError(f"{path}: not RIFF")
+        n_ch = bits = 0
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                fmt = fh.read(size)
+                _, n_ch, _, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+            elif cid == b"data":
+                if not n_ch:
+                    raise ValueError(f"{path}: data before fmt")
+                return size // (n_ch * max(bits // 8, 1))
+            else:
+                fh.seek(size + (size & 1), 1)
+    raise ValueError(f"{path}: no data chunk")
+
+
 def write_wav(path: str | Path, x: np.ndarray, sr: int = TARGET_SR) -> None:
     """PCM16 writer (test fixtures + ref save_audio equivalent media.py:155)."""
     x16 = np.clip(x * 32767.0, -32768, 32767).astype("<i2")

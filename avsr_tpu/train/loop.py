@@ -21,6 +21,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from avsr_tpu.core.config import AVSRConfig
@@ -220,9 +221,11 @@ class Trainer:
                     [micro_batches[-1]] * (accum - n_real)
                 weights = np.zeros((accum,), np.float32)
                 weights[:n_real] = 1.0 / n_real
+            # jnp.stack keeps the (already on-device) featurized batches
+            # on device — np.stack here would round-trip tens of MB through
+            # the host every accumulation step.
             stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                *micro_batches)
+                lambda *xs: jnp.stack(xs), *micro_batches)
         else:
             stacked = microbatch(micro_batches[0], 1)
         if self.shard_batch is not None:

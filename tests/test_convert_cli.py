@@ -7,8 +7,6 @@ the standard ``--checkpoint`` path, and the converted Whisper must still
 match the torch forward bit-for-float.
 """
 
-import dataclasses
-
 import jax
 import numpy as np
 import pytest

@@ -330,12 +330,19 @@ def llama_apply(
 
 
 def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
-    """Final hidden -> vocab logits in f32 (loss/softmax stability)."""
+    """Final hidden -> vocab logits, f32 accumulation (loss stability).
+
+    The matmul runs in the weight's stored dtype with
+    preferred_element_type=f32: for bf16 weights that is bit-identical to
+    first upcasting (bf16 products are exact in f32 and accumulation is
+    f32 either way) but avoids materializing an f32 copy of the
+    [vocab, d] matrix — which dominated the per-token decode cost."""
     if cfg.tie_embeddings or "lm_head" not in params:
         w = params["embed"].T
     else:
         w = params["lm_head"]["w"]
-    return jnp.matmul(x.astype(jnp.float32), w.astype(jnp.float32))
+    return jnp.matmul(x.astype(w.dtype), w,
+                      preferred_element_type=jnp.float32)
 
 
 def embed_tokens(params: Params, tokens: jax.Array,

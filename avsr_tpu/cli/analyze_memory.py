@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     trainable, total = count_trainable(params, cfg.model)
     report["params_total"] = total
     report["params_trainable"] = trainable
+    report["activation_estimate_gib"] = activation_estimate(cfg)
 
     dev = jax.local_devices()[0]
     stats = getattr(dev, "memory_stats", lambda: None)()
@@ -77,6 +78,31 @@ def main(argv: list[str] | None = None) -> int:
     save_charts(report, out)
     print(json.dumps(report, indent=2))
     return 0
+
+
+def activation_estimate(cfg) -> dict[str, float]:
+    """Rough per-train-step activation memory (the reference estimates
+    batch memory at trainer:933-950). Counts the dominant stored tensors:
+    per-LLM-layer residual-stream activations kept for backward (frozen
+    encoders are primal-only and store nothing) plus the encoder outputs,
+    at compute_dtype width, batch = data.batch_size, worst-case buckets."""
+    m, d = cfg.model, cfg.data
+    B = d.batch_size
+    bytes_el = 2 if cfg.runtime.compute_dtype == "bfloat16" else 4
+    T_audio = min(d.audio_buckets[-1], m.whisper.max_frames) // 2
+    T_fused = min(T_audio + d.video_buckets[-1], m.max_seq_len)
+    T_pack = T_fused + d.max_label_length + 16          # + prompt margin
+    # ~8 stored [B, T, d]-sized tensors per transformer layer w/o remat
+    per_layer = 8 * B * T_pack * m.llm.d_model * bytes_el
+    ffn = 2 * B * T_pack * m.llm.ffn_dim * bytes_el
+    llm = m.llm.n_layers * (per_layer + ffn)
+    enc_out = B * T_audio * m.whisper.d_model * bytes_el
+    return {
+        "llm_no_remat": round(llm / 2**30, 3),
+        "llm_remat": round((per_layer + ffn) * 2 / 2**30, 3),
+        "encoder_outputs": round(enc_out / 2**30, 4),
+        "note": "estimate; mesh.remat trades this for recompute",
+    }
 
 
 def save_charts(report: dict, out: Path) -> None:

@@ -61,3 +61,48 @@ def test_scan_mode_with_sidecar_txt(tmp_path):
     _, entries = load_manifest(tmp_path / "o" / "train.tsv")
     assert len(entries) == 2
     assert entries[0].num_samples == 8000
+
+
+def test_demo_dataset_trains_and_decodes(tmp_path):
+    """Real files end to end: prepare_data --demo -> manifest dataset with
+    native batch WAV decode -> Trainer -> decode CLI. The only other E2E
+    test uses in-memory synthetic data; this one exercises the real-media
+    path (manifests, deferred audio, loader-native decode) inside training."""
+    from avsr_tpu.cli import decode as cli_decode
+    from avsr_tpu.cli import train as cli_train
+
+    data_dir = tmp_path / "data"
+    rc = prepare_data.main(["--demo", "12", "--out", str(data_dir),
+                            "--splits", "0.7,0.15,0.15", "--seed", "2"])
+    assert rc == 0
+
+    ckpt = tmp_path / "run"
+    overrides = [
+        f"data.path={data_dir}",
+        "data.synthetic=false",
+        "data.batch_size=8",      # dp=8 virtual mesh
+        "data.max_label_length=48",
+        "data.max_video_length=16",
+        "data.audio_buckets=[100,200,300]",
+        "data.video_buckets=[8,16]",
+        "model.modality=audio",
+        "model.whisper={d_model: 32, n_heads: 2, n_layers: 1, max_frames: 300}",
+        "model.llm={vocab_size: 260, d_model: 32, n_layers: 1, n_heads: 4, "
+        "n_kv_heads: 2, ffn_dim: 64, max_seq_len: 512}",
+        "model.lora={use_lora: true, r: 2, alpha: 4}",
+        "training.max_steps=3",
+        "training.warmup_steps=1",
+        "training.log_interval=1",
+        "training.save_every_steps=0",
+        f"training.checkpoint_dir={ckpt}",
+        "mesh.remat=false", "mesh.donate=false",
+        "runtime.compute_dtype=float32",
+        "decode.max_new_tokens=4",
+        "decode.batch_size=8",
+        f"decode.output_dir={tmp_path / 'dec'}",
+    ]
+    assert cli_train.main(overrides) == 0
+    assert (ckpt / "ckpt").exists()
+    assert cli_decode.main(["--checkpoint", str(ckpt / "ckpt"),
+                            "--split", "test", *overrides]) == 0
+    assert list((tmp_path / "dec").glob("wer_*.txt"))

@@ -88,9 +88,12 @@ def activation_estimate(cfg) -> dict[str, float]:
     at compute_dtype width, batch = data.batch_size, worst-case buckets."""
     m, d = cfg.model, cfg.data
     B = d.batch_size
-    bytes_el = 2 if cfg.runtime.compute_dtype == "bfloat16" else 4
-    T_audio = min(d.audio_buckets[-1], m.whisper.max_frames) // 2
-    T_fused = min(T_audio + d.video_buckets[-1], m.max_seq_len)
+    bytes_el = BYTES.get(cfg.runtime.compute_dtype, 4)
+    T_audio = (min(d.audio_buckets[-1], m.whisper.max_frames) // 2
+               if m.modality in ("audio", "both") and d.audio_buckets else 0)
+    T_video = (d.video_buckets[-1]
+               if m.modality in ("video", "both") and d.video_buckets else 0)
+    T_fused = min(T_audio + T_video, m.max_seq_len)
     T_pack = T_fused + d.max_label_length + 16          # + prompt margin
     # ~8 stored [B, T, d]-sized tensors per transformer layer w/o remat
     per_layer = 8 * B * T_pack * m.llm.d_model * bytes_el

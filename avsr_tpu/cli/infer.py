@@ -39,13 +39,19 @@ def main(argv: list[str] | None = None) -> int:
     from avsr_tpu.data.video_io import load_frames
     from avsr_tpu.infer.generate import generate
 
-    modality = ("both" if args.audio and args.video
-                else "audio" if args.audio else "video")
-    if modality != cfg.model.modality:
-        log.info("overriding model.modality=%s from provided media", modality)
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, modality=modality))
+    # The checkpoint's param tree is built from model.modality, so the
+    # provided media must match it (override model.modality=... on the
+    # command line to run a different mode — that path re-validates).
+    need_audio = cfg.model.modality in ("audio", "both")
+    need_video = cfg.model.modality in ("video", "both")
+    if (need_audio and not args.audio) or (need_video and not args.video):
+        p.error(f"model.modality={cfg.model.modality!r} needs "
+                f"{'--audio ' if need_audio else ''}"
+                f"{'--video' if need_video else ''} "
+                "(or override model.modality=audio/video/both)")
+    if not args.checkpoint:
+        log.warning("no --checkpoint: transcribing with RANDOM weights "
+                    "(smoke-test mode — output is meaningless)")
 
     tok = load_tokenizer(cfg.model.llm_path or None)
     audio = (load_audio(args.audio, max_samples=cfg.data.max_audio_length)

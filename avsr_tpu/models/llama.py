@@ -332,16 +332,20 @@ def llama_apply(
 def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     """Final hidden -> vocab logits, f32 accumulation (loss stability).
 
-    The matmul runs in the weight's stored dtype with
-    preferred_element_type=f32: for bf16 weights that is bit-identical to
-    first upcasting (bf16 products are exact in f32 and accumulation is
-    f32 either way) but avoids materializing an f32 copy of the
-    [vocab, d] matrix — which dominated the per-token decode cost."""
+    The matmul runs at the wider of (hidden, weight) dtype with
+    preferred_element_type=f32: for bf16 weights and bf16 hiddens this is
+    bit-identical to first upcasting everything (bf16 products are exact
+    in f32 and accumulation is f32 either way) but avoids materializing an
+    f32 copy of the [vocab, d] matrix — which dominated the per-token
+    decode cost. With f32 hiddens (param_dtype narrower than
+    compute_dtype) the weights upcast instead, preserving activation
+    precision."""
     if cfg.tie_embeddings or "lm_head" not in params:
         w = params["embed"].T
     else:
         w = params["lm_head"]["w"]
-    return jnp.matmul(x.astype(w.dtype), w,
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    return jnp.matmul(x.astype(dt), w.astype(dt),
                       preferred_element_type=jnp.float32)
 
 

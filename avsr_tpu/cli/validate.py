@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--synthetic", action="store_true",
                    help="shorthand for data.synthetic=true")
+    p.add_argument("--checkify", action="store_true",
+                   help="run under jax.experimental.checkify (nan/oob/div "
+                        "checks inside jit) and report the first error with "
+                        "its source location — the deep-debug mode SURVEY "
+                        "§5.2 calls for")
     args = p.parse_args(argv)
     if args.synthetic:
         args.overrides.append("data.synthetic=true")
@@ -43,6 +48,19 @@ def main(argv: list[str] | None = None) -> int:
                                 else "train", shuffle=False)
     params = init_or_load_params(cfg, args.checkpoint)
     eval_step = make_eval_step(cfg)
+    if args.checkify:
+        import jax
+        from jax.experimental import checkify
+
+        from avsr_tpu.train.step import _loss_fn
+        checked = jax.jit(checkify.checkify(
+            lambda p, b: _loss_fn(p, cfg, b, None)[0],
+            errors=checkify.float_checks | checkify.index_checks))
+
+        def eval_step(params, batch):  # noqa: F811 — checkified variant
+            err, loss = checked(params, batch)
+            err.throw()   # raises with the failing op's source location
+            return {"loss": loss, "accuracy": float("nan")}
 
     losses = []
     for i, (hb, batch) in enumerate(loader):

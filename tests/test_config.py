@@ -72,3 +72,15 @@ def test_save_roundtrip(tmp_path):
 def test_dict_overrides():
     cfg = load_config(None, {"model.max_seq_len": 256})
     assert cfg.model.max_seq_len == 256
+
+
+def test_validate_cli_checkify(tmp_path):
+    """--checkify runs the forward under jax.experimental.checkify and
+    still passes on healthy numerics (SURVEY §5.2 debug tier)."""
+    from avsr_tpu.cli import validate as cli_validate
+
+    rc = cli_validate.main([
+        "--config", "avsr_tpu/configs/tiny_cpu.yaml", "--checkify",
+        "--num_batches", "1",
+    ])
+    assert rc == 0

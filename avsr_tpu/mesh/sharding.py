@@ -46,7 +46,7 @@ log = logging.getLogger("avsr.mesh")
 # ---------------------------------------------------------------------------
 
 def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
-    """Axes ("dcn", "dp", "fsdp", "sp", "tp"). With ``dcn_dp > 1`` the
+    """Axes ("dcn", "dp", "fsdp", "sp", "tp", "pp"). With ``dcn_dp > 1`` the
     outermost axis spans TPU slices (multi-slice data parallel): device
     order comes from ``mesh_utils.create_hybrid_device_mesh`` so that only
     the dcn gradient all-reduce rides the slow DCN links, every other

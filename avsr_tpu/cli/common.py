@@ -67,6 +67,14 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
 
     params = init_avsr_model(jax.random.key(cfg.training.seed), cfg.model,
                              dtype=jnp.dtype(cfg.runtime.param_dtype))
+    # Quantize BEFORE restoring: a use_4bit/8bit run checkpoints the
+    # quantized tree (qw/scale leaves), so the abstract restore target must
+    # have the same structure.
+    if cfg.model.use_4bit or cfg.model.use_8bit:
+        from avsr_tpu.ops.quant import quantize_llm
+        bits = 4 if cfg.model.use_4bit else 8
+        params = dict(params)
+        params["llm"] = quantize_llm(params["llm"], bits)
     if checkpoint:
         from pathlib import Path
 
@@ -79,11 +87,6 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
             params = state.params
         else:
             params = load_params(ck, params)
-    if cfg.model.use_4bit or cfg.model.use_8bit:
-        from avsr_tpu.ops.quant import quantize_llm
-        bits = 4 if cfg.model.use_4bit else 8
-        params = dict(params)
-        params["llm"] = quantize_llm(params["llm"], bits)
     from avsr_tpu.train.state import cast_frozen
     params = cast_frozen(params, cfg.model,
                          dtype=jnp.dtype(cfg.runtime.compute_dtype))

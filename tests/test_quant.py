@@ -84,3 +84,35 @@ def test_quantized_decode_step_runs(rng):
                                         cur_lens=jnp.array([0, 0]))
     assert logits.shape == (2, CFG.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantized_cli_train_and_decode(tmp_path):
+    """use_4bit end to end through the real CLIs: quantized frozen LLM base
+    (QLoRA-style — adapters stay full precision) trains and decodes
+    (ref 4-bit BnB mode, clip_whisper_model.py:913-928)."""
+    from avsr_tpu.cli import decode as cli_decode
+    from avsr_tpu.cli import train as cli_train
+
+    overrides = [
+        "data.synthetic=true", "data.synthetic_size=4", "data.batch_size=8",
+        "data.max_label_length=24", "data.audio_buckets=[100]",
+        "data.video_buckets=[4]",
+        "model.modality=audio",
+        "model.use_4bit=true",
+        "model.whisper={d_model: 32, n_heads: 2, n_layers: 1, max_frames: 100}",
+        "model.llm={vocab_size: 260, d_model: 64, n_layers: 1, n_heads: 4, "
+        "n_kv_heads: 2, ffn_dim: 128, max_seq_len: 256, "
+        "tie_embeddings: true}",
+        "model.lora={use_lora: true, r: 2, alpha: 4}",
+        "training.max_steps=3", "training.warmup_steps=1",
+        "training.log_interval=1", "training.save_every_steps=0",
+        f"training.checkpoint_dir={tmp_path / 'run'}",
+        "mesh.remat=false", "mesh.donate=false",
+        "runtime.compute_dtype=float32",
+        "decode.max_new_tokens=4", "decode.batch_size=8",
+        f"decode.output_dir={tmp_path / 'dec'}",
+    ]
+    assert cli_train.main(overrides) == 0
+    assert cli_decode.main(["--checkpoint", str(tmp_path / "run" / "ckpt"),
+                            "--split", "train", *overrides]) == 0
+    assert list((tmp_path / "dec").glob("wer_*.txt"))

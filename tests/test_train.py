@@ -331,3 +331,41 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     assert int(tr2.state.step) == tr.ckpt.latest_step()
     out2 = tr2.train()
     assert out2["steps"] == 4
+
+
+def test_train_step_dual_connector(rng):
+    """Gradients flow through a dual-input fusion connector (qformer) in a
+    real optimizer step — the wiring the reference never had (§2.1)."""
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, modality="both",
+                                       connector_type="qformer"))
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    state, tx = create_train_state(params, cfg, total_steps=10)
+    step_fn = make_train_step(cfg, tx)
+    batch = microbatch(tiny_batch(rng, "both"), 1)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["connector"])[0])
+    for i in range(3):   # warmup lr is 0 at the very first step
+        state, m = step_fn(state, batch, jax.random.key(i))
+        assert not float(m["skipped"])
+    after = np.asarray(jax.tree_util.tree_leaves(state.params["connector"])[0])
+    assert np.abs(after - before).max() > 0   # connector actually trained
+
+
+def test_train_step_unfrozen_encoders(rng):
+    """freeze_encoders=false: the whisper encoder itself receives updates
+    (full fine-tune mode, ref --freeze_encoders flag)."""
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, freeze_encoders=False))
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    state, tx = create_train_state(params, cfg, total_steps=10)
+    step_fn = make_train_step(cfg, tx)
+    batch = microbatch(tiny_batch(rng, "audio"), 1)
+    w_before = np.asarray(state.params["whisper"]["conv1"]["w"])
+    for i in range(3):   # warmup lr is 0 at the very first step
+        state, m = step_fn(state, batch, jax.random.key(i))
+        assert not float(m["skipped"])
+    w_after = np.asarray(state.params["whisper"]["conv1"]["w"])
+    assert np.abs(w_after - w_before).max() > 0

@@ -23,6 +23,7 @@ from avsr_tpu.cli.common import (
     build_data,
     init_or_load_params,
     load_cli_config,
+    maybe_mesh,
 )
 
 log = logging.getLogger("avsr.cli.decode")
@@ -42,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     tok, _, loader = build_data(cfg, args.split, shuffle=False,
                                 batch_size=cfg.decode.batch_size)
     params = init_or_load_params(cfg, args.checkpoint)
+    mesh, _ = maybe_mesh(cfg)
+    if mesh is not None:
+        # multi-chip decoding: params shard by the mesh rules (tp/fsdp) and
+        # the NamedShardings propagate through the jitted generate loop
+        from avsr_tpu.mesh.sharding import shard_params
+        params = shard_params(params, mesh)
 
     out_dir = Path(cfg.decode.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -111,3 +111,28 @@ def test_generate_dispatch(model_and_batch):
     out = generate(params, cfg, batch, DecodeConfig(max_new_tokens=3),
                    eos_id=EOS, use_pallas="never")
     assert out.tokens.shape == (2, 3)
+
+
+def test_generate_with_tp_sharded_params(rng):
+    """Distributed inference: generation with megatron-TP-sharded params on
+    the virtual mesh produces the same tokens as unsharded generation (the
+    NamedShardings propagate through the jitted prefill + decode loop)."""
+    import dataclasses
+
+    from avsr_tpu.core.config import MeshConfig
+    from avsr_tpu.mesh.sharding import build_mesh, shard_params
+
+    cfg = tiny_model_cfg(modality="audio")
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, vocab_size=64))
+    params = init_avsr_model(jax.random.key(0), cfg)
+    batch = tiny_batch(rng, "audio")
+
+    ref = generate_tokens(params, cfg, batch, max_new_tokens=8, eos_id=-1)
+
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=2, sp=1, tp=2))
+    sharded = shard_params(params, mesh)
+    out = generate_tokens(sharded, cfg, batch, max_new_tokens=8, eos_id=-1)
+
+    np.testing.assert_array_equal(np.asarray(out.tokens),
+                                  np.asarray(ref.tokens))

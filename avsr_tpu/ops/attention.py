@@ -27,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# The default Mosaic scoped-VMEM budget (16 MB) is exceeded by the
+# long-sequence bwd kernels (whole GQA-packed q group resident at
+# packed-seq ~2k); v5e has ample physical VMEM, so raise the cap.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 # ---------------------------------------------------------------------------
 # XLA reference
@@ -314,6 +319,7 @@ def _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret,
             jax.ShapeDtypeStruct((B, Hkv, Qp, 1), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * Qp * Tk * D,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
@@ -370,6 +376,7 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(lens, q, k, v, g, lse, delta)
 
     dkv_kernel = functools.partial(
@@ -404,6 +411,7 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(lens, q, k, v, g, lse, delta)
     dk = dk.astype(k.dtype)
     dv = dv.astype(v.dtype)

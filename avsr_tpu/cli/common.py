@@ -65,32 +65,52 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
 
     from avsr_tpu.models.avsr import init_avsr_model
 
-    params = init_avsr_model(jax.random.key(cfg.training.seed), cfg.model,
-                             dtype=jnp.dtype(cfg.runtime.param_dtype))
-    # Quantize BEFORE restoring: a use_4bit/8bit run checkpoints the
-    # quantized tree (qw/scale leaves), so the abstract restore target must
-    # have the same structure.
-    if cfg.model.use_4bit or cfg.model.use_8bit:
-        from avsr_tpu.ops.quant import quantize_llm
-        bits = 4 if cfg.model.use_4bit else 8
-        params = dict(params)
-        params["llm"] = quantize_llm(params["llm"], bits)
-    if checkpoint:
-        from pathlib import Path
+    params_fp = init_avsr_model(jax.random.key(cfg.training.seed), cfg.model,
+                                dtype=jnp.dtype(cfg.runtime.param_dtype))
+    quant_bits = (4 if cfg.model.use_4bit else
+                  8 if cfg.model.use_8bit else 0)
 
-        from avsr_tpu.train.checkpoint import CheckpointManager, load_params
-        ck = Path(checkpoint)
-        if (ck / "best.json").exists() or any(ck.glob("meta_*.json")):
-            from avsr_tpu.train.state import create_train_state
-            state, _ = create_train_state(params, cfg, total_steps=1)
-            state = CheckpointManager(ck).restore(state)
-            params = state.params
+    def quantize(p):
+        from avsr_tpu.ops.quant import quantize_llm
+        p = dict(p)
+        p["llm"] = quantize_llm(p["llm"], quant_bits)
+        return p
+
+    params = quantize(params_fp) if quant_bits else params_fp
+    if checkpoint:
+        if quant_bits:
+            # A use_4bit/8bit training run checkpoints the quantized tree
+            # (qw/scale leaves); a convert_hf export or fp training run
+            # stores full-precision kernels. Try the quantized structure
+            # first, fall back to restore-fp-then-quantize (the reference's
+            # load-then-BnB recipe, clip_whisper_model.py:913-928).
+            try:
+                params = _restore(checkpoint, params, cfg)
+            except Exception:  # noqa: BLE001 — orbax structure mismatch
+                log = logging.getLogger("avsr.cli")
+                log.info("checkpoint is full-precision — quantizing after "
+                         "restore")
+                params = quantize(_restore(checkpoint, params_fp, cfg))
         else:
-            params = load_params(ck, params)
+            params = _restore(checkpoint, params, cfg)
     from avsr_tpu.train.state import cast_frozen
     params = cast_frozen(params, cfg.model,
                          dtype=jnp.dtype(cfg.runtime.compute_dtype))
     return params
+
+
+def _restore(checkpoint: str, params_like, cfg: AVSRConfig):
+    """Restore a trainer checkpoint dir or a params-only export into the
+    structure of ``params_like``."""
+    from pathlib import Path
+
+    from avsr_tpu.train.checkpoint import CheckpointManager, load_params
+    ck = Path(checkpoint)
+    if (ck / "best.json").exists() or any(ck.glob("meta_*.json")):
+        from avsr_tpu.train.state import create_train_state
+        state, _ = create_train_state(params_like, cfg, total_steps=1)
+        return CheckpointManager(ck).restore(state).params
+    return load_params(ck, params_like)
 
 
 def maybe_mesh(cfg: AVSRConfig):

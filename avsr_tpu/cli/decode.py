@@ -44,11 +44,14 @@ def main(argv: list[str] | None = None) -> int:
                                 batch_size=cfg.decode.batch_size)
     params = init_or_load_params(cfg, args.checkpoint)
     mesh, _ = maybe_mesh(cfg)
+    shard_batch = None
     if mesh is not None:
-        # multi-chip decoding: params shard by the mesh rules (tp/fsdp) and
-        # the NamedShardings propagate through the jitted generate loop
-        from avsr_tpu.mesh.sharding import shard_params
+        # multi-chip decoding: params shard by the mesh rules (tp/fsdp),
+        # batches split over the data axes, and the NamedShardings
+        # propagate through the jitted generate loop
+        from avsr_tpu.mesh.sharding import infer_batch_sharder, shard_params
         params = shard_params(params, mesh)
+        shard_batch = infer_batch_sharder(mesh)
 
     out_dir = Path(cfg.decode.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -63,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
     with open(results_path, "w") as rf:
         for hb, batch in loader:
             rng, sub = jax.random.split(rng)
+            if shard_batch is not None:
+                batch = shard_batch(batch)
             out = generate(params, cfg.model, batch, cfg.decode,
                            eos_id=tok.eos_id, rng=sub,
                            compute_dtype=cfg.runtime.compute_dtype,

@@ -49,12 +49,21 @@ def main(argv: list[str] | None = None) -> int:
     params = init_or_load_params(cfg, args.checkpoint)
     eval_step = make_eval_step(cfg)
     if args.checkify:
+        import dataclasses
+
         import jax
         from jax.experimental import checkify
 
         from avsr_tpu.train.step import _loss_fn
+
+        # checkify has no rewrite rule for pallas_call — run the checkified
+        # loss on the XLA attention path (numerics-equivalent; the flash
+        # kernel has its own parity tests).
+        ck_cfg = dataclasses.replace(
+            cfg, runtime=dataclasses.replace(cfg.runtime,
+                                             use_pallas="never"))
         checked = jax.jit(checkify.checkify(
-            lambda p, b: _loss_fn(p, cfg, b, None)[0],
+            lambda p, b: _loss_fn(p, ck_cfg, b, None)[0],
             errors=checkify.float_checks | checkify.index_checks))
 
         def eval_step(params, batch):  # noqa: F811 — checkified variant

@@ -175,6 +175,26 @@ def batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
     return shard
 
 
+def infer_batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
+    """Shard an inference Batch ([B, ...] leaves, no accum axis) over the
+    data axes so multi-chip decode actually splits the work; B must divide
+    the data-parallel ways."""
+    ways = 1
+    for ax in ("dcn", "dp", "fsdp"):
+        ways *= dict(mesh.shape).get(ax, 1)
+
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim < 1 or x.shape[0] % ways != 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(
+            x, NamedSharding(mesh, P(("dcn", "dp", "fsdp"))))
+
+    def shard(batch):
+        return jax.tree_util.tree_map(put, batch)
+
+    return shard
+
+
 def shard_train_step(cfg: AVSRConfig, tx, mesh: Mesh):
     """Mesh-aware train/eval steps.
 

@@ -2,8 +2,6 @@
 type coercion, unknown-key rejection, and every validate() rule — the one
 schema replacing the reference's three overlapping systems (SURVEY §5.6)."""
 
-import dataclasses
-
 import pytest
 
 from avsr_tpu.core.config import AVSRConfig, load_config, save_config, to_dict

@@ -116,3 +116,36 @@ def test_quantized_cli_train_and_decode(tmp_path):
     assert cli_decode.main(["--checkpoint", str(tmp_path / "run" / "ckpt"),
                             "--split", "train", *overrides]) == 0
     assert list((tmp_path / "dec").glob("wer_*.txt"))
+
+
+def test_fp_export_loads_with_quantization(tmp_path):
+    """A full-precision params export (convert_hf output) must load under
+    use_4bit: restore the fp tree, then quantize (the reference's
+    load-then-BnB recipe, clip_whisper_model.py:913-928)."""
+    import dataclasses
+
+    from avsr_tpu.cli.common import init_or_load_params
+    from avsr_tpu.core.config import AVSRConfig, DataConfig, RuntimeConfig
+    from avsr_tpu.models.avsr import init_avsr_model
+    from avsr_tpu.train.checkpoint import export_params
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models_avsr import tiny_model_cfg
+
+    model = tiny_model_cfg(modality="audio")
+    cfg = AVSRConfig(
+        data=DataConfig(synthetic=True, audio_buckets=(40,),
+                        video_buckets=(4,)),
+        model=model, runtime=RuntimeConfig(compute_dtype="float32"))
+    fp = init_avsr_model(jax.random.key(1), model)
+    export_params(fp, tmp_path / "export")
+
+    qcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(model, use_4bit=True))
+    params = init_or_load_params(qcfg, str(tmp_path / "export"))
+    layer = params["llm"]["layers"][0]["q"]
+    assert "qw4" in layer or "qw" in layer       # base got quantized
+    # and the restored fp values actually flowed in (embed matches export)
+    np.testing.assert_array_equal(np.asarray(params["llm"]["embed"]),
+                                  np.asarray(fp["llm"]["embed"]))

@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from avsr_tpu.models.avsr import init_avsr_model
     from avsr_tpu.models.clip_vit import convert_hf_clip_vision
+    from avsr_tpu.models.hubert import convert_hf_speech_ssl
     from avsr_tpu.models.llama import add_lora, convert_hf_llama
     from avsr_tpu.models.whisper_encoder import convert_hf_whisper_encoder
     from avsr_tpu.train.checkpoint import export_params
@@ -59,6 +60,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"{m.whisper.d_model}")
         params["whisper"] = convert_hf_whisper_encoder(sd, m.whisper)
         log.info("converted whisper from %s", m.whisper_path)
+
+    if (m.audio_encoder_path and m.modality in ("audio", "both")
+            and m.audio_encoder in ("hubert", "wav2vec2")):
+        loader = "HubertModel" if m.audio_encoder == "hubert" else "Wav2Vec2Model"
+        sd, hf_cfg = _torch_state_dict(m.audio_encoder_path, loader)
+        if hf_cfg.hidden_size != m.ssl.d_model:
+            raise ValueError(
+                f"{m.audio_encoder} d_model mismatch: HF {hf_cfg.hidden_size} "
+                f"vs config {m.ssl.d_model}")
+        params[m.audio_encoder] = convert_hf_speech_ssl(sd, m.ssl)
+        log.info("converted %s from %s", m.audio_encoder, m.audio_encoder_path)
 
     if m.clip_path and m.modality in ("video", "both"):
         sd, hf_cfg = _torch_state_dict(m.clip_path, "CLIPVisionModel")

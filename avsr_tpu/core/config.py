@@ -79,6 +79,36 @@ class WhisperConfig:
 
 
 @dataclass(frozen=True)
+class SpeechSSLConfig:
+    """HuBERT / Wav2Vec2 audio-encoder geometry (HF facebook/hubert-*,
+    facebook/wav2vec2-*). The reference declares these encoder choices in
+    its config (src/utils/config.py:53-56) but never implements them;
+    here they are selectable via ``model.audio_encoder``."""
+
+    d_model: int = 768           # *-base; 1024 for *-large
+    n_heads: int = 12
+    n_layers: int = 12
+    ffn_mult: int = 4
+    conv_dims: tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernels: tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_strides: tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False                  # True for *-large
+    feat_extract_norm: str = "group"         # group (base) | layer (large)
+    do_stable_layer_norm: bool = False       # pre-LN blocks (large)
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    sample_rate: int = 16000
+    normalize_input: bool = True             # per-utterance zero-mean/unit-var
+
+    @property
+    def downsample(self) -> int:
+        out = 1
+        for s in self.conv_strides:
+            out *= s
+        return out
+
+
+@dataclass(frozen=True)
 class ClipConfig:
     """CLIP ViT vision-encoder architecture (HF openai/clip-vit-* geometry)."""
 
@@ -126,7 +156,12 @@ class ModelConfig:
     llm_path: str = ""                    # HF dir for weight conversion (optional)
     whisper_path: str = ""
     clip_path: str = ""
+    audio_encoder_path: str = ""          # HF dir for hubert/wav2vec2 conversion
     modality: str = "both"                # audio | video | both
+    # Encoder family selection (reference src/utils/config.py:53-56 declares
+    # these choices but implements only whisper+clip — SURVEY.md §2.5).
+    audio_encoder: str = "whisper"        # whisper | hubert | wav2vec2
+    video_encoder: str = "clip"           # clip | resnet
     connector_type: str = "simple"        # one of CONNECTOR_TYPES
     fusion_scale: float = 0.5             # audio weight in weighted-sum fusion
     fusion_mode: str = "weighted_sum"     # weighted_sum | concat_seq | connector
@@ -138,6 +173,7 @@ class ModelConfig:
     use_8bit: bool = False                # weight-only int8 LLM quantization
     prompt: str = "Transcribe the speech into text:"
     whisper: WhisperConfig = field(default_factory=WhisperConfig)
+    ssl: SpeechSSLConfig = field(default_factory=SpeechSSLConfig)
     clip: ClipConfig = field(default_factory=ClipConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
     lora: LoRAConfig = field(default_factory=LoRAConfig)
@@ -145,6 +181,18 @@ class ModelConfig:
     connector_hidden_mult: int = 2
     qformer_queries: int = 32             # ref advanced_connectors.py:232
     perceiver_latents: int = 64           # ref advanced_connectors.py:433
+
+    @property
+    def audio_dim(self) -> int:
+        """Feature dim the audio connector consumes."""
+        if self.audio_encoder == "whisper":
+            return self.whisper.d_model
+        return self.ssl.d_model
+
+    @property
+    def video_dim(self) -> int:
+        """Feature dim the video connector consumes."""
+        return self.clip.d_model
 
 
 @dataclass(frozen=True)
@@ -254,6 +302,18 @@ class AVSRConfig:
                 f"requires modality='both' (got {self.model.modality!r})")
         if self.model.use_4bit and self.model.use_8bit:
             raise ValueError("use_4bit and use_8bit are mutually exclusive")
+        if self.model.audio_encoder not in ("whisper", "hubert", "wav2vec2"):
+            raise ValueError(
+                f"audio_encoder must be whisper|hubert|wav2vec2, "
+                f"got {self.model.audio_encoder!r}")
+        if self.model.video_encoder not in ("clip",):
+            raise ValueError(
+                f"video_encoder must be clip, got {self.model.video_encoder!r}")
+        if self.model.ssl.feat_extract_norm not in ("group", "layer"):
+            raise ValueError("ssl.feat_extract_norm must be group|layer")
+        if not (len(self.model.ssl.conv_dims) == len(self.model.ssl.conv_kernels)
+                == len(self.model.ssl.conv_strides)):
+            raise ValueError("ssl conv_dims/conv_kernels/conv_strides lengths differ")
         if self.training.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1")
         if self.model.llm.n_heads % max(self.model.llm.n_kv_heads, 1) != 0:
@@ -261,7 +321,8 @@ class AVSRConfig:
         for b, nxt in zip(self.data.audio_buckets, self.data.audio_buckets[1:]):
             if nxt <= b:
                 raise ValueError("audio_buckets must be strictly increasing")
-        if self.data.audio_buckets[-1] > self.model.whisper.max_frames:
+        if (self.model.audio_encoder == "whisper"
+                and self.data.audio_buckets[-1] > self.model.whisper.max_frames):
             raise ValueError(
                 f"largest audio bucket ({self.data.audio_buckets[-1]} mel "
                 f"frames) exceeds whisper.max_frames "
@@ -328,9 +389,9 @@ def _resolve_field_types() -> dict[tuple[type, str], Any]:
     import typing
 
     out: dict[tuple[type, str], Any] = {}
-    for cls in (DataConfig, WhisperConfig, ClipConfig, LLMConfig, LoRAConfig,
-                ModelConfig, TrainingConfig, MeshConfig, RuntimeConfig,
-                DecodeConfig, AVSRConfig):
+    for cls in (DataConfig, WhisperConfig, SpeechSSLConfig, ClipConfig,
+                LLMConfig, LoRAConfig, ModelConfig, TrainingConfig,
+                MeshConfig, RuntimeConfig, DecodeConfig, AVSRConfig):
         hints = typing.get_type_hints(cls)
         for f in fields(cls):
             out[(cls, f.name)] = hints.get(f.name)

@@ -101,10 +101,19 @@ def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
                      label_lens, prompt)
 
 
-def featurize(hb: HostBatch, compute_dtype=jnp.float32) -> Batch:
-    """Host batch -> device Batch (jit-cached per static shape)."""
-    mel = mel_lens = vframes = None
-    if hb.audio is not None:
+def featurize(hb: HostBatch, compute_dtype=jnp.float32,
+              audio_frontend: str = "mel") -> Batch:
+    """Host batch -> device Batch (jit-cached per static shape).
+
+    ``audio_frontend``: "mel" computes the Whisper log-mel on device
+    (ops.logmel); "wave" passes the raw padded waveform through for the
+    hubert/wav2vec2 encoders (models.hubert), which own their conv front
+    end."""
+    mel = mel_lens = vframes = wave = wave_lens = None
+    if hb.audio is not None and audio_frontend == "wave":
+        wave = jnp.asarray(hb.audio)
+        wave_lens = jnp.asarray(hb.audio_lens)
+    elif hb.audio is not None:
         mel = log_mel_spectrogram(jnp.asarray(hb.audio),
                                   jnp.asarray(hb.audio_lens))
         mel_lens = jnp.asarray(hb.audio_lens) // HOP_LENGTH
@@ -119,7 +128,17 @@ def featurize(hb: HostBatch, compute_dtype=jnp.float32) -> Batch:
         prompt_tokens=jnp.asarray(hb.prompt),
         labels=jnp.asarray(hb.labels),
         label_lens=jnp.asarray(hb.label_lens),
+        wave=wave,
+        wave_lens=wave_lens,
     )
+
+
+def audio_frontend_for(model_cfg: ModelConfig | None) -> str:
+    """Which featurize front end the configured audio encoder consumes."""
+    if model_cfg is not None and model_cfg.audio_encoder in ("hubert",
+                                                             "wav2vec2"):
+        return "wave"
+    return "mel"
 
 
 class DataLoader:
@@ -139,6 +158,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.compute_dtype = compute_dtype
+        self.audio_frontend = audio_frontend_for(model_cfg)
         self.pad_id = tokenizer.pad_id
         prompt_text = model_cfg.prompt if model_cfg is not None else ""
         self.prompt_ids = tokenizer.encode(prompt_text, add_bos=True)
@@ -275,7 +295,8 @@ class DataLoader:
                 for hb in self._host_batches(skip):
                     if stop.is_set():
                         return
-                    q.put((hb, featurize(hb, self.compute_dtype)))
+                    q.put((hb, featurize(hb, self.compute_dtype,
+                                         self.audio_frontend)))
             except Exception as e:  # propagate into the consumer
                 q.put(e)
             finally:

@@ -31,11 +31,12 @@ from avsr_tpu.core.config import ModelConfig
 from avsr_tpu.models import llama as llama_mod
 from avsr_tpu.models.clip_vit import clip_vit_apply, init_clip_vit
 from avsr_tpu.models.connectors import get_connector
+from avsr_tpu.models.hubert import init_speech_ssl, speech_ssl_apply
 from avsr_tpu.models.layers import Params, param_count
 from avsr_tpu.models.whisper_encoder import init_whisper_encoder, whisper_encoder_apply
 
-AUDIO_DIM_KEY = "whisper"
-VIDEO_DIM_KEY = "clip"
+# Params-tree keys of the (freezable) encoder subtrees, by config name.
+ENCODER_KEYS = ("whisper", "hubert", "wav2vec2", "clip")
 
 
 class Batch(NamedTuple):
@@ -48,6 +49,9 @@ class Batch(NamedTuple):
     prompt_tokens: jax.Array | None = None  # [Tp] or [B, Tp] (incl. BOS)
     labels: jax.Array | None = None       # [B, Tl] token ids, right-padded
     label_lens: jax.Array | None = None   # [B] (incl. EOS)
+    # Raw-waveform front end (audio_encoder hubert/wav2vec2; mel unused then)
+    wave: jax.Array | None = None         # [B, T_samples] float32
+    wave_lens: jax.Array | None = None    # [B] (samples)
 
 
 class EncodeOut(NamedTuple):
@@ -104,20 +108,23 @@ def init_avsr_model(key: jax.Array, cfg: ModelConfig,
     conn = get_connector(cfg.connector_type)
 
     if cfg.modality in ("audio", "both"):
-        params["whisper"] = init_whisper_encoder(kw, cfg.whisper, dtype)
+        if cfg.audio_encoder == "whisper":
+            params["whisper"] = init_whisper_encoder(kw, cfg.whisper, dtype)
+        else:   # hubert / wav2vec2 share the SSL module (models.hubert)
+            params[cfg.audio_encoder] = init_speech_ssl(kw, cfg.ssl, dtype)
     if cfg.modality in ("video", "both"):
         params["clip"] = init_clip_vit(kc, cfg.clip, dtype)
 
     if conn.dual:
         params["connector"] = conn.init(
-            kf, cfg.whisper.d_model, cfg.clip.d_model, d_llm, cfg, dtype)
+            kf, cfg.audio_dim, cfg.video_dim, d_llm, cfg, dtype)
     else:
         if cfg.modality in ("audio", "both"):
             params["audio_connector"] = conn.init(
-                ka, cfg.whisper.d_model, d_llm, cfg, dtype)
+                ka, cfg.audio_dim, d_llm, cfg, dtype)
         if cfg.modality in ("video", "both"):
             params["video_connector"] = conn.init(
-                kv, cfg.clip.d_model, d_llm, cfg, dtype)
+                kv, cfg.video_dim, d_llm, cfg, dtype)
 
     llm = llama_mod.init_llama(kl, cfg.llm, dtype)
     if cfg.lora.use_lora:
@@ -160,10 +167,16 @@ def encode(
     audio_feat = audio_lens = video_feat = video_lens = None
 
     if cfg.modality in ("audio", "both"):
-        feats, alens = whisper_encoder_apply(
-            params["whisper"], batch.mel, cfg.whisper,
-            mel_lengths=batch.mel_lens, compute_dtype=compute_dtype,
-            use_pallas=use_pallas, remat=remat, mesh=mesh)
+        if cfg.audio_encoder == "whisper":
+            feats, alens = whisper_encoder_apply(
+                params["whisper"], batch.mel, cfg.whisper,
+                mel_lengths=batch.mel_lens, compute_dtype=compute_dtype,
+                use_pallas=use_pallas, remat=remat, mesh=mesh)
+        else:
+            feats, alens = speech_ssl_apply(
+                params[cfg.audio_encoder], batch.wave, cfg.ssl,
+                wave_lengths=batch.wave_lens, compute_dtype=compute_dtype,
+                use_pallas=use_pallas, remat=remat, mesh=mesh)
         if cfg.freeze_encoders:
             feats = jax.lax.stop_gradient(feats)
         audio_feat, audio_lens = feats, alens

@@ -57,7 +57,7 @@ def trainable_mask(params: Params, cfg: ModelConfig) -> Params:
         top = keys[0]
         if top in ("audio_connector", "video_connector", "connector"):
             return True
-        if top in ("whisper", "clip"):
+        if top in ("whisper", "hubert", "wav2vec2", "clip"):
             return not cfg.freeze_encoders
         if top == "llm":
             if "lora" in keys:

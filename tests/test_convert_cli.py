@@ -144,3 +144,61 @@ def test_convert_rejects_dim_mismatch(hf_dirs, tmp_path):
             "model.whisper={d_model: 128, n_heads: 2, n_layers: 2, "
             "max_frames: 100}",
         ])
+
+
+def test_convert_hubert_encoder(tmp_path, rng):
+    """audio_encoder=hubert conversion path: HF save_pretrained -> convert
+    CLI -> loaded params match the torch forward."""
+    from transformers import HubertConfig, HubertModel
+
+    from avsr_tpu.cli import convert_hf
+    from avsr_tpu.cli.common import init_or_load_params
+    from avsr_tpu.core.config import SpeechSSLConfig
+    from avsr_tpu.models.hubert import speech_ssl_apply
+
+    torch.manual_seed(4)
+    hf = HubertModel(HubertConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=128, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], conv_bias=False, feat_extract_norm="group",
+        do_stable_layer_norm=False, num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2, num_feat_extract_layers=2,
+        layerdrop=0.0, hidden_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0, activation_dropout=0.0)).eval()
+    hf.save_pretrained(tmp_path / "hubert")
+
+    out = tmp_path / "export"
+    ssl_yaml = ("model.ssl={d_model: 32, n_heads: 2, n_layers: 1, "
+                "conv_dims: [16, 16], conv_kernels: [10, 3], "
+                "conv_strides: [5, 2], pos_conv_kernel: 8, "
+                "pos_conv_groups: 2, normalize_input: false}")
+    overrides = [
+        "model.modality=audio",
+        "model.audio_encoder=hubert",
+        f"model.audio_encoder_path={tmp_path / 'hubert'}",
+        ssl_yaml,
+        "model.llm={vocab_size: 64, d_model: 32, n_layers: 1, n_heads: 4, "
+        "n_kv_heads: 2, ffn_dim: 64}",
+        "model.lora={use_lora: true, r: 2, alpha: 4}",
+    ]
+    rc = convert_hf.main(["--out", str(out), *overrides])
+    assert rc == 0
+
+    ssl_cfg = SpeechSSLConfig(
+        d_model=32, n_heads=2, n_layers=1, conv_dims=(16, 16),
+        conv_kernels=(10, 3), conv_strides=(5, 2), pos_conv_kernel=8,
+        pos_conv_groups=2, normalize_input=False)
+    cfg = AVSRConfig(model=ModelConfig(
+        modality="audio", audio_encoder="hubert", ssl=ssl_cfg,
+        llm=LLMConfig(vocab_size=64, d_model=32, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=64),
+        lora=LoRAConfig(use_lora=True, r=2, alpha=4)),
+        runtime=RuntimeConfig(compute_dtype="float32"))
+    params = init_or_load_params(cfg, str(out))
+
+    wave = rng.standard_normal((1, 600)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(wave)).last_hidden_state.numpy()
+    got, _ = speech_ssl_apply(params["hubert"], wave, ssl_cfg,
+                              use_pallas="never")
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)

@@ -125,3 +125,24 @@ def test_manifest_dataset_retry_walk(tmp_path):
                              defer_audio=False)
     s = ds[0]    # retry-walk lands on index 1
     assert s.utt_id == "good"
+
+
+def test_loader_wave_frontend_for_ssl_encoders():
+    """audio_encoder=hubert/wav2vec2 switches featurize to the raw-waveform
+    front end (the SSL encoders own their conv feature extractor)."""
+    from avsr_tpu.data.loader import HOP_LENGTH, audio_frontend_for
+
+    cfg = _data_cfg(synthetic_size=3, batch_size=3)
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg, tok, image_size=16)
+    mcfg = ModelConfig(prompt="t:", audio_encoder="hubert")
+    assert audio_frontend_for(mcfg) == "wave"
+    assert audio_frontend_for(ModelConfig()) == "mel"
+    loader = DataLoader(ds, cfg, tok, model_cfg=mcfg, shuffle=False,
+                        prefetch=1)
+    for hb, batch in loader:
+        assert batch.mel is None
+        assert batch.wave is not None and batch.wave.ndim == 2
+        assert batch.wave.shape[1] % HOP_LENGTH == 0   # bucketed in samples
+        assert np.isfinite(np.asarray(batch.wave)).all()
+        assert (np.asarray(batch.wave_lens) == np.asarray(hb.audio_lens)).all()

@@ -173,3 +173,57 @@ def test_llm_max_seq_len_enforced(rng):
     params = init_avsr_model(jax.random.key(0), cfg)
     with pytest.raises(ValueError, match="max_seq_len"):
         forward(params, cfg, tiny_batch(rng, "audio"))
+
+
+# ---------------------------------------------------------------------------
+# Alternate audio-encoder families (hubert / wav2vec2 — ref config
+# src/utils/config.py:53-56 declares them, never implements them)
+# ---------------------------------------------------------------------------
+
+def _ssl_cfg():
+    from avsr_tpu.core.config import SpeechSSLConfig
+
+    return SpeechSSLConfig(
+        d_model=32, n_heads=2, n_layers=1, conv_dims=(16, 16),
+        conv_kernels=(10, 3), conv_strides=(5, 2), pos_conv_kernel=8,
+        pos_conv_groups=2)
+
+
+def _wave_batch(rng, B=2):
+    return Batch(
+        wave=jnp.asarray(rng.standard_normal((B, 800)), jnp.float32),
+        wave_lens=jnp.asarray(([800, 500] * B)[:B]),
+        frames=jnp.asarray(rng.standard_normal((B, 4, 3, 16, 16)), jnp.float32),
+        frame_lens=jnp.asarray(([4, 2] * B)[:B]),
+        prompt_tokens=jnp.array([1, 7, 9]),
+        labels=jnp.asarray(rng.integers(0, 64, (B, 6))),
+        label_lens=jnp.asarray(([6, 3] * B)[:B]),
+    )
+
+
+@pytest.mark.parametrize("enc_name", ["hubert", "wav2vec2"])
+def test_forward_ssl_audio_encoder(rng, enc_name):
+    cfg = tiny_model_cfg(modality="both", audio_encoder=enc_name,
+                         ssl=_ssl_cfg())
+    params = init_avsr_model(jax.random.key(0), cfg)
+    assert enc_name in params and "whisper" not in params
+    loss, metrics = forward(params, cfg, _wave_batch(rng))
+    assert np.isfinite(float(loss))
+
+
+def test_ssl_encoder_frozen_and_trains(rng):
+    """Connector gradients flow; frozen hubert gets none."""
+    from avsr_tpu.train.state import trainable_mask
+
+    cfg = tiny_model_cfg(modality="audio", audio_encoder="hubert",
+                         ssl=_ssl_cfg())
+    params = init_avsr_model(jax.random.key(0), cfg)
+    mask = trainable_mask(params, cfg)
+    assert not any(jax.tree_util.tree_leaves(mask["hubert"]))
+    assert all(jax.tree_util.tree_leaves(mask["audio_connector"]))
+
+    batch = _wave_batch(rng)._replace(frames=None, frame_lens=None)
+    grads = jax.grad(lambda p: forward(p, cfg, batch)[0])(params)
+    g = np.concatenate([np.ravel(x) for x in
+                        jax.tree_util.tree_leaves(grads["audio_connector"])])
+    assert np.abs(g).max() > 0

@@ -46,7 +46,7 @@ def build_data(cfg: AVSRConfig, split: str = "train", *,
     tok = load_tokenizer(cfg.model.llm_path or None)
     ds = build_dataset(cfg.data, tok, split=split,
                        modality=cfg.model.modality,
-                       image_size=cfg.model.clip.image_size)
+                       image_size=cfg.model.image_size)
     loader = DataLoader(
         ds, cfg.data, tok, model_cfg=cfg.model,
         batch_size=batch_size,

@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     from avsr_tpu.models.clip_vit import convert_hf_clip_vision
     from avsr_tpu.models.hubert import convert_hf_speech_ssl
     from avsr_tpu.models.llama import add_lora, convert_hf_llama
+    from avsr_tpu.models.resnet import convert_hf_resnet
     from avsr_tpu.models.whisper_encoder import convert_hf_whisper_encoder
     from avsr_tpu.train.checkpoint import export_params
 
@@ -72,7 +73,17 @@ def main(argv: list[str] | None = None) -> int:
         params[m.audio_encoder] = convert_hf_speech_ssl(sd, m.ssl)
         log.info("converted %s from %s", m.audio_encoder, m.audio_encoder_path)
 
-    if m.clip_path and m.modality in ("video", "both"):
+    if (m.video_encoder_path and m.modality in ("video", "both")
+            and m.video_encoder == "resnet"):
+        sd, hf_cfg = _torch_state_dict(m.video_encoder_path, "ResNetModel")
+        if tuple(hf_cfg.hidden_sizes) != m.resnet.hidden_sizes:
+            raise ValueError(
+                f"resnet hidden_sizes mismatch: HF {hf_cfg.hidden_sizes} "
+                f"vs config {m.resnet.hidden_sizes}")
+        params["resnet"] = convert_hf_resnet(sd, m.resnet)
+        log.info("converted resnet from %s", m.video_encoder_path)
+
+    if m.clip_path and m.modality in ("video", "both") and m.video_encoder == "clip":
         sd, hf_cfg = _torch_state_dict(m.clip_path, "CLIPVisionModel")
         if hf_cfg.hidden_size != m.clip.d_model:
             raise ValueError(

@@ -34,7 +34,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from avsr_tpu.data.audio_io import load_audio
     from avsr_tpu.data.dataset import Sample, resize_crop_frames
-    from avsr_tpu.data.loader import audio_frontend_for, collate, featurize
+    from avsr_tpu.data.loader import (audio_frontend_for, collate, featurize,
+                                      image_stats_for)
     from avsr_tpu.data.tokenizer import load_tokenizer
     from avsr_tpu.data.video_io import load_frames
     from avsr_tpu.infer.generate import generate
@@ -59,12 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     frames = None
     if args.video:
         raw = load_frames(args.video, cfg.data.max_video_length)
-        frames = resize_crop_frames(raw, cfg.model.clip.image_size)
+        frames = resize_crop_frames(raw, cfg.model.image_size)
     sample = Sample("cli", audio, frames, "", [tok.eos_id])
     prompt_ids = tok.encode(cfg.model.prompt, add_bos=True)
     hb = collate([sample], cfg.data, prompt_ids, tok.pad_id)
     batch = featurize(hb, cfg.runtime.compute_dtype,
-                      audio_frontend_for(cfg.model))
+                      audio_frontend_for(cfg.model),
+                      image_stats_for(cfg.model))
 
     params = init_or_load_params(cfg, args.checkpoint)
     out = generate(params, cfg.model, batch, cfg.decode, eos_id=tok.eos_id,

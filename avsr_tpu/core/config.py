@@ -121,6 +121,21 @@ class ClipConfig:
 
 
 @dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet vision-encoder geometry (HF microsoft/resnet-*). The reference
+    declares ``video_encoder: resnet`` (src/utils/config.py:53-56) without
+    implementing it; selectable here via ``model.video_encoder``."""
+
+    image_size: int = 224
+    embedding_size: int = 64
+    hidden_sizes: tuple[int, ...] = (256, 512, 1024, 2048)   # resnet-50
+    depths: tuple[int, ...] = (3, 4, 6, 3)
+    layer_type: str = "bottleneck"       # bottleneck (50+) | basic (18/34)
+    reduction: int = 4                   # bottleneck channel reduction
+    downsample_in_first_stage: bool = False
+
+
+@dataclass(frozen=True)
 class LLMConfig:
     """Causal-LM decoder architecture (Llama-class geometry)."""
 
@@ -157,6 +172,7 @@ class ModelConfig:
     whisper_path: str = ""
     clip_path: str = ""
     audio_encoder_path: str = ""          # HF dir for hubert/wav2vec2 conversion
+    video_encoder_path: str = ""          # HF dir for resnet conversion
     modality: str = "both"                # audio | video | both
     # Encoder family selection (reference src/utils/config.py:53-56 declares
     # these choices but implements only whisper+clip — SURVEY.md §2.5).
@@ -175,6 +191,7 @@ class ModelConfig:
     whisper: WhisperConfig = field(default_factory=WhisperConfig)
     ssl: SpeechSSLConfig = field(default_factory=SpeechSSLConfig)
     clip: ClipConfig = field(default_factory=ClipConfig)
+    resnet: ResNetConfig = field(default_factory=ResNetConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
     lora: LoRAConfig = field(default_factory=LoRAConfig)
     # Connector internals
@@ -192,7 +209,15 @@ class ModelConfig:
     @property
     def video_dim(self) -> int:
         """Feature dim the video connector consumes."""
-        return self.clip.d_model
+        if self.video_encoder == "clip":
+            return self.clip.d_model
+        return self.resnet.hidden_sizes[-1]
+
+    @property
+    def image_size(self) -> int:
+        if self.video_encoder == "clip":
+            return self.clip.image_size
+        return self.resnet.image_size
 
 
 @dataclass(frozen=True)
@@ -306,9 +331,14 @@ class AVSRConfig:
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "
                 f"got {self.model.audio_encoder!r}")
-        if self.model.video_encoder not in ("clip",):
+        if self.model.video_encoder not in ("clip", "resnet"):
             raise ValueError(
-                f"video_encoder must be clip, got {self.model.video_encoder!r}")
+                f"video_encoder must be clip|resnet, "
+                f"got {self.model.video_encoder!r}")
+        if self.model.resnet.layer_type not in ("bottleneck", "basic"):
+            raise ValueError("resnet.layer_type must be bottleneck|basic")
+        if len(self.model.resnet.hidden_sizes) != len(self.model.resnet.depths):
+            raise ValueError("resnet hidden_sizes/depths lengths differ")
         if self.model.ssl.feat_extract_norm not in ("group", "layer"):
             raise ValueError("ssl.feat_extract_norm must be group|layer")
         if not (len(self.model.ssl.conv_dims) == len(self.model.ssl.conv_kernels)
@@ -390,8 +420,9 @@ def _resolve_field_types() -> dict[tuple[type, str], Any]:
 
     out: dict[tuple[type, str], Any] = {}
     for cls in (DataConfig, WhisperConfig, SpeechSSLConfig, ClipConfig,
-                LLMConfig, LoRAConfig, ModelConfig, TrainingConfig,
-                MeshConfig, RuntimeConfig, DecodeConfig, AVSRConfig):
+                ResNetConfig, LLMConfig, LoRAConfig, ModelConfig,
+                TrainingConfig, MeshConfig, RuntimeConfig, DecodeConfig,
+                AVSRConfig):
         hints = typing.get_type_hints(cls)
         for f in fields(cls):
             out[(cls, f.name)] = hints.get(f.name)

@@ -102,7 +102,8 @@ def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
 
 
 def featurize(hb: HostBatch, compute_dtype=jnp.float32,
-              audio_frontend: str = "mel") -> Batch:
+              audio_frontend: str = "mel",
+              image_stats: str = "clip") -> Batch:
     """Host batch -> device Batch (jit-cached per static shape).
 
     ``audio_frontend``: "mel" computes the Whisper log-mel on device
@@ -119,7 +120,8 @@ def featurize(hb: HostBatch, compute_dtype=jnp.float32,
         mel_lens = jnp.asarray(hb.audio_lens) // HOP_LENGTH
     if hb.frames is not None:
         vframes = normalize_frames(jnp.asarray(hb.frames),
-                                   dtype=jnp.dtype(compute_dtype))
+                                   dtype=jnp.dtype(compute_dtype),
+                                   stats=image_stats)
     return Batch(
         mel=mel,
         mel_lens=mel_lens,
@@ -141,6 +143,13 @@ def audio_frontend_for(model_cfg: ModelConfig | None) -> str:
     return "mel"
 
 
+def image_stats_for(model_cfg: ModelConfig | None) -> str:
+    """Normalization statistics the configured video encoder expects."""
+    if model_cfg is not None and model_cfg.video_encoder == "resnet":
+        return "imagenet"
+    return "clip"
+
+
 class DataLoader:
     """Bucketed, prefetching loader yielding (HostBatch, device Batch)."""
 
@@ -159,6 +168,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.compute_dtype = compute_dtype
         self.audio_frontend = audio_frontend_for(model_cfg)
+        self.image_stats = image_stats_for(model_cfg)
         self.pad_id = tokenizer.pad_id
         prompt_text = model_cfg.prompt if model_cfg is not None else ""
         self.prompt_ids = tokenizer.encode(prompt_text, add_bos=True)
@@ -296,7 +306,8 @@ class DataLoader:
                     if stop.is_set():
                         return
                     q.put((hb, featurize(hb, self.compute_dtype,
-                                         self.audio_frontend)))
+                                         self.audio_frontend,
+                                         self.image_stats)))
             except Exception as e:  # propagate into the consumer
                 q.put(e)
             finally:

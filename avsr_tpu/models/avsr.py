@@ -33,10 +33,11 @@ from avsr_tpu.models.clip_vit import clip_vit_apply, init_clip_vit
 from avsr_tpu.models.connectors import get_connector
 from avsr_tpu.models.hubert import init_speech_ssl, speech_ssl_apply
 from avsr_tpu.models.layers import Params, param_count
+from avsr_tpu.models.resnet import init_resnet, resnet_apply
 from avsr_tpu.models.whisper_encoder import init_whisper_encoder, whisper_encoder_apply
 
 # Params-tree keys of the (freezable) encoder subtrees, by config name.
-ENCODER_KEYS = ("whisper", "hubert", "wav2vec2", "clip")
+ENCODER_KEYS = ("whisper", "hubert", "wav2vec2", "clip", "resnet")
 
 
 class Batch(NamedTuple):
@@ -113,7 +114,10 @@ def init_avsr_model(key: jax.Array, cfg: ModelConfig,
         else:   # hubert / wav2vec2 share the SSL module (models.hubert)
             params[cfg.audio_encoder] = init_speech_ssl(kw, cfg.ssl, dtype)
     if cfg.modality in ("video", "both"):
-        params["clip"] = init_clip_vit(kc, cfg.clip, dtype)
+        if cfg.video_encoder == "clip":
+            params["clip"] = init_clip_vit(kc, cfg.clip, dtype)
+        else:
+            params["resnet"] = init_resnet(kc, cfg.resnet, dtype)
 
     if conn.dual:
         params["connector"] = conn.init(
@@ -182,9 +186,16 @@ def encode(
         audio_feat, audio_lens = feats, alens
 
     if cfg.modality in ("video", "both"):
-        vfeats = clip_vit_apply(
-            params["clip"], batch.frames, cfg.clip,
-            compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat)
+        if cfg.video_encoder == "clip":
+            vfeats = clip_vit_apply(
+                params["clip"], batch.frames, cfg.clip,
+                compute_dtype=compute_dtype, use_pallas=use_pallas,
+                remat=remat)
+        else:
+            vfeats = resnet_apply(
+                params["resnet"], batch.frames, cfg.resnet,
+                compute_dtype=compute_dtype, use_pallas=use_pallas,
+                remat=remat)
         if cfg.freeze_encoders:
             vfeats = jax.lax.stop_gradient(vfeats)
         video_feat = vfeats

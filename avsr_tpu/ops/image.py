@@ -20,13 +20,20 @@ import numpy as np
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+# ImageNet statistics (HF image processors for microsoft/resnet-*).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+_STATS = {"clip": (CLIP_MEAN, CLIP_STD),
+          "imagenet": (IMAGENET_MEAN, IMAGENET_STD)}
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "dtype"))
+@functools.partial(jax.jit, static_argnames=("image_size", "dtype", "stats"))
 def preprocess_frames(
     frames: jax.Array,
     image_size: int = 224,
     dtype: jnp.dtype = jnp.float32,
+    stats: str = "clip",
 ) -> jax.Array:
     """uint8 [T,H,W,3] (or [B,T,H,W,3]) -> [T,3,S,S] (or [B,T,3,S,S]).
 
@@ -53,23 +60,26 @@ def preprocess_frames(
     top = (new_h - S) // 2
     left = (new_w - S) // 2
     x = jax.lax.slice(x, (0, 0, top, left, 0), (B, T, top + S, left + S, C))
-    x = (x - CLIP_MEAN) / CLIP_STD
+    mean, std = _STATS[stats]
+    x = (x - mean) / std
     x = jnp.transpose(x, (0, 1, 4, 2, 3))  # -> [B,T,3,S,S]
     x = x.astype(dtype)
     return x if batched else x[0]
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
+@functools.partial(jax.jit, static_argnames=("dtype", "stats"))
 def normalize_frames(frames: jax.Array,
-                     dtype: jnp.dtype = jnp.float32) -> jax.Array:
+                     dtype: jnp.dtype = jnp.float32,
+                     stats: str = "clip") -> jax.Array:
     """uint8 [B,T,S,S,3] (host-resized/cropped) -> normalized [B,T,3,S,S].
 
-    The host ships uint8 (4x smaller transfers); rescale + CLIP
-    mean/std normalization + CHW transpose happen on-device and fuse into
-    the encoder's first matmul.
+    The host ships uint8 (4x smaller transfers); rescale + mean/std
+    normalization (CLIP or ImageNet stats, by encoder) + CHW transpose
+    happen on-device and fuse into the encoder's first matmul.
     """
+    mean, std = _STATS[stats]
     x = frames.astype(jnp.float32) / 255.0
-    x = (x - CLIP_MEAN) / CLIP_STD
+    x = (x - mean) / std
     return jnp.transpose(x, (0, 1, 4, 2, 3)).astype(dtype)
 
 

@@ -44,7 +44,7 @@ def _worst_case_batch(cfg: AVSRConfig, b: int):
                          jnp.float32) if audio else None),
         mel_lens=jnp.full((b,), mel_T, jnp.int32) if audio else None,
         frames=(jnp.asarray(rng.standard_normal(
-            (b, vid_T, 3, m.clip.image_size, m.clip.image_size)), dt)
+            (b, vid_T, 3, m.image_size, m.image_size)), dt)
             if video else None),
         frame_lens=jnp.full((b,), vid_T, jnp.int32) if video else None,
         prompt_tokens=jnp.asarray(

@@ -202,3 +202,50 @@ def test_convert_hubert_encoder(tmp_path, rng):
     got, _ = speech_ssl_apply(params["hubert"], wave, ssl_cfg,
                               use_pallas="never")
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_convert_resnet_encoder(tmp_path, rng):
+    """video_encoder=resnet conversion path through the CLI."""
+    from transformers import ResNetConfig as HFResNetConfig
+    from transformers import ResNetModel
+
+    from avsr_tpu.cli import convert_hf
+    from avsr_tpu.cli.common import init_or_load_params
+    from avsr_tpu.core.config import ResNetConfig
+    from avsr_tpu.models.resnet import resnet_apply
+
+    torch.manual_seed(5)
+    hf = ResNetModel(HFResNetConfig(
+        num_channels=3, embedding_size=16, hidden_sizes=[32, 64],
+        depths=[1, 1], layer_type="bottleneck")).eval()
+    hf.save_pretrained(tmp_path / "resnet")
+
+    out = tmp_path / "export"
+    rc = convert_hf.main([
+        "--out", str(out),
+        "model.modality=video",
+        "model.video_encoder=resnet",
+        f"model.video_encoder_path={tmp_path / 'resnet'}",
+        "model.resnet={image_size: 32, embedding_size: 16, "
+        "hidden_sizes: [32, 64], depths: [1, 1]}",
+        "model.llm={vocab_size: 64, d_model: 32, n_layers: 1, n_heads: 4, "
+        "n_kv_heads: 2, ffn_dim: 64}",
+        "model.lora={use_lora: true, r: 2, alpha: 4}",
+    ])
+    assert rc == 0
+
+    rcfg = ResNetConfig(image_size=32, embedding_size=16,
+                        hidden_sizes=(32, 64), depths=(1, 1))
+    cfg = AVSRConfig(model=ModelConfig(
+        modality="video", video_encoder="resnet", resnet=rcfg,
+        llm=LLMConfig(vocab_size=64, d_model=32, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=64),
+        lora=LoRAConfig(use_lora=True, r=2, alpha=4)),
+        runtime=RuntimeConfig(compute_dtype="float32"))
+    params = init_or_load_params(cfg, str(out))
+
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x)).pooler_output.numpy().reshape(1, -1)
+    got = resnet_apply(params["resnet"], x, rcfg)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=2e-3)

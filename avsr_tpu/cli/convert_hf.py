@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from avsr_tpu.models.avsr import init_avsr_model
     from avsr_tpu.models.clip_vit import convert_hf_clip_vision
+    from avsr_tpu.models.efficientnet import convert_hf_efficientnet
     from avsr_tpu.models.hubert import convert_hf_speech_ssl
     from avsr_tpu.models.llama import add_lora, convert_hf_llama
     from avsr_tpu.models.resnet import convert_hf_resnet
@@ -82,6 +83,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"vs config {m.resnet.hidden_sizes}")
         params["resnet"] = convert_hf_resnet(sd, m.resnet)
         log.info("converted resnet from %s", m.video_encoder_path)
+
+    if (m.video_encoder_path and m.modality in ("video", "both")
+            and m.video_encoder == "efficientnet"):
+        sd, hf_cfg = _torch_state_dict(m.video_encoder_path,
+                                       "EfficientNetModel")
+        if hf_cfg.hidden_dim != m.efficientnet.hidden_dim:
+            raise ValueError(
+                f"efficientnet hidden_dim mismatch: HF {hf_cfg.hidden_dim} "
+                f"vs config {m.efficientnet.hidden_dim}")
+        params["efficientnet"] = convert_hf_efficientnet(sd, m.efficientnet)
+        log.info("converted efficientnet from %s", m.video_encoder_path)
 
     if m.clip_path and m.modality in ("video", "both") and m.video_encoder == "clip":
         sd, hf_cfg = _torch_state_dict(m.clip_path, "CLIPVisionModel")

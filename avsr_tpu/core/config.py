@@ -136,6 +136,29 @@ class ResNetConfig:
 
 
 @dataclass(frozen=True)
+class EfficientNetConfig:
+    """EfficientNet vision-encoder geometry (HF google/efficientnet-b*). The
+    reference declares ``video_encoder: efficientnet``
+    (src/utils/config.py:53-56) without implementing it; selectable here via
+    ``model.video_encoder``. Defaults are the b0 block table; b1-b7 scale via
+    width/depth coefficients."""
+
+    image_size: int = 224
+    width_coefficient: float = 1.0
+    depth_coefficient: float = 1.0
+    depth_divisor: int = 8
+    in_channels: tuple[int, ...] = (32, 16, 24, 40, 80, 112, 192)
+    out_channels: tuple[int, ...] = (16, 24, 40, 80, 112, 192, 320)
+    kernel_sizes: tuple[int, ...] = (3, 3, 5, 3, 5, 5, 3)
+    strides: tuple[int, ...] = (1, 2, 2, 2, 1, 2, 1)
+    num_block_repeats: tuple[int, ...] = (1, 2, 2, 3, 3, 4, 1)
+    expand_ratios: tuple[int, ...] = (1, 6, 6, 6, 6, 6, 6)
+    depthwise_padding: tuple[int, ...] = ()   # block idxs w/ symmetric pad
+    squeeze_expansion_ratio: float = 0.25
+    hidden_dim: int = 1280                    # top width (b0/b1 1280, b2 1408…)
+
+
+@dataclass(frozen=True)
 class LLMConfig:
     """Causal-LM decoder architecture (Llama-class geometry)."""
 
@@ -177,7 +200,7 @@ class ModelConfig:
     # Encoder family selection (reference src/utils/config.py:53-56 declares
     # these choices but implements only whisper+clip — SURVEY.md §2.5).
     audio_encoder: str = "whisper"        # whisper | hubert | wav2vec2
-    video_encoder: str = "clip"           # clip | resnet
+    video_encoder: str = "clip"           # clip | resnet | efficientnet
     connector_type: str = "simple"        # one of CONNECTOR_TYPES
     fusion_scale: float = 0.5             # audio weight in weighted-sum fusion
     fusion_mode: str = "weighted_sum"     # weighted_sum | concat_seq | connector
@@ -192,6 +215,7 @@ class ModelConfig:
     ssl: SpeechSSLConfig = field(default_factory=SpeechSSLConfig)
     clip: ClipConfig = field(default_factory=ClipConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)
+    efficientnet: EfficientNetConfig = field(default_factory=EfficientNetConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
     lora: LoRAConfig = field(default_factory=LoRAConfig)
     # Connector internals
@@ -211,13 +235,17 @@ class ModelConfig:
         """Feature dim the video connector consumes."""
         if self.video_encoder == "clip":
             return self.clip.d_model
-        return self.resnet.hidden_sizes[-1]
+        if self.video_encoder == "resnet":
+            return self.resnet.hidden_sizes[-1]
+        return self.efficientnet.hidden_dim
 
     @property
     def image_size(self) -> int:
         if self.video_encoder == "clip":
             return self.clip.image_size
-        return self.resnet.image_size
+        if self.video_encoder == "resnet":
+            return self.resnet.image_size
+        return self.efficientnet.image_size
 
 
 @dataclass(frozen=True)
@@ -331,9 +359,9 @@ class AVSRConfig:
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "
                 f"got {self.model.audio_encoder!r}")
-        if self.model.video_encoder not in ("clip", "resnet"):
+        if self.model.video_encoder not in ("clip", "resnet", "efficientnet"):
             raise ValueError(
-                f"video_encoder must be clip|resnet, "
+                f"video_encoder must be clip|resnet|efficientnet, "
                 f"got {self.model.video_encoder!r}")
         if self.model.resnet.layer_type not in ("bottleneck", "basic"):
             raise ValueError("resnet.layer_type must be bottleneck|basic")
@@ -420,9 +448,9 @@ def _resolve_field_types() -> dict[tuple[type, str], Any]:
 
     out: dict[tuple[type, str], Any] = {}
     for cls in (DataConfig, WhisperConfig, SpeechSSLConfig, ClipConfig,
-                ResNetConfig, LLMConfig, LoRAConfig, ModelConfig,
-                TrainingConfig, MeshConfig, RuntimeConfig, DecodeConfig,
-                AVSRConfig):
+                ResNetConfig, EfficientNetConfig, LLMConfig, LoRAConfig,
+                ModelConfig, TrainingConfig, MeshConfig, RuntimeConfig,
+                DecodeConfig, AVSRConfig):
         hints = typing.get_type_hints(cls)
         for f in fields(cls):
             out[(cls, f.name)] = hints.get(f.name)

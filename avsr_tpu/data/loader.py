@@ -147,6 +147,8 @@ def image_stats_for(model_cfg: ModelConfig | None) -> str:
     """Normalization statistics the configured video encoder expects."""
     if model_cfg is not None and model_cfg.video_encoder == "resnet":
         return "imagenet"
+    if model_cfg is not None and model_cfg.video_encoder == "efficientnet":
+        return "inception"
     return "clip"
 
 

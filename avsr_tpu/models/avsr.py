@@ -31,13 +31,15 @@ from avsr_tpu.core.config import ModelConfig
 from avsr_tpu.models import llama as llama_mod
 from avsr_tpu.models.clip_vit import clip_vit_apply, init_clip_vit
 from avsr_tpu.models.connectors import get_connector
+from avsr_tpu.models.efficientnet import efficientnet_apply, init_efficientnet
 from avsr_tpu.models.hubert import init_speech_ssl, speech_ssl_apply
 from avsr_tpu.models.layers import Params, param_count
 from avsr_tpu.models.resnet import init_resnet, resnet_apply
 from avsr_tpu.models.whisper_encoder import init_whisper_encoder, whisper_encoder_apply
 
 # Params-tree keys of the (freezable) encoder subtrees, by config name.
-ENCODER_KEYS = ("whisper", "hubert", "wav2vec2", "clip", "resnet")
+ENCODER_KEYS = ("whisper", "hubert", "wav2vec2", "clip", "resnet",
+                "efficientnet")
 
 
 class Batch(NamedTuple):
@@ -116,8 +118,11 @@ def init_avsr_model(key: jax.Array, cfg: ModelConfig,
     if cfg.modality in ("video", "both"):
         if cfg.video_encoder == "clip":
             params["clip"] = init_clip_vit(kc, cfg.clip, dtype)
-        else:
+        elif cfg.video_encoder == "resnet":
             params["resnet"] = init_resnet(kc, cfg.resnet, dtype)
+        else:
+            params["efficientnet"] = init_efficientnet(
+                kc, cfg.efficientnet, dtype)
 
     if conn.dual:
         params["connector"] = conn.init(
@@ -191,9 +196,14 @@ def encode(
                 params["clip"], batch.frames, cfg.clip,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
                 remat=remat)
-        else:
+        elif cfg.video_encoder == "resnet":
             vfeats = resnet_apply(
                 params["resnet"], batch.frames, cfg.resnet,
+                compute_dtype=compute_dtype, use_pallas=use_pallas,
+                remat=remat)
+        else:
+            vfeats = efficientnet_apply(
+                params["efficientnet"], batch.frames, cfg.efficientnet,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
                 remat=remat)
         if cfg.freeze_encoders:

@@ -24,8 +24,13 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
+# Inception-style 0.5/0.5 (HF EfficientNetImageProcessor defaults).
+INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+INCEPTION_STD = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+
 _STATS = {"clip": (CLIP_MEAN, CLIP_STD),
-          "imagenet": (IMAGENET_MEAN, IMAGENET_STD)}
+          "imagenet": (IMAGENET_MEAN, IMAGENET_STD),
+          "inception": (INCEPTION_MEAN, INCEPTION_STD)}
 
 
 @functools.partial(jax.jit, static_argnames=("image_size", "dtype", "stats"))

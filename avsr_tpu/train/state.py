@@ -57,7 +57,8 @@ def trainable_mask(params: Params, cfg: ModelConfig) -> Params:
         top = keys[0]
         if top in ("audio_connector", "video_connector", "connector"):
             return True
-        if top in ("whisper", "hubert", "wav2vec2", "clip", "resnet"):
+        if top in ("whisper", "hubert", "wav2vec2", "clip", "resnet",
+                   "efficientnet"):
             # BatchNorm running statistics are data, not weights — never
             # trained even in unfrozen fine-tunes (frozen-BN convention).
             if keys[-1] in ("mean", "var"):

@@ -249,3 +249,58 @@ def test_convert_resnet_encoder(tmp_path, rng):
         ref = hf(torch.from_numpy(x)).pooler_output.numpy().reshape(1, -1)
     got = resnet_apply(params["resnet"], x, rcfg)
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=2e-3)
+
+
+def test_convert_efficientnet_encoder(tmp_path, rng):
+    """video_encoder=efficientnet conversion path through the CLI."""
+    from transformers import EfficientNetConfig as HFEffConfig
+    from transformers import EfficientNetModel
+
+    from avsr_tpu.cli import convert_hf
+    from avsr_tpu.cli.common import init_or_load_params
+    from avsr_tpu.core.config import EfficientNetConfig
+    from avsr_tpu.models.efficientnet import efficientnet_apply
+
+    torch.manual_seed(6)
+    kw = dict(num_channels=3, image_size=32, width_coefficient=1.0,
+              depth_coefficient=1.0, in_channels=[32], out_channels=[16],
+              kernel_sizes=[3], strides=[2], num_block_repeats=[1],
+              expand_ratios=[6], depthwise_padding=[], hidden_dim=1280,
+              hidden_act="swish", pooling_type="mean",
+              drop_connect_rate=0.0, dropout_rate=0.0)
+    hf = EfficientNetModel(HFEffConfig(**kw)).eval()
+    hf.save_pretrained(tmp_path / "eff")
+
+    eff_yaml = ("model.efficientnet={image_size: 32, in_channels: [32], "
+                "out_channels: [16], kernel_sizes: [3], strides: [2], "
+                "num_block_repeats: [1], expand_ratios: [6], hidden_dim: 1280}")
+    out = tmp_path / "export"
+    rc = convert_hf.main([
+        "--out", str(out),
+        "model.modality=video",
+        "model.video_encoder=efficientnet",
+        f"model.video_encoder_path={tmp_path / 'eff'}",
+        eff_yaml,
+        "model.llm={vocab_size: 64, d_model: 32, n_layers: 1, n_heads: 4, "
+        "n_kv_heads: 2, ffn_dim: 64}",
+        "model.lora={use_lora: true, r: 2, alpha: 4}",
+    ])
+    assert rc == 0
+
+    ecfg = EfficientNetConfig(image_size=32, in_channels=(32,),
+                              out_channels=(16,), kernel_sizes=(3,),
+                              strides=(2,), num_block_repeats=(1,),
+                              expand_ratios=(6,), hidden_dim=1280)
+    cfg = AVSRConfig(model=ModelConfig(
+        modality="video", video_encoder="efficientnet", efficientnet=ecfg,
+        llm=LLMConfig(vocab_size=64, d_model=32, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=64),
+        lora=LoRAConfig(use_lora=True, r=2, alpha=4)),
+        runtime=RuntimeConfig(compute_dtype="float32"))
+    params = init_or_load_params(cfg, str(out))
+
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x)).pooler_output.numpy()
+    got = efficientnet_apply(params["efficientnet"], x, ecfg)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=2e-3)

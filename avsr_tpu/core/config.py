@@ -33,6 +33,9 @@ CONNECTOR_TYPES = (
     # dual-input fusion connectors (reference advanced_connectors.py:7-621 —
     # implemented there but never wired; first-class here, SURVEY.md §2.1)
     "cross_modal", "qformer", "perceiver",
+    # the reference's "multimodal_adapter" fusion type
+    # (src/utils/config.py:56, :68-70 — declared, never implemented)
+    "adapter",
 )
 
 
@@ -218,10 +221,15 @@ class ModelConfig:
     efficientnet: EfficientNetConfig = field(default_factory=EfficientNetConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
     lora: LoRAConfig = field(default_factory=LoRAConfig)
+    # Train encoder layer-norm scales/biases even when the encoders are
+    # frozen (ref unfreeze_layer_norms, src/utils/config.py:86).
+    unfreeze_layer_norms: bool = False
     # Connector internals
     connector_hidden_mult: int = 2
     qformer_queries: int = 32             # ref advanced_connectors.py:232
     perceiver_latents: int = 64           # ref advanced_connectors.py:433
+    adapter_dim: int = 256                # ref src/utils/config.py:68
+    num_adapter_layers: int = 2           # ref src/utils/config.py:70
 
     @property
     def audio_dim(self) -> int:
@@ -348,7 +356,8 @@ class AVSRConfig:
             raise ValueError(
                 f"connector_type must be one of {CONNECTOR_TYPES}, "
                 f"got {self.model.connector_type!r}")
-        dual = self.model.connector_type in ("cross_modal", "qformer", "perceiver")
+        dual = self.model.connector_type in ("cross_modal", "qformer",
+                                             "perceiver", "adapter")
         if dual and self.model.modality != "both":
             raise ValueError(
                 f"connector_type={self.model.connector_type!r} fuses audio+video and "

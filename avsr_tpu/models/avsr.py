@@ -186,7 +186,10 @@ def encode(
                 params[cfg.audio_encoder], batch.wave, cfg.ssl,
                 wave_lengths=batch.wave_lens, compute_dtype=compute_dtype,
                 use_pallas=use_pallas, remat=remat, mesh=mesh)
-        if cfg.freeze_encoders:
+        # stop_gradient is both semantics and a perf lever (no encoder
+        # backward pass) — but unfreeze_layer_norms needs gradients to
+        # reach the encoder LNs, so it disables the short-circuit.
+        if cfg.freeze_encoders and not cfg.unfreeze_layer_norms:
             feats = jax.lax.stop_gradient(feats)
         audio_feat, audio_lens = feats, alens
 
@@ -206,7 +209,7 @@ def encode(
                 params["efficientnet"], batch.frames, cfg.efficientnet,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
                 remat=remat)
-        if cfg.freeze_encoders:
+        if cfg.freeze_encoders and not cfg.unfreeze_layer_norms:
             vfeats = jax.lax.stop_gradient(vfeats)
         video_feat = vfeats
         video_lens = (batch.frame_lens.astype(jnp.int32)

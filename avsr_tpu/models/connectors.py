@@ -368,6 +368,53 @@ def perceiver_apply(p: Params, audio: jax.Array, video: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# adapter (dual): the reference's "multimodal_adapter" fusion type
+# (src/utils/config.py:56, adapter_dim :68, num_adapter_layers :70 — declared,
+# never implemented). Project both modalities to the LLM dim, align video to
+# the audio grid, sum, then N bottleneck adapter layers
+# (LN -> down(adapter_dim) -> gelu -> up, residual).
+# ---------------------------------------------------------------------------
+
+
+def adapter_init(key, d_audio, d_video, d_out, cfg: ModelConfig,
+                 dtype=jnp.float32) -> Params:
+    n = max(cfg.num_adapter_layers, 1)
+    keys = jax.random.split(key, 2 * n + 2)
+    layers = []
+    for i in range(n):
+        layers.append({
+            "ln": norm_init(d_out, dtype=dtype),
+            "down": dense_init(keys[2 * i], d_out, cfg.adapter_dim,
+                               dtype=dtype),
+            "up": dense_init(keys[2 * i + 1], cfg.adapter_dim, d_out,
+                             dtype=dtype),
+        })
+    return {
+        "proj_a": dense_init(keys[-2], d_audio, d_out, dtype=dtype),
+        "proj_v": dense_init(keys[-1], d_video, d_out, dtype=dtype),
+        "layers": layers,
+    }
+
+
+def adapter_apply(p: Params, audio: jax.Array, video: jax.Array,
+                  a_lens=None, v_lens=None, **_):
+    a_lens = _ident_lens(audio, a_lens)
+    v_lens = _ident_lens(video, v_lens)
+    a = dense(p["proj_a"], audio)
+    v = dense(p["proj_v"], video)
+    Ta = a.shape[1]
+    ratio = (jnp.maximum(v_lens, 1).astype(jnp.float32)
+             / jnp.maximum(a_lens, 1).astype(jnp.float32))
+    idx = jnp.clip((jnp.arange(Ta)[None, :] * ratio[:, None]).astype(jnp.int32),
+                   0, v.shape[1] - 1)
+    h = a + jnp.take_along_axis(v, idx[..., None], axis=1)
+    for lp in p["layers"]:
+        h = h + dense(lp["up"], gelu(dense(lp["down"],
+                                           layer_norm(lp["ln"], h))))
+    return h, a_lens
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -384,6 +431,8 @@ def _register():
         ConnectorDef(qformer_init, qformer_apply, dual=True))
     CONNECTORS.register("perceiver")(
         ConnectorDef(perceiver_init, perceiver_apply, dual=True))
+    CONNECTORS.register("adapter")(
+        ConnectorDef(adapter_init, adapter_apply, dual=True))
 
 
 _register()

@@ -63,7 +63,15 @@ def trainable_mask(params: Params, cfg: ModelConfig) -> Params:
             # trained even in unfrozen fine-tunes (frozen-BN convention).
             if keys[-1] in ("mean", "var"):
                 return False
-            return not cfg.freeze_encoders
+            if not cfg.freeze_encoders:
+                return True
+            # Layer-norm-only fine-tuning of frozen encoders
+            # (ref unfreeze_layer_norms, src/utils/config.py:86).
+            if cfg.unfreeze_layer_norms and len(keys) >= 2:
+                parent = keys[-2]
+                if parent.startswith("ln") or parent in ("norm", "proj_ln"):
+                    return True
+            return False
         if top == "llm":
             if "lora" in keys:
                 return cfg.lora.use_lora

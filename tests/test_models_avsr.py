@@ -99,7 +99,7 @@ def test_forward_modalities(rng, modality):
 
 @pytest.mark.parametrize("conn", ["simple", "deep", "conv", "attention",
                                   "adaptive", "cross_modal", "qformer",
-                                  "perceiver"])
+                                  "perceiver", "adapter"])
 def test_forward_all_connectors(rng, conn):
     cfg = tiny_model_cfg(connector_type=conn)
     params = init_avsr_model(jax.random.key(0), cfg)
@@ -227,3 +227,27 @@ def test_ssl_encoder_frozen_and_trains(rng):
     g = np.concatenate([np.ravel(x) for x in
                         jax.tree_util.tree_leaves(grads["audio_connector"])])
     assert np.abs(g).max() > 0
+
+
+def test_unfreeze_layer_norms(rng):
+    """Frozen encoders with unfreeze_layer_norms train exactly the LN
+    scales/biases (ref declares this at src/utils/config.py:86)."""
+    from avsr_tpu.train.state import trainable_mask
+
+    cfg = tiny_model_cfg(modality="audio", unfreeze_layer_norms=True)
+    params = init_avsr_model(jax.random.key(0), cfg)
+    mask = trainable_mask(params, cfg)
+    w = mask["whisper"]
+    assert not w["conv1"]["w"] and not jax.tree_util.tree_leaves(
+        w["blocks"][0]["attn"]["q"])[0]
+    assert w["ln_post"]["scale"] and w["blocks"][0]["ln1"]["b"]
+
+    batch = tiny_batch(rng, "audio")
+    grads = jax.grad(lambda p: forward(p, cfg, batch, use_pallas="never")[0])(params)
+    g_ln = np.abs(np.asarray(grads["whisper"]["ln_post"]["scale"])).max()
+    assert g_ln > 0
+
+    cfg_off = tiny_model_cfg(modality="audio", unfreeze_layer_norms=False)
+    grads_off = jax.grad(
+        lambda p: forward(p, cfg_off, batch, use_pallas="never")[0])(params)
+    assert np.abs(np.asarray(grads_off["whisper"]["ln_post"]["scale"])).max() == 0

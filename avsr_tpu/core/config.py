@@ -162,6 +162,29 @@ class EfficientNetConfig:
 
 
 @dataclass(frozen=True)
+class AVHubertConfig:
+    """AV-HuBERT video-branch geometry (Shi et al.). The reference declares
+    ``video_encoder: avhubert`` + ``avhubert_layer`` /
+    ``finetune_avhubert_layers`` (src/utils/config.py:55, 72-74) without
+    implementing them; selectable here via ``model.video_encoder``."""
+
+    image_size: int = 88                 # grayscale lip-ROI crops
+    frontend_channels: int = 64          # 3D-conv stem width
+    trunk_widths: tuple[int, ...] = (64, 128, 256, 512)   # resnet-18
+    trunk_depths: tuple[int, ...] = (2, 2, 2, 2)
+    d_model: int = 768                   # base; 1024 for large
+    n_heads: int = 12
+    n_layers: int = 12
+    ffn_mult: int = 4
+    do_stable_layer_norm: bool = False
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    # Which transformer layer's output to tap (ref avhubert_layer :72):
+    # -1 = last, 0 = front-end only, k>0 = after the first k layers.
+    avhubert_layer: int = -1
+
+
+@dataclass(frozen=True)
 class LLMConfig:
     """Causal-LM decoder architecture (Llama-class geometry)."""
 
@@ -203,7 +226,7 @@ class ModelConfig:
     # Encoder family selection (reference src/utils/config.py:53-56 declares
     # these choices but implements only whisper+clip — SURVEY.md §2.5).
     audio_encoder: str = "whisper"        # whisper | hubert | wav2vec2
-    video_encoder: str = "clip"           # clip | resnet | efficientnet
+    video_encoder: str = "clip"           # clip | resnet | efficientnet | avhubert
     connector_type: str = "simple"        # one of CONNECTOR_TYPES
     fusion_scale: float = 0.5             # audio weight in weighted-sum fusion
     fusion_mode: str = "weighted_sum"     # weighted_sum | concat_seq | connector
@@ -219,11 +242,15 @@ class ModelConfig:
     clip: ClipConfig = field(default_factory=ClipConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)
     efficientnet: EfficientNetConfig = field(default_factory=EfficientNetConfig)
+    avhubert: AVHubertConfig = field(default_factory=AVHubertConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
     lora: LoRAConfig = field(default_factory=LoRAConfig)
     # Train encoder layer-norm scales/biases even when the encoders are
     # frozen (ref unfreeze_layer_norms, src/utils/config.py:86).
     unfreeze_layer_norms: bool = False
+    # Unfreeze specific AV-HuBERT transformer layers while the rest of the
+    # encoder stays frozen (ref finetune_avhubert_layers :73-74).
+    finetune_avhubert_layers: tuple[int, ...] = ()
     # Connector internals
     connector_hidden_mult: int = 2
     qformer_queries: int = 32             # ref advanced_connectors.py:232
@@ -245,7 +272,11 @@ class ModelConfig:
             return self.clip.d_model
         if self.video_encoder == "resnet":
             return self.resnet.hidden_sizes[-1]
-        return self.efficientnet.hidden_dim
+        if self.video_encoder == "efficientnet":
+            return self.efficientnet.hidden_dim
+        return (self.avhubert.trunk_widths[-1]
+                if self.avhubert.avhubert_layer == 0
+                else self.avhubert.d_model)
 
     @property
     def image_size(self) -> int:
@@ -253,7 +284,9 @@ class ModelConfig:
             return self.clip.image_size
         if self.video_encoder == "resnet":
             return self.resnet.image_size
-        return self.efficientnet.image_size
+        if self.video_encoder == "efficientnet":
+            return self.efficientnet.image_size
+        return self.avhubert.image_size
 
 
 @dataclass(frozen=True)
@@ -368,10 +401,13 @@ class AVSRConfig:
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "
                 f"got {self.model.audio_encoder!r}")
-        if self.model.video_encoder not in ("clip", "resnet", "efficientnet"):
+        if self.model.video_encoder not in ("clip", "resnet", "efficientnet",
+                                            "avhubert"):
             raise ValueError(
-                f"video_encoder must be clip|resnet|efficientnet, "
+                f"video_encoder must be clip|resnet|efficientnet|avhubert, "
                 f"got {self.model.video_encoder!r}")
+        if self.model.avhubert.avhubert_layer > self.model.avhubert.n_layers:
+            raise ValueError("avhubert_layer exceeds avhubert.n_layers")
         if self.model.resnet.layer_type not in ("bottleneck", "basic"):
             raise ValueError("resnet.layer_type must be bottleneck|basic")
         if len(self.model.resnet.hidden_sizes) != len(self.model.resnet.depths):
@@ -457,9 +493,9 @@ def _resolve_field_types() -> dict[tuple[type, str], Any]:
 
     out: dict[tuple[type, str], Any] = {}
     for cls in (DataConfig, WhisperConfig, SpeechSSLConfig, ClipConfig,
-                ResNetConfig, EfficientNetConfig, LLMConfig, LoRAConfig,
-                ModelConfig, TrainingConfig, MeshConfig, RuntimeConfig,
-                DecodeConfig, AVSRConfig):
+                ResNetConfig, EfficientNetConfig, AVHubertConfig, LLMConfig,
+                LoRAConfig, ModelConfig, TrainingConfig, MeshConfig,
+                RuntimeConfig, DecodeConfig, AVSRConfig):
         hints = typing.get_type_hints(cls)
         for f in fields(cls):
             out[(cls, f.name)] = hints.get(f.name)

@@ -149,6 +149,8 @@ def image_stats_for(model_cfg: ModelConfig | None) -> str:
         return "imagenet"
     if model_cfg is not None and model_cfg.video_encoder == "efficientnet":
         return "inception"
+    if model_cfg is not None and model_cfg.video_encoder == "avhubert":
+        return "avhubert"
     return "clip"
 
 

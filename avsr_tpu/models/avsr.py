@@ -31,6 +31,7 @@ from avsr_tpu.core.config import ModelConfig
 from avsr_tpu.models import llama as llama_mod
 from avsr_tpu.models.clip_vit import clip_vit_apply, init_clip_vit
 from avsr_tpu.models.connectors import get_connector
+from avsr_tpu.models.avhubert import avhubert_apply, init_avhubert
 from avsr_tpu.models.efficientnet import efficientnet_apply, init_efficientnet
 from avsr_tpu.models.hubert import init_speech_ssl, speech_ssl_apply
 from avsr_tpu.models.layers import Params, param_count
@@ -39,7 +40,7 @@ from avsr_tpu.models.whisper_encoder import init_whisper_encoder, whisper_encode
 
 # Params-tree keys of the (freezable) encoder subtrees, by config name.
 ENCODER_KEYS = ("whisper", "hubert", "wav2vec2", "clip", "resnet",
-                "efficientnet")
+                "efficientnet", "avhubert")
 
 
 class Batch(NamedTuple):
@@ -120,9 +121,11 @@ def init_avsr_model(key: jax.Array, cfg: ModelConfig,
             params["clip"] = init_clip_vit(kc, cfg.clip, dtype)
         elif cfg.video_encoder == "resnet":
             params["resnet"] = init_resnet(kc, cfg.resnet, dtype)
-        else:
+        elif cfg.video_encoder == "efficientnet":
             params["efficientnet"] = init_efficientnet(
                 kc, cfg.efficientnet, dtype)
+        else:
+            params["avhubert"] = init_avhubert(kc, cfg.avhubert, dtype)
 
     if conn.dual:
         params["connector"] = conn.init(
@@ -204,11 +207,17 @@ def encode(
                 params["resnet"], batch.frames, cfg.resnet,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
                 remat=remat)
-        else:
+        elif cfg.video_encoder == "efficientnet":
             vfeats = efficientnet_apply(
                 params["efficientnet"], batch.frames, cfg.efficientnet,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
                 remat=remat)
+        else:
+            vfeats = avhubert_apply(
+                params["avhubert"], batch.frames, cfg.avhubert,
+                frame_lengths=batch.frame_lens,
+                compute_dtype=compute_dtype, use_pallas=use_pallas,
+                remat=remat, mesh=mesh)
         if cfg.freeze_encoders and not cfg.unfreeze_layer_norms:
             vfeats = jax.lax.stop_gradient(vfeats)
         video_feat = vfeats

@@ -67,33 +67,46 @@ def init_speech_ssl(key: jax.Array, cfg: SpeechSSLConfig,
         convs.append(p)
         c_in = c_out
 
-    kp, kpc, kln = keys[n_conv], keys[n_conv + 1], keys[n_conv + 2]
+    kp = keys[n_conv]
     params: Params = {
         "fe": convs,
         "proj_ln": norm_init(cfg.conv_dims[-1], dtype=dtype),
         "proj": dense_init(kp, cfg.conv_dims[-1], d, dtype=dtype),
+    }
+    params.update(ssl_encoder_init(
+        keys[n_conv + 1], d, n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+        ffn_mult=cfg.ffn_mult, pos_conv_kernel=cfg.pos_conv_kernel,
+        pos_conv_groups=cfg.pos_conv_groups, dtype=dtype))
+    return params
+
+
+def ssl_encoder_init(key: jax.Array, d: int, *, n_layers: int, n_heads: int,
+                     ffn_mult: int, pos_conv_kernel: int,
+                     pos_conv_groups: int,
+                     dtype: jnp.dtype = jnp.float32) -> Params:
+    """pos-conv + transformer stack shared by HuBERT/Wav2Vec2 and AV-HuBERT."""
+    keys = jax.random.split(key, n_layers + 1)
+    return {
         "pos_conv": {
             "w": jax.random.normal(
-                kpc, (d, d // cfg.pos_conv_groups, cfg.pos_conv_kernel),
-                dtype) * (d // cfg.pos_conv_groups * cfg.pos_conv_kernel) ** -0.5,
+                keys[0], (d, d // pos_conv_groups, pos_conv_kernel),
+                dtype) * (d // pos_conv_groups * pos_conv_kernel) ** -0.5,
             "b": jnp.zeros((d,), dtype),
         },
         "ln": norm_init(d, dtype=dtype),
         "blocks": [
             {
-                "attn": mha_init(keys[n_conv + 3 + i], d, n_heads=cfg.n_heads,
-                                 dtype=dtype),
+                "attn": mha_init(keys[1 + i], d, n_heads=n_heads, dtype=dtype),
                 "ln1": norm_init(d, dtype=dtype),
-                "fc1": dense_init(jax.random.fold_in(keys[n_conv + 3 + i], 1),
-                                  d, d * cfg.ffn_mult, dtype=dtype),
-                "fc2": dense_init(jax.random.fold_in(keys[n_conv + 3 + i], 2),
-                                  d * cfg.ffn_mult, d, dtype=dtype),
+                "fc1": dense_init(jax.random.fold_in(keys[1 + i], 1),
+                                  d, d * ffn_mult, dtype=dtype),
+                "fc2": dense_init(jax.random.fold_in(keys[1 + i], 2),
+                                  d * ffn_mult, d, dtype=dtype),
                 "ln2": norm_init(d, dtype=dtype),
             }
-            for i in range(cfg.n_layers)
+            for i in range(n_layers)
         ],
     }
-    return params
 
 
 # ---------------------------------------------------------------------------
@@ -144,18 +157,19 @@ def _feature_extractor(params: Params, wave: jax.Array,
     return x
 
 
-def _pos_conv(params: Params, x: jax.Array, cfg: SpeechSSLConfig) -> jax.Array:
+def _pos_conv(params: Params, x: jax.Array, kernel: int,
+              groups: int) -> jax.Array:
     """Grouped conv positional embedding (HF Wav2Vec2PositionalConvEmbedding)."""
-    pad = cfg.pos_conv_kernel // 2
+    pad = kernel // 2
     y = jax.lax.conv_general_dilated(
         jnp.swapaxes(x, 1, 2), params["pos_conv"]["w"].astype(x.dtype),
         window_strides=(1,),
         padding=((pad, pad),),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=cfg.pos_conv_groups,
+        feature_group_count=groups,
     )
     y = y + params["pos_conv"]["b"].astype(x.dtype)[None, :, None]
-    if cfg.pos_conv_kernel % 2 == 0:    # HF trims one step for even kernels
+    if kernel % 2 == 0:                 # HF trims one step for even kernels
         y = y[:, :, :-1]
     return gelu(jnp.swapaxes(y, 1, 2))
 
@@ -204,23 +218,49 @@ def speech_ssl_apply(
     x = layer_norm(params["proj_ln"], x)
     x = dense(params["proj"], x)                            # [B, T', d]
 
+    x = ssl_encoder_apply(
+        params, x, feat_lengths, n_heads=cfg.n_heads,
+        do_stable_layer_norm=cfg.do_stable_layer_norm,
+        pos_conv_kernel=cfg.pos_conv_kernel,
+        pos_conv_groups=cfg.pos_conv_groups,
+        mask_before_pos_conv=wave_lengths is not None,
+        use_pallas=use_pallas, remat=remat, mesh=mesh)
+    return x, feat_lengths
+
+
+def ssl_encoder_apply(
+    params: Params,
+    x: jax.Array,
+    lengths: jax.Array,
+    *,
+    n_heads: int,
+    do_stable_layer_norm: bool,
+    pos_conv_kernel: int,
+    pos_conv_groups: int,
+    mask_before_pos_conv: bool = True,
+    use_pallas: str = "auto",
+    remat: bool = False,
+    mesh=None,
+) -> jax.Array:
+    """Shared pos-conv + transformer stack: [B, T, d] -> [B, T, d]."""
+    Tf = x.shape[1]
     # HF zeroes padded positions before the positional conv so padding
     # cannot leak into valid frames through the 128-wide kernel.
-    if wave_lengths is not None:
+    if mask_before_pos_conv:
         valid_f = (jnp.arange(Tf)[None, :]
-                   < feat_lengths[:, None]).astype(x.dtype)[..., None]
+                   < lengths[:, None]).astype(x.dtype)[..., None]
         x = x * valid_f
-    x = x + _pos_conv(params, x, cfg)
+    x = x + _pos_conv(params, x, pos_conv_kernel, pos_conv_groups)
 
-    if not cfg.do_stable_layer_norm:            # base: LN before the stack
+    if not do_stable_layer_norm:                # base: LN before the stack
         x = layer_norm(params["ln"], x)
 
-    attn = functools.partial(mha_apply, n_heads=cfg.n_heads,
-                             lengths=feat_lengths, use_pallas=use_pallas,
+    attn = functools.partial(mha_apply, n_heads=n_heads,
+                             lengths=lengths, use_pallas=use_pallas,
                              mesh=mesh)
 
     def block(bp: Params, x: jax.Array) -> jax.Array:
-        if cfg.do_stable_layer_norm:            # pre-LN (*-large)
+        if do_stable_layer_norm:                # pre-LN (*-large)
             x = x + attn(bp["attn"], layer_norm(bp["ln1"], x))
             h = layer_norm(bp["ln2"], x)
             return x + dense(bp["fc2"], gelu(dense(bp["fc1"], h)))
@@ -234,9 +274,9 @@ def speech_ssl_apply(
     for bp in params["blocks"]:
         x = block(bp, x)
 
-    if cfg.do_stable_layer_norm:                # *-large: LN after the stack
+    if do_stable_layer_norm:                    # *-large: LN after the stack
         x = layer_norm(params["ln"], x)
-    return x, feat_lengths
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -137,6 +137,21 @@ def _layer_apply(p: Params, x: jax.Array, stride: int,
     return jax.nn.relu(y + res)
 
 
+def resnet_stages(stages: list, x: jax.Array, cfg: ResNetConfig) -> jax.Array:
+    """Run the residual stages only (no stem/pool) — reused by AV-HuBERT's
+    video front end, which has its own 3D stem (models/avhubert.py)."""
+    for si, layers in enumerate(stages):
+        stride = (2 if cfg.downsample_in_first_stage else 1) if si == 0 else 2
+        for li, lp in enumerate(layers):
+            x = _layer_apply(lp, x, stride if li == 0 else 1, cfg)
+    return x
+
+
+def init_resnet_stages(key: jax.Array, cfg: ResNetConfig,
+                       dtype: jnp.dtype = jnp.float32) -> list:
+    return init_resnet(key, cfg, dtype)["stages"]
+
+
 def _trunk(params: Params, x: jax.Array, cfg: ResNetConfig) -> jax.Array:
     """[N, 3, S, S] -> pooled [N, hidden_sizes[-1]]."""
     x = _conv_bn(params["stem"], x, stride=2)
@@ -145,10 +160,7 @@ def _trunk(params: Params, x: jax.Array, cfg: ResNetConfig) -> jax.Array:
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else 0,
         jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
         ((0, 0), (0, 0), (1, 1), (1, 1)))
-    for si, layers in enumerate(params["stages"]):
-        stride = (2 if cfg.downsample_in_first_stage else 1) if si == 0 else 2
-        for li, lp in enumerate(layers):
-            x = _layer_apply(lp, x, stride if li == 0 else 1, cfg)
+    x = resnet_stages(params["stages"], x, cfg)
     return jnp.mean(x, axis=(2, 3))     # AdaptiveAvgPool2d((1,1))
 
 

@@ -28,9 +28,15 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], dtype=np.float32)
 INCEPTION_STD = np.array([0.5, 0.5, 0.5], dtype=np.float32)
 
+# AV-HuBERT lip-ROI statistics (grayscale 0.421/0.165, broadcast to RGB —
+# the model averages channels to grayscale, which commutes with this).
+AVHUBERT_MEAN = np.array([0.421, 0.421, 0.421], dtype=np.float32)
+AVHUBERT_STD = np.array([0.165, 0.165, 0.165], dtype=np.float32)
+
 _STATS = {"clip": (CLIP_MEAN, CLIP_STD),
           "imagenet": (IMAGENET_MEAN, IMAGENET_STD),
-          "inception": (INCEPTION_MEAN, INCEPTION_STD)}
+          "inception": (INCEPTION_MEAN, INCEPTION_STD),
+          "avhubert": (AVHUBERT_MEAN, AVHUBERT_STD)}
 
 
 @functools.partial(jax.jit, static_argnames=("image_size", "dtype", "stats"))

@@ -58,12 +58,19 @@ def trainable_mask(params: Params, cfg: ModelConfig) -> Params:
         if top in ("audio_connector", "video_connector", "connector"):
             return True
         if top in ("whisper", "hubert", "wav2vec2", "clip", "resnet",
-                   "efficientnet"):
+                   "efficientnet", "avhubert"):
             # BatchNorm running statistics are data, not weights — never
             # trained even in unfrozen fine-tunes (frozen-BN convention).
             if keys[-1] in ("mean", "var"):
                 return False
             if not cfg.freeze_encoders:
+                return True
+            # Unfreeze selected AV-HuBERT transformer layers
+            # (ref finetune_avhubert_layers, src/utils/config.py:73-74).
+            if (top == "avhubert" and cfg.finetune_avhubert_layers
+                    and len(keys) >= 3 and keys[1] == "blocks"
+                    and keys[2].isdigit()
+                    and int(keys[2]) in cfg.finetune_avhubert_layers):
                 return True
             # Layer-norm-only fine-tuning of frozen encoders
             # (ref unfreeze_layer_norms, src/utils/config.py:86).

@@ -42,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
 
     tok, _, loader = build_data(cfg, args.split, shuffle=False,
                                 batch_size=cfg.decode.batch_size)
-    params = init_or_load_params(cfg, args.checkpoint)
+    from avsr_tpu.infer.generate import prepare_params_for_decode
+    params = prepare_params_for_decode(
+        init_or_load_params(cfg, args.checkpoint), cfg.model)
     mesh, _ = maybe_mesh(cfg)
     shard_batch = None
     if mesh is not None:

@@ -68,7 +68,9 @@ def main(argv: list[str] | None = None) -> int:
                       audio_frontend_for(cfg.model),
                       image_stats_for(cfg.model))
 
-    params = init_or_load_params(cfg, args.checkpoint)
+    from avsr_tpu.infer.generate import prepare_params_for_decode
+    params = prepare_params_for_decode(
+        init_or_load_params(cfg, args.checkpoint), cfg.model)
     out = generate(params, cfg.model, batch, cfg.decode, eos_id=tok.eos_id,
                    rng=jax.random.key(cfg.training.seed),
                    compute_dtype=cfg.runtime.compute_dtype,

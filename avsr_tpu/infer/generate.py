@@ -38,6 +38,17 @@ class GenOut(NamedTuple):
     lengths: jax.Array     # [B] number of valid generated tokens (incl. EOS)
 
 
+def prepare_params_for_decode(params: Params, model_cfg: ModelConfig) -> Params:
+    """One-time inference layout transform: fuse the LLM's q|k|v and
+    gate|up projections (models.llama.fuse_decode_layout) so every decode
+    step issues 4 projection matmuls per layer instead of 7 — each is one
+    ops.qmatmul launch when the base is quantized. Exact: the fused matmul
+    concatenates outputs; LoRA routes through a block-structured b."""
+    out = dict(params)
+    out["llm"] = L.fuse_decode_layout(params["llm"], model_cfg.llm)
+    return out
+
+
 def _top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
     """Mask logits outside the nucleus; keeps at least the top-1 token."""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]

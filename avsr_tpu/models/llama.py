@@ -174,6 +174,99 @@ def merge_lora(params: Params, lora: LoRAConfig) -> Params:
     return walk(params)
 
 
+def _fuse_group(nodes: list[Params]) -> Params | None:
+    """Concatenate parallel projections (same input) along the out dim.
+
+    Bases concat directly (fp "w", or quant "qw"/"qw4" + per-channel
+    "scale" — both are laid out [in, out]). LoRA adapters combine as
+    a = [a_1 | a_2 | ...] and a block-structured b that routes each
+    adapter's rank rows to its own output slice, so
+    x @ a @ b == concat_i(x @ a_i @ b_i) exactly."""
+    kinds = {("w" if "w" in n else "qw" if "qw" in n else "qw4" if "qw4" in n
+              else None) for n in nodes}
+    if len(kinds) != 1 or None in kinds:
+        return None
+    kind = kinds.pop()
+    fused: Params = {kind: jnp.concatenate([n[kind] for n in nodes], axis=1)}
+    if kind != "w":
+        fused["scale"] = jnp.concatenate([n["scale"] for n in nodes])
+        outs = [n["scale"].shape[0] for n in nodes]
+    else:
+        outs = [n["w"].shape[1] for n in nodes]
+    if any("lora" in n for n in nodes):
+        loras = [(i, n["lora"]) for i, n in enumerate(nodes) if "lora" in n]
+        a = jnp.concatenate([l["a"] for _, l in loras], axis=1)
+        total_r = sum(l["a"].shape[1] for _, l in loras)
+        b = jnp.zeros((total_r, sum(outs)), loras[0][1]["b"].dtype)
+        offs = np.concatenate([[0], np.cumsum(outs)])
+        row = 0
+        for i, l in loras:
+            r = l["a"].shape[1]
+            b = b.at[row: row + r, offs[i]: offs[i + 1]].set(l["b"])
+            row += r
+        fused["lora"] = {"a": a, "b": b}
+    return fused
+
+
+def fuse_decode_layout(params: Params, cfg: LLMConfig) -> Params:
+    """Inference-time layout: fuse q|k|v and gate|up per layer.
+
+    Each fused projection is one matmul (one ops.qmatmul launch when
+    quantized) instead of three/two — measured ~10 us per pallas_call
+    inside the decode while_loop, x7 projections x n_layers per token.
+    Training never sees this layout; apply after loading for decode
+    (infer.generate.prepare_params_for_decode)."""
+    out = {k: v for k, v in params.items()}
+    layers = []
+    for layer in params["layers"]:
+        fl = {k: v for k, v in layer.items()}
+        if "qkv" not in fl:
+            qkv = _fuse_group([layer["q"], layer["k"], layer["v"]])
+            if qkv is not None:
+                fl["qkv"] = qkv
+                for k in ("q", "k", "v"):
+                    del fl[k]
+        if "gateup" not in fl:
+            gu = _fuse_group([layer["gate"], layer["up"]])
+            if gu is not None:
+                fl["gateup"] = gu
+                for k in ("gate", "up"):
+                    del fl[k]
+        layers.append(fl)
+    out["layers"] = layers
+    return out
+
+
+def _proj_qkv(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float,
+              rngs=None, ldrop: float = 0.0):
+    """(q, k, v) raw projections, fused or per-tensor layout."""
+    d = cfg.d_model
+    kvd = cfg.n_kv_heads * (d // cfg.n_heads)
+    if "qkv" in layer:
+        y = proj(layer["qkv"], h, lora_scale=ls,
+                 dropout_rng=rngs[0] if rngs is not None else None,
+                 lora_dropout=ldrop)
+        return y[..., :d], y[..., d: d + kvd], y[..., d + kvd:]
+    r = rngs if rngs is not None else [None] * 3
+    return (proj(layer["q"], h, lora_scale=ls, dropout_rng=r[0],
+                 lora_dropout=ldrop),
+            proj(layer["k"], h, lora_scale=ls, dropout_rng=r[1],
+                 lora_dropout=ldrop),
+            proj(layer["v"], h, lora_scale=ls, dropout_rng=r[2],
+                 lora_dropout=ldrop))
+
+
+def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float):
+    """silu(gate) * up, fused or per-tensor layout."""
+    if "gateup" in layer:
+        y = proj(layer["gateup"], h, lora_scale=ls)
+        gate, up = y[..., : cfg.ffn_dim], y[..., cfg.ffn_dim:]
+    else:
+        gate = proj(layer["gate"], h, lora_scale=ls)
+        up = proj(layer["up"], h, lora_scale=ls)
+    return jax.nn.silu(gate) * up
+
+
 # ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------
@@ -208,12 +301,8 @@ def _block(params_i, x, cos, sin, cfg, lengths, ls, use_pallas, dropout_rng,
             if dropout_rng is not None else [None] * 4)
 
     h = rms_norm(params_i["ln_attn"], x, eps=cfg.rms_eps)
-    q = proj(params_i["q"], h, lora_scale=ls, dropout_rng=rngs[0],
-             lora_dropout=lora_dropout)
-    k = proj(params_i["k"], h, lora_scale=ls, dropout_rng=rngs[1],
-             lora_dropout=lora_dropout)
-    v = proj(params_i["v"], h, lora_scale=ls, dropout_rng=rngs[2],
-             lora_dropout=lora_dropout)
+    q, k, v = _proj_qkv(params_i, h, cfg, ls, rngs=rngs[:3],
+                        ldrop=lora_dropout)
     q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -226,9 +315,8 @@ def _block(params_i, x, cos, sin, cfg, lengths, ls, use_pallas, dropout_rng,
                  lora_dropout=lora_dropout)
 
     h = rms_norm(params_i["ln_mlp"], x, eps=cfg.rms_eps)
-    gate = proj(params_i["gate"], h, lora_scale=ls)
-    up = proj(params_i["up"], h, lora_scale=ls)
-    x = x + proj(params_i["down"], jax.nn.silu(gate) * up, lora_scale=ls)
+    x = x + proj(params_i["down"], _proj_mlp(params_i, h, cfg, ls),
+                 lora_scale=ls)
     return x, (k, v)
 
 
@@ -340,10 +428,19 @@ def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     decode cost. With f32 hiddens (param_dtype narrower than
     compute_dtype) the weights upcast instead, preserving activation
     precision."""
-    if cfg.tie_embeddings or "lm_head" not in params:
+    head = params.get("lm_head")
+    if isinstance(head, dict) and ("qw" in head or "qw4" in head):
+        # Weight-only-quantized head (ops.quant.quantize_llm lm_head_bits):
+        # at decode shapes qdot streams the int bytes through the Pallas
+        # kernel instead of reading the fp vocab matrix every token.
+        from avsr_tpu.ops.quant import qdot
+        logits = qdot(x, head, out_dtype=jnp.float32)
+        # quantize_llm may pad the vocab dim for kernel tiling
+        return logits[..., : cfg.vocab_size]
+    if cfg.tie_embeddings or head is None:
         w = params["embed"].T
     else:
-        w = params["lm_head"]["w"]
+        w = head["w"]
     dt = jnp.promote_types(x.dtype, w.dtype)
     return jnp.matmul(x.astype(dt), w.astype(dt),
                       preferred_element_type=jnp.float32)
@@ -384,12 +481,21 @@ def _gqa_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, _, D = q.shape
     Hkv, M = k.shape[1], k.shape[2]
     g = H // Hkv
-    qg = q.reshape(B, Hkv, g, D).astype(jnp.float32) * (D ** -0.5)
-    s = jnp.einsum("bhgd,bhmd->bhgm", qg, k.astype(jnp.float32))
+    # Native-dtype einsums with f32 accumulation: upcasting the cache
+    # (k/v.astype(f32)) materializes an f32 copy of the whole [B,Hkv,M,D]
+    # block per layer per token — measured 4x the cache-read roofline in
+    # the decode loop. bf16 operands with preferred_element_type=f32 are
+    # exact (bf16 products are representable in f32) and stream the cache
+    # at its stored width.
+    qg = (q.astype(jnp.float32) * (D ** -0.5)).astype(k.dtype)
+    qg = qg.reshape(B, Hkv, g, D)
+    s = jnp.einsum("bhgd,bhmd->bhgm", qg, k,
+                   preferred_element_type=jnp.float32)
     mask = (jnp.arange(M)[None, :] < kv_lens[:, None])[:, None, None, :]
     s = jnp.where(mask, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgm,bhmd->bhgd", p, v.astype(jnp.float32))
+    o = jnp.einsum("bhgm,bhmd->bhgd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
     return o.reshape(B, H, 1, D).astype(q.dtype)
 
 
@@ -425,9 +531,10 @@ def llama_decode_step(
     b_idx = jnp.arange(B)
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(layer["ln_attn"], x, eps=cfg.rms_eps)
-        q = proj(layer["q"], h, lora_scale=ls).reshape(B, 1, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-        k = proj(layer["k"], h, lora_scale=ls).reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = proj(layer["v"], h, lora_scale=ls).reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = _proj_qkv(layer, h, cfg, ls)
+        q = q.reshape(B, 1, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -442,9 +549,8 @@ def llama_decode_step(
         x = x + proj(layer["o"], attn, lora_scale=ls)
 
         h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
-        gate = proj(layer["gate"], h, lora_scale=ls)
-        up = proj(layer["up"], h, lora_scale=ls)
-        x = x + proj(layer["down"], jax.nn.silu(gate) * up, lora_scale=ls)
+        x = x + proj(layer["down"], _proj_mlp(layer, h, cfg, ls),
+                     lora_scale=ls)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     logits = compute_logits(params, cfg, x)[:, 0]             # [B, V]

@@ -38,8 +38,13 @@ def quantize_tensor(w: jax.Array, bits: int = 8) -> Params:
     if bits == 4:
         if q.shape[0] % 2:
             raise ValueError(f"int4 needs even in-dim, got {q.shape}")
-        lo = q[0::2] & 0x0F                              # low nibble
-        hi = (q[1::2] & 0x0F) << 4
+        # Half-split packing: byte row i holds logical rows i (low nibble)
+        # and i + in/2 (high nibble), so a contiguous packed block maps to
+        # two contiguous logical-row ranges — the ops.qmatmul decode kernel
+        # dequantizes a block with two slices and no interleave.
+        half = q.shape[0] // 2
+        lo = q[:half] & 0x0F
+        hi = (q[half:] & 0x0F) << 4
         packed = (lo | hi).astype(jnp.int8)              # [in//2, out]
         # bit width is encoded in the key name ("qw4" vs "qw") so the pytree
         # holds arrays only — an int leaf would turn into a tracer under jit.
@@ -48,13 +53,15 @@ def quantize_tensor(w: jax.Array, bits: int = 8) -> Params:
 
 
 def _unpack_int4(q: jax.Array) -> jax.Array:
-    """int8[in//2, out] nibble-packed -> int8[in, out] (sign-extended)."""
+    """int8[in//2, out] half-split-packed -> int8[in, out] (sign-extended).
+
+    Inverse of the packing in ``quantize_tensor``: low nibbles are logical
+    rows [0, in/2), high nibbles rows [in/2, in)."""
     lo = (q & 0x0F).astype(jnp.int8)
     hi = ((q >> 4) & 0x0F).astype(jnp.int8)
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    out = jnp.stack([lo, hi], axis=1)                    # [in//2, 2, out]
-    return out.reshape(lo.shape[0] * 2, lo.shape[1])
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def dequantize(qp: Params, dtype=jnp.float32) -> jax.Array:
@@ -65,11 +72,28 @@ def dequantize(qp: Params, dtype=jnp.float32) -> jax.Array:
     return q.astype(dtype) * qp["scale"].astype(dtype)[None, :]
 
 
-def qdot(x: jax.Array, qp: Params) -> jax.Array:
-    """x @ dequant(qw); XLA fuses the dequant into the matmul operand load."""
-    dt = x.dtype
-    w = dequantize(qp, dt)
-    return jnp.matmul(x, w)
+def qdot(x: jax.Array, qp: Params,
+         out_dtype: jnp.dtype | None = None) -> jax.Array:
+    """x @ dequant(qw) -> ``out_dtype`` (default: x.dtype).
+
+    Two regimes (measured on v5e, llama-1B geometry): at training/prefill
+    shapes (M = B*T large) the XLA dequant-matmul is fine — the weight
+    conversion amortizes over many rows. At decode shapes (one token per
+    step) XLA rematerializes the full-width weight every step, so the
+    fused ``ops.qmatmul`` Pallas kernel streams the int bytes instead
+    (int8 1.25x -> ~2x, int4 0.25x -> ~3x vs bf16 weights)."""
+    dt_out = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    lead, K = x.shape[:-1], x.shape[-1]
+    m = 1
+    for s in lead:
+        m *= s
+    from avsr_tpu.ops import qmatmul as qm
+    if qm.eligible(m, K, qp):
+        y = qm.qmatmul(x.reshape(m, K), qp)     # f32 accumulation
+        return y.reshape(*lead, y.shape[-1]).astype(dt_out)
+    w = dequantize(qp, x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.promote_types(
+        x.dtype, dt_out)).astype(dt_out)
 
 
 # ---------------------------------------------------------------------------
@@ -79,13 +103,39 @@ def qdot(x: jax.Array, qp: Params) -> jax.Array:
 _QUANT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
-def quantize_llm(llm_params: Params, bits: int = 8) -> Params:
+def quantize_llm(llm_params: Params, bits: int = 8,
+                 lm_head_bits: int | None = None) -> Params:
     """Quantize every transformer-layer projection of a Llama tree.
 
-    Embeddings and norms stay full precision (gather + small); LoRA
-    adapters are preserved untouched alongside the quantized base.
+    The embedding table and norms stay full precision (gather + small);
+    LoRA adapters are preserved untouched alongside the quantized base.
+
+    ``lm_head_bits`` additionally quantizes the hidden->vocab projection —
+    the single largest per-token HBM read at decode time (vocab 128k x
+    d_model 2048 bf16 = 525 MB/token). For tied embeddings this stores a
+    quantized *copy* of embed.T under "lm_head" (the fp table still
+    serves the token gathers, which touch only the gathered rows); an
+    untied lm_head is quantized in place.
     """
     out = {k: v for k, v in llm_params.items()}
+    if lm_head_bits:
+        if "lm_head" in llm_params and "w" in llm_params["lm_head"]:
+            src = llm_params["lm_head"]["w"]
+        else:
+            src = llm_params["embed"].T
+        # Pad the vocab dim to a 2048 multiple: a 128k vocab (128256 =
+        # 2^7*3*167) only tiles at bn=768 -> a 167-program kernel grid
+        # whose per-program overhead eats the bandwidth win. Zero-padded
+        # columns produce zero logits; compute_logits slices them off.
+        V = src.shape[1]
+        pad = (-V) % 2048 if V > 2048 else 0
+        if pad:
+            src = jnp.pad(src, ((0, 0), (0, pad)))
+        head = quantize_tensor(src, lm_head_bits)
+        if isinstance(llm_params.get("lm_head"), dict):
+            head = {**{k: v for k, v in llm_params["lm_head"].items()
+                       if k not in ("w",)}, **head}
+        out["lm_head"] = head
     layers = []
     for layer in llm_params["layers"]:
         new_layer = {}

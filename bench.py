@@ -100,13 +100,14 @@ def main() -> int:
         f"({dt / STEPS * 1e3:.0f} ms/step)")
 
     dec = bench_decode(cfg, state.params, batch)
+    qdec = bench_decode_quantized(cfg, state.params, batch)
 
     print(json.dumps({
         "metric": "train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
-        **dec,
+        **dec, **qdec,
     }))
     return 0
 
@@ -116,8 +117,12 @@ def bench_decode(cfg, params, batch) -> dict:
     /root/reference/scripts/clip_whisper/decode.py:47-49, 544-549), batch 8.
     Reported alongside the train metric so inference perf is tracked per
     round (round-1 VERDICT weak #3)."""
-    from avsr_tpu.infer.generate import generate_tokens
+    from avsr_tpu.infer.generate import (
+        generate_tokens,
+        prepare_params_for_decode,
+    )
 
+    params = prepare_params_for_decode(params, cfg.model)
     max_new = 100
     t0 = time.perf_counter()
     out = generate_tokens(
@@ -142,6 +147,46 @@ def bench_decode(cfg, params, batch) -> dict:
         f"(greedy, {max_new} tokens, batch {BATCH})")
     return {"decode_utts_per_sec": round(utts, 3),
             "decode_new_tokens_per_sec": round(toks, 1)}
+
+
+def bench_decode_quantized(cfg, params, batch) -> dict:
+    """Serving-mode decode: int4 LLM base + int8 lm_head through the fused
+    ops.qmatmul Pallas kernel (weight bytes stream packed through VMEM —
+    the TPU-native use_4bit, SURVEY.md §7 hard parts)."""
+    import jax.numpy as jnp
+
+    from avsr_tpu.infer.generate import (
+        generate_tokens,
+        prepare_params_for_decode,
+    )
+    from avsr_tpu.ops.quant import quantize_llm
+
+    qparams = dict(params)
+    qparams["llm"] = jax.jit(
+        lambda p: quantize_llm(p, 4, lm_head_bits=8))(params["llm"])
+    jax.block_until_ready(qparams["llm"])
+    qparams = prepare_params_for_decode(qparams, cfg.model)
+
+    max_new = 100
+    t0 = time.perf_counter()
+    out = generate_tokens(
+        qparams, cfg.model, batch, max_new_tokens=max_new,
+        eos_id=-1, compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
+    jax.block_until_ready(out.tokens)
+    log(f"int4 decode compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    n_batches = 3
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = generate_tokens(
+            qparams, cfg.model, batch, max_new_tokens=max_new,
+            eos_id=-1, compute_dtype="bfloat16",
+            use_pallas=cfg.runtime.use_pallas)
+    jax.block_until_ready(out.tokens)
+    dt = time.perf_counter() - t0
+    toks = BATCH * n_batches * max_new / dt
+    log(f"int4+head8 decode: {toks:.0f} new tok/s (greedy, batch {BATCH})")
+    return {"decode_int4_new_tokens_per_sec": round(toks, 1)}
 
 
 if __name__ == "__main__":

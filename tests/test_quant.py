@@ -149,3 +149,140 @@ def test_fp_export_loads_with_quantization(tmp_path):
     # and the restored fp values actually flowed in (embed matches export)
     np.testing.assert_array_equal(np.asarray(params["llm"]["embed"]),
                                   np.asarray(fp["llm"]["embed"]))
+
+
+def test_qmatmul_kernel_parity(rng):
+    """The fused decode kernel (interpret mode) matches dequant-matmul for
+    int8 and half-split-packed int4, including M not on the sublane tile."""
+    from avsr_tpu.ops.qmatmul import qmatmul
+
+    for bits, K, N, M in [(8, 512, 256, 8), (8, 1024, 384, 3),
+                          (4, 512, 256, 8), (4, 2048, 128, 5)]:
+        w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+        qp = quantize_tensor(w, bits)
+        ref = np.asarray(x @ dequantize(qp))
+        got = np.asarray(qmatmul(x, qp, interpret=True))
+        assert got.shape == (M, N)
+        # kernel rounds activations to bf16 for the MXU (weights are int
+        # grid values, exact in bf16) — tolerance covers that rounding
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 5e-3
+
+
+def test_qmatmul_blocks_cover_llama_shapes():
+    """Every projection shape of the flagship llama geometry (and the
+    128256 vocab head) must be tileable, or decode silently loses the
+    kernel and its bandwidth win."""
+    from avsr_tpu.ops.qmatmul import _blocks
+
+    for rows, n in [(2048, 2048), (2048, 512), (2048, 8192), (8192, 2048),
+                    (1024, 2048), (4096, 2048), (2048, 128256)]:
+        picked = _blocks(rows, n, 1.0)
+        assert picked is not None, (rows, n)
+        bk, bn = picked
+        assert rows % bk == 0 and n % bn == 0
+
+
+def test_lm_head_quantization(rng):
+    """quantize_llm(lm_head_bits=...) quantizes the hidden->vocab matmul
+    (the largest per-token decode read) while the fp embedding still
+    serves token gathers; logits stay close to fp."""
+    params = L.init_llama(jax.random.key(0), CFG)
+    x = jnp.asarray(rng.standard_normal((2, 3, CFG.d_model)), jnp.float32)
+    base = np.asarray(L.compute_logits(params, CFG, x))
+
+    q = quantize_llm(params, 8, lm_head_bits=8)
+    assert is_quantized(q["lm_head"])
+    np.testing.assert_array_equal(np.asarray(q["embed"]),
+                                  np.asarray(params["embed"]))
+    got = np.asarray(L.compute_logits(q, CFG, x))
+    assert got.dtype == np.float32
+    rel = np.abs(got - base).max() / (np.abs(base).max() + 1e-9)
+    assert rel < 0.05, rel
+
+    # decode step end to end with quantized layers + head
+    cache = L.init_cache(CFG, batch=2, max_len=8, dtype=jnp.float32)
+    logits, _ = L.llama_decode_step(q, CFG, x=x[:, :1], cache=cache,
+                                    cur_lens=jnp.array([0, 0]))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fused_decode_layout_parity(rng):
+    """fuse_decode_layout (q|k|v, gate|up concatenation + block-routed
+    LoRA b) is exact: fused and unfused trees produce identical prefill
+    hidden states and decode-step logits, fp and quantized."""
+    from avsr_tpu.core.config import LoRAConfig
+
+    lora = LoRAConfig(use_lora=True, r=2, alpha=4,
+                      target_modules=("q_proj", "v_proj"))  # partial on purpose
+    params = L.add_lora(jax.random.key(1),
+                        L.init_llama(jax.random.key(0), CFG), CFG, lora)
+    # give LoRA b nonzero values so fusion errors would show
+    def bump(node):
+        if isinstance(node, dict) and "lora" in node:
+            node = dict(node)
+            node["lora"] = {"a": node["lora"]["a"],
+                            "b": jnp.ones_like(node["lora"]["b"]) * 0.1}
+        return node
+    params["layers"] = [{k: bump(v) for k, v in layer.items()}
+                        for layer in params["layers"]]
+
+    embeds = jnp.asarray(rng.standard_normal((2, 5, CFG.d_model)), jnp.float32)
+    lens = jnp.array([5, 3], jnp.int32)
+
+    for tree in (params, quantize_llm(params, 8, lm_head_bits=8)):
+        fused = L.fuse_decode_layout(tree, CFG)
+        layer0 = fused["layers"][0]
+        assert "qkv" in layer0 and "q" not in layer0
+        assert "gateup" in layer0 and "gate" not in layer0
+
+        base, cache_b = L.llama_apply(
+            tree, CFG, inputs_embeds=embeds, lengths=lens, lora=lora,
+            use_pallas="never", return_cache=True, cache_len=8,
+            output="hidden")
+        got, cache_f = L.llama_apply(
+            fused, CFG, inputs_embeds=embeds, lengths=lens, lora=lora,
+            use_pallas="never", return_cache=True, cache_len=8,
+            output="hidden")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+        x = jnp.asarray(rng.standard_normal((2, 1, CFG.d_model)), jnp.float32)
+        lb, _ = L.llama_decode_step(tree, CFG, x=x, cache=cache_b,
+                                    cur_lens=lens, lora=lora)
+        lf, _ = L.llama_decode_step(fused, CFG, x=x, cache=cache_f,
+                                    cur_lens=lens, lora=lora)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_prepare_params_for_decode_generates(rng):
+    """generate_tokens through the fused layout returns the same tokens."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models_avsr import tiny_model_cfg
+
+    from avsr_tpu.models.avsr import Batch, init_avsr_model
+    from avsr_tpu.infer.generate import (
+        generate_tokens, prepare_params_for_decode)
+
+    mc = tiny_model_cfg(modality="audio")
+    params = init_avsr_model(jax.random.key(0), mc)
+    B = 2
+    batch = Batch(
+        mel=jnp.asarray(rng.standard_normal((B, 80, 40)), jnp.float32),
+        mel_lens=jnp.array([40, 24], jnp.int32),
+        frames=jnp.zeros((B, 1, 3, 16, 16), jnp.float32),
+        frame_lens=jnp.ones((B,), jnp.int32),
+        prompt_tokens=jnp.asarray(rng.integers(0, 100, (B, 3)), jnp.int32),
+        labels=jnp.zeros((B, 4), jnp.int32),
+        label_lens=jnp.zeros((B,), jnp.int32),
+    )
+    base = generate_tokens(params, mc, batch, max_new_tokens=6, eos_id=-1,
+                           use_pallas="never")
+    fused = prepare_params_for_decode(params, mc)
+    got = generate_tokens(fused, mc, batch, max_new_tokens=6, eos_id=-1,
+                          use_pallas="never")
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(base.tokens))

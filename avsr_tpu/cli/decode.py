@@ -44,7 +44,8 @@ def main(argv: list[str] | None = None) -> int:
                                 batch_size=cfg.decode.batch_size)
     from avsr_tpu.infer.generate import prepare_params_for_decode
     params = prepare_params_for_decode(
-        init_or_load_params(cfg, args.checkpoint), cfg.model)
+        init_or_load_params(cfg, args.checkpoint), cfg.model,
+        lm_head_bits=cfg.decode.lm_head_bits)
     mesh, _ = maybe_mesh(cfg)
     shard_batch = None
     if mesh is not None:

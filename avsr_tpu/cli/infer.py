@@ -70,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from avsr_tpu.infer.generate import prepare_params_for_decode
     params = prepare_params_for_decode(
-        init_or_load_params(cfg, args.checkpoint), cfg.model)
+        init_or_load_params(cfg, args.checkpoint), cfg.model,
+        lm_head_bits=cfg.decode.lm_head_bits)
     out = generate(params, cfg.model, batch, cfg.decode, eos_id=tok.eos_id,
                    rng=jax.random.key(cfg.training.seed),
                    compute_dtype=cfg.runtime.compute_dtype,

@@ -368,6 +368,11 @@ class DecodeConfig:
     length_penalty: float = 1.0
     batch_size: int = 8
     output_dir: str = "outputs/decode"
+    # Serving-only: quantize the hidden->vocab projection at decode time
+    # (0 = off). The fp embedding still serves token gathers; the vocab
+    # matmul streams int bytes through ops.qmatmul. Biggest single
+    # per-token HBM read at 128k vocab (525 MB bf16 -> 131/262 MB).
+    lm_head_bits: int = 0               # 0 | 4 | 8
 
 
 @dataclass(frozen=True)
@@ -397,6 +402,8 @@ class AVSRConfig:
                 f"requires modality='both' (got {self.model.modality!r})")
         if self.model.use_4bit and self.model.use_8bit:
             raise ValueError("use_4bit and use_8bit are mutually exclusive")
+        if self.decode.lm_head_bits not in (0, 4, 8):
+            raise ValueError("decode.lm_head_bits must be 0, 4 or 8")
         if self.model.audio_encoder not in ("whisper", "hubert", "wav2vec2"):
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "

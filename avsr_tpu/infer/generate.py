@@ -38,14 +38,22 @@ class GenOut(NamedTuple):
     lengths: jax.Array     # [B] number of valid generated tokens (incl. EOS)
 
 
-def prepare_params_for_decode(params: Params, model_cfg: ModelConfig) -> Params:
+def prepare_params_for_decode(params: Params, model_cfg: ModelConfig,
+                              lm_head_bits: int = 0) -> Params:
     """One-time inference layout transform: fuse the LLM's q|k|v and
     gate|up projections (models.llama.fuse_decode_layout) so every decode
     step issues 4 projection matmuls per layer instead of 7 — each is one
     ops.qmatmul launch when the base is quantized. Exact: the fused matmul
-    concatenates outputs; LoRA routes through a block-structured b."""
+    concatenates outputs; LoRA routes through a block-structured b.
+
+    ``lm_head_bits`` (decode.lm_head_bits) additionally quantizes the
+    hidden->vocab projection for serving (ops.quant.quantize_llm)."""
     out = dict(params)
-    out["llm"] = L.fuse_decode_layout(params["llm"], model_cfg.llm)
+    llm = params["llm"]
+    if lm_head_bits:
+        from avsr_tpu.ops.quant import quantize_llm
+        llm = quantize_llm(llm, 0, lm_head_bits=lm_head_bits)
+    out["llm"] = L.fuse_decode_layout(llm, model_cfg.llm)
     return out
 
 
@@ -98,7 +106,9 @@ def generate_tokens(
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
-    M = Tpre + max_new_tokens
+    # cache_len on a lane tile: M is the minor dim of the position-minor
+    # KVCache, a 128 multiple keeps the layout padding-free
+    M = -(-(Tpre + max_new_tokens) // 128) * 128
 
     hidden, cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
@@ -174,7 +184,7 @@ def beam_search(
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
-    M = Tpre + max_new_tokens
+    M = -(-(Tpre + max_new_tokens) // 128) * 128   # lane-tiled cache_len
 
     hidden, cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,

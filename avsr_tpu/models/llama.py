@@ -272,18 +272,28 @@ def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float):
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, Hkv, M, Dh]
-    v: jax.Array  # [L, B, Hkv, M, Dh]
+    """Decode cache, stored position-minor: [L, B, Hkv, Dh, M].
+
+    With the conventional [.., M, Dh] orientation the head_dim (64) sits
+    on the lane axis and every (8,128) bf16 tile is half-empty — the TPU
+    pads the buffer AND its reads 2x. Position-minor puts M (a 128
+    multiple, generate rounds it up) on lanes and Dh on sublanes: zero
+    padding, half the HBM footprint and stream per token. Both attention
+    contractions work directly on this layout (scores contract Dh on
+    sublanes, outputs contract M on lanes)."""
+
+    k: jax.Array  # [L, B, Hkv, Dh, M]
+    v: jax.Array  # [L, B, Hkv, Dh, M]
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[4]
 
 
 def init_cache(cfg: LLMConfig, batch: int, max_len: int,
                dtype: jnp.dtype = jnp.bfloat16) -> KVCache:
     hd = cfg.d_model // cfg.n_heads
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, hd)
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, hd, max_len)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -407,12 +417,13 @@ def llama_apply(
     cache = None
     if return_cache:
         M = cache_len or T
-        k = jnp.stack([kv[0] for kv in kvs])      # [L,B,Hkv,T,Dh]
-        v = jnp.stack([kv[1] for kv in kvs])
+        # [L,B,Hkv,T,Dh] -> position-minor [L,B,Hkv,Dh,M] (see KVCache)
+        k = jnp.stack([kv[0] for kv in kvs]).transpose(0, 1, 2, 4, 3)
+        v = jnp.stack([kv[1] for kv in kvs]).transpose(0, 1, 2, 4, 3)
         pad = M - T
         if pad > 0:
-            k = jnp.pad(k, ((0, 0),) * 3 + ((0, pad), (0, 0)))
-            v = jnp.pad(v, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+            k = jnp.pad(k, ((0, 0),) * 4 + ((0, pad),))
+            v = jnp.pad(v, ((0, 0),) * 4 + ((0, pad),))
         cache = KVCache(k.astype(compute_dtype), v.astype(compute_dtype))
     return out, cache
 
@@ -473,28 +484,34 @@ def _warn_pp_dropout() -> None:
 
 def _gqa_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           kv_lens: jax.Array) -> jax.Array:
-    """Single-token GQA attention: q [B,H,1,D] vs cache k/v [B,Hkv,M,D].
+    """Single-token GQA attention: q [B,H,1,D] vs cache k/v [B,Hkv,D,M]
+    (position-minor, see KVCache).
 
     Groups query heads over their kv head with an einsum instead of
-    ``jnp.repeat``-ing K/V to H heads (the repeat materializes ~4x the
-    cache per layer per token — pure HBM waste in the decode loop)."""
+    ``jnp.repeat``-ing K/V to H heads, in native dtype with f32
+    accumulation (bf16 products are exact in f32; upcasting the cache
+    would materialize an f32 copy per layer per token).
+
+    Deliberately XLA, not Pallas (measured on v5e, llama-1B geometry,
+    M=768): a fused flash-decode kernel loses here however it is fed —
+    per-layer cache slices cannot fuse into a custom-call operand (XLA
+    copies the [B,Hkv,D,M] block per layer per token), and passing the
+    whole carried cache makes every per-layer scatter write copy-on-write
+    against the pending custom-call reads. XLA's own fused-loop einsum
+    over the position-minor cache runs within ~25%% of the cache-read
+    roofline and beats both kernel variants at B=8 (2.81 vs 2.97 ms/tok)
+    and B=32 (5.87 vs 7.28)."""
     B, H, _, D = q.shape
-    Hkv, M = k.shape[1], k.shape[2]
+    Hkv, M = k.shape[1], k.shape[3]
     g = H // Hkv
-    # Native-dtype einsums with f32 accumulation: upcasting the cache
-    # (k/v.astype(f32)) materializes an f32 copy of the whole [B,Hkv,M,D]
-    # block per layer per token — measured 4x the cache-read roofline in
-    # the decode loop. bf16 operands with preferred_element_type=f32 are
-    # exact (bf16 products are representable in f32) and stream the cache
-    # at its stored width.
     qg = (q.astype(jnp.float32) * (D ** -0.5)).astype(k.dtype)
     qg = qg.reshape(B, Hkv, g, D)
-    s = jnp.einsum("bhgd,bhmd->bhgm", qg, k,
+    s = jnp.einsum("bhgd,bhdm->bhgm", qg, k,
                    preferred_element_type=jnp.float32)
     mask = (jnp.arange(M)[None, :] < kv_lens[:, None])[:, None, None, :]
     s = jnp.where(mask, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgm,bhmd->bhgd", p.astype(v.dtype), v,
+    o = jnp.einsum("bhgm,bhdm->bhgd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     return o.reshape(B, H, 1, D).astype(q.dtype)
 
@@ -522,8 +539,8 @@ def llama_decode_step(
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
     ls = lora_scale(lora) if lora is not None else 0.0
 
-    # O(1)-per-token cache write: scatter the new kv row into slot
-    # cur_lens[b] of the carried [L,B,Hkv,M,Dh] buffers. Inside the
+    # O(1)-per-token cache write: scatter the new kv column into lane
+    # slot cur_lens[b] of the carried [L,B,Hkv,Dh,M] buffers. Inside the
     # generation while_loop the carry is buffer-aliased, so XLA compiles
     # this to an in-place update — no full-cache rewrite, no per-layer
     # stack copy (round-1 VERDICT weak #3).
@@ -538,9 +555,9 @@ def llama_decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_all = k_all.at[i, b_idx, :, cur_lens, :].set(
+        k_all = k_all.at[i, b_idx, :, :, cur_lens].set(
             k[:, :, 0, :].astype(k_all.dtype))
-        v_all = v_all.at[i, b_idx, :, cur_lens, :].set(
+        v_all = v_all.at[i, b_idx, :, :, cur_lens].set(
             v[:, :, 0, :].astype(v_all.dtype))
 
         attn = _gqa_decode_attention(q, k_all[i], v_all[i],

@@ -136,6 +136,8 @@ def quantize_llm(llm_params: Params, bits: int = 8,
             head = {**{k: v for k, v in llm_params["lm_head"].items()
                        if k not in ("w",)}, **head}
         out["lm_head"] = head
+    if not bits:                        # lm-head-only quantization
+        return out
     layers = []
     for layer in llm_params["layers"]:
         new_layer = {}

@@ -94,7 +94,11 @@ def _flash_fwd_kernel(
     k_ref,      # VMEM [1, 1, Tk, D]
     v_ref,      # VMEM [1, 1, Tk, D]
     o_ref,      # VMEM [1, 1, block_q, D]
-    lse_ref,    # VMEM [1, 1, block_q, 1] f32 — logsumexp per query row
+    lse_ref,    # VMEM [1, 1, block_q, 8] f32 — logsumexp per query row
+                # (8-lane minor: a [.., Qp, 1] residual is lane-padded
+                # 128x in HBM — 4.7 GB of pure padding at B=32; 8 lanes
+                # pad to one (8,128) tile, 16x less, and the block's last
+                # dim equals the array dim so any block_q is legal)
     *,
     sm_scale: float,
     causal: bool,
@@ -161,7 +165,7 @@ def _flash_fwd_kernel(
     # Rows with no valid key (padding): lse=+inf so backward p=exp(s-inf)=0.
     lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)),
                     jnp.float32(1e30))            # [block_q, 1]
-    lse_ref[0, 0] = lse
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 8))
 
 
 def _flash_bwd_dq_kernel(
@@ -170,8 +174,8 @@ def _flash_bwd_dq_kernel(
     k_ref,       # [1, 1, Tk, D]
     v_ref,       # [1, 1, Tk, D]
     do_ref,      # [1, 1, block_q, D]
-    lse_ref,     # [1, 1, block_q, 1] f32
-    delta_ref,   # [1, 1, block_q, 1] f32 — rowsum(dO * O)
+    lse_ref,     # [1, 1, block_q, 8] f32 (8-lane-minor residuals)
+    delta_ref,   # [1, 1, block_q, 8] f32 — rowsum(dO * O)
     dq_ref,      # out [1, 1, block_q, D]
     *,
     sm_scale: float,
@@ -188,8 +192,8 @@ def _flash_bwd_dq_kernel(
 
     qs = q_ref[0, 0]                                    # [bq, D] native dtype
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0]                                 # [bq, 1]
-    delta = delta_ref[0, 0]                             # [bq, 1]
+    lse = lse_ref[0, 0][:, 0:1]                         # [bq, 1]
+    delta = delta_ref[0, 0][:, 0:1]                     # [bq, 1]
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     num_kv_blocks = pl.cdiv(kv_seq, block_k)
@@ -227,8 +231,8 @@ def _flash_bwd_dkv_kernel(
     k_ref,       # [1, 1, block_k, D]
     v_ref,       # [1, 1, block_k, D]
     do_ref,      # [1, 1, G*Tq, D]
-    lse_ref,     # [1, 1, G*Tq, 1] f32
-    delta_ref,   # [1, 1, G*Tq, 1] f32
+    lse_ref,     # [1, 1, G*Tq, 8] f32 (8-lane-minor residuals)
+    delta_ref,   # [1, 1, G*Tq, 8] f32
     dk_ref,      # out [1, 1, block_k, D] f32
     dv_ref,      # out [1, 1, block_k, D] f32
     *,
@@ -259,8 +263,8 @@ def _flash_bwd_dkv_kernel(
         dk_a, dv_a = carry
         qs = q_ref[0, 0, pl.ds(j * block_q, block_q), :]  # [bq, D]
         do = do_ref[0, 0, pl.ds(j * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q), :]
-        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q), 0:1]
+        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q), 0:1]
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         q_ids = (j * block_q) % q_seq + jax.lax.broadcasted_iota(
@@ -311,12 +315,12 @@ def _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Qp, 8), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
@@ -340,16 +344,22 @@ def _flash_core_fwd(q, k, v, lens, causal, sm_scale, block_q, block_k,
                     interpret, q_seq):
     out, lse = _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k,
                          interpret, q_seq)
-    return out, (q, k, v, lens, out, lse)
+    # Save the residual COMPACT: the kernel's [B,Hkv,Qp,8] buffer pads to
+    # a full (8,128) lane tile in HBM (16x), and one lives per layer until
+    # backward — 4.7 GB of padding at B=32. The [B,Hkv,Qp] slice is
+    # padding-free (Qp minor); backward re-broadcasts it transiently.
+    return out, (q, k, v, lens, out, lse[..., 0])
 
 
 def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                     res, g):
-    q, k, v, lens, out, lse = res
+    q, k, v, lens, out, lse_c = res
     B, Hkv, Qp, D = q.shape
     Tk = k.shape[2]
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)                 # [B, Hkv, Qp, 1]
+    lse = jnp.broadcast_to(lse_c[..., None], (B, Hkv, Qp, 8))
+    delta = jnp.broadcast_to(
+        jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                axis=-1, keepdims=True), (B, Hkv, Qp, 8))   # 8-lane minor
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
@@ -367,9 +377,9 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
@@ -395,9 +405,9 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Qp, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Qp, 1), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Qp, 8), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Qp, 1), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Qp, 8), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

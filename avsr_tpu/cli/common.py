@@ -99,6 +99,24 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
     return params
 
 
+def load_decode_params(cfg: AVSRConfig, checkpoint: str | None,
+                       mesh=None) -> Any:
+    """Inference params: load/quantize, then the serving layout transform
+    (fused q|k|v + gate|up, optional lm-head quantization —
+    infer.generate.prepare_params_for_decode). With a device mesh the
+    fused ops.qmatmul kernel is disabled up front: a pallas custom-call
+    has no GSPMD partitioning rule, so XLA would all-gather the sharded
+    quantized weights every decode step."""
+    from avsr_tpu.infer.generate import prepare_params_for_decode
+
+    if mesh is not None:
+        from avsr_tpu.ops.qmatmul import set_force_xla
+        set_force_xla(True)
+    return prepare_params_for_decode(
+        init_or_load_params(cfg, checkpoint), cfg.model,
+        lm_head_bits=cfg.decode.lm_head_bits)
+
+
 def _restore(checkpoint: str, params_like, cfg: AVSRConfig):
     """Restore a trainer checkpoint dir or a params-only export into the
     structure of ``params_like``."""

@@ -21,8 +21,8 @@ import numpy as np
 from avsr_tpu.cli.common import (
     base_parser,
     build_data,
-    init_or_load_params,
     load_cli_config,
+    load_decode_params,
     maybe_mesh,
 )
 
@@ -42,11 +42,8 @@ def main(argv: list[str] | None = None) -> int:
 
     tok, _, loader = build_data(cfg, args.split, shuffle=False,
                                 batch_size=cfg.decode.batch_size)
-    from avsr_tpu.infer.generate import prepare_params_for_decode
-    params = prepare_params_for_decode(
-        init_or_load_params(cfg, args.checkpoint), cfg.model,
-        lm_head_bits=cfg.decode.lm_head_bits)
     mesh, _ = maybe_mesh(cfg)
+    params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
     shard_batch = None
     if mesh is not None:
         # multi-chip decoding: params shard by the mesh rules (tp/fsdp),

@@ -17,7 +17,8 @@ import logging
 import jax
 import numpy as np
 
-from avsr_tpu.cli.common import base_parser, init_or_load_params, load_cli_config
+from avsr_tpu.cli.common import (base_parser, load_cli_config,
+                                  load_decode_params)
 
 log = logging.getLogger("avsr.cli.infer")
 
@@ -68,10 +69,7 @@ def main(argv: list[str] | None = None) -> int:
                       audio_frontend_for(cfg.model),
                       image_stats_for(cfg.model))
 
-    from avsr_tpu.infer.generate import prepare_params_for_decode
-    params = prepare_params_for_decode(
-        init_or_load_params(cfg, args.checkpoint), cfg.model,
-        lm_head_bits=cfg.decode.lm_head_bits)
+    params = load_decode_params(cfg, args.checkpoint)
     out = generate(params, cfg.model, batch, cfg.decode, eos_id=tok.eos_id,
                    rng=jax.random.key(cfg.training.seed),
                    compute_dtype=cfg.runtime.compute_dtype,

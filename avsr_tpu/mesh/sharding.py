@@ -89,12 +89,12 @@ def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
 _PARAM_RULES: list[tuple[str, P]] = [
     (r"\blora/a/?$",                        P(None, None)),
     (r"\blora/b/?$",                        P(None, None)),
-    (r"\b(q|k|v|qkv|gate|up|gateup|fc1)/(w|qw|qw4)$", P("fsdp", "tp")),
-    (r"\b(o|down|fc2)/(w|qw|qw4)$",         P("tp", "fsdp")),
+    (r"\b(q|k|v|qkv|gate|up|gateup|fc1)/(w|qw|qw4h)$", P("fsdp", "tp")),
+    (r"\b(o|down|fc2)/(w|qw|qw4h)$",         P("tp", "fsdp")),
     (r"\b(q|k|v|qkv|gate|up|gateup|fc1)/scale$",      P("tp")),
     (r"\b(o|down|fc2)/scale$",              P("fsdp")),
     (r"\bembed$",                           P("tp", "fsdp")),   # vocab-sharded
-    (r"\blm_head/(w|qw|qw4)$",              P("fsdp", "tp")),
+    (r"\blm_head/(w|qw|qw4h)$",              P("fsdp", "tp")),
     (r"\blm_head/scale$",                   P("tp")),
     (r"\bconv[12]/w$",                      P(None, None, None)),
     (r"\bpatch/w$",                         P(None, "tp")),

@@ -66,7 +66,7 @@ def proj(p: Params, x: jax.Array, *, dtype: jnp.dtype | None = None,
     """x @ W (no bias, llama-style) + optional LoRA low-rank update.
 
     ``p`` may hold a full-precision kernel ("w") or a weight-only-quantized
-    one ("qw"/"qw4" + "scale", ops.quant) — the int8/int4 base dequantizes
+    one ("qw"/"qw4h" + "scale", ops.quant) — the int8/int4 base dequantizes
     on the fly while LoRA stays full precision (QLoRA-style)."""
     dt = dtype or x.dtype
     if "w" in p:
@@ -177,12 +177,12 @@ def merge_lora(params: Params, lora: LoRAConfig) -> Params:
 def _fuse_group(nodes: list[Params]) -> Params | None:
     """Concatenate parallel projections (same input) along the out dim.
 
-    Bases concat directly (fp "w", or quant "qw"/"qw4" + per-channel
+    Bases concat directly (fp "w", or quant "qw"/"qw4h" + per-channel
     "scale" — both are laid out [in, out]). LoRA adapters combine as
     a = [a_1 | a_2 | ...] and a block-structured b that routes each
     adapter's rank rows to its own output slice, so
     x @ a @ b == concat_i(x @ a_i @ b_i) exactly."""
-    kinds = {("w" if "w" in n else "qw" if "qw" in n else "qw4" if "qw4" in n
+    kinds = {("w" if "w" in n else "qw" if "qw" in n else "qw4h" if "qw4h" in n
               else None) for n in nodes}
     if len(kinds) != 1 or None in kinds:
         return None
@@ -440,7 +440,7 @@ def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     compute_dtype) the weights upcast instead, preserving activation
     precision."""
     head = params.get("lm_head")
-    if isinstance(head, dict) and ("qw" in head or "qw4" in head):
+    if isinstance(head, dict) and ("qw" in head or "qw4h" in head):
         # Weight-only-quantized head (ops.quant.quantize_llm lm_head_bits):
         # at decode shapes qdot streams the int bytes through the Pallas
         # kernel instead of reading the fp vocab matrix every token.

@@ -519,7 +519,7 @@ def attention(
     elif use_pallas == "always":
         on_tpu = True
     else:
-        on_tpu = jax.default_backend() not in ("cpu", "METAL")
+        on_tpu = jax.default_backend() == "tpu"
     # Dispatch (measured in-graph on v5e, head_dim 64, 16 stacked layers at
     # [8,32,556,64]/GQA-8 causal): with blocks sized to the whole (padded)
     # sequence the kernel beats the XLA f32-scores path ~2x on fwd+bwd

@@ -36,6 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 # compute-shaped and the XLA dequant-matmul path is the right one.
 MAX_SMALL_M = 64
 
+# Multi-chip decode must keep the XLA dequant-matmul: set by the decode
+# CLI before tracing when a device mesh is in use (cli/decode.py).
+_FORCE_XLA = False
+
+
+def set_force_xla(flag: bool) -> None:
+    """Disable the Pallas path (e.g. sharded decode — see eligible())."""
+    global _FORCE_XLA
+    _FORCE_XLA = bool(flag)
+
+
+def _mesh_active() -> bool:
+    if _FORCE_XLA:
+        return True
+    try:
+        from jax.interpreters import pxla
+        return not pxla.thread_resources.env.physical_mesh.empty
+    except Exception:  # noqa: BLE001 — mesh introspection is best-effort
+        return False
+
 # Per-program overhead dominates small grids (same finding as the flash
 # kernel's _auto_block): make each weight block as big as a VMEM budget
 # allows so the grid has as few programs as possible.
@@ -67,13 +87,19 @@ def _blocks(rows: int, n: int, itemsize: float) -> tuple[int, int] | None:
 
 
 def eligible(m: int, k: int, qp) -> bool:
-    """Kernel applicability: small M, tileable K/N, TPU backend."""
-    if jax.default_backend() in ("cpu", "METAL"):
+    """Kernel applicability: small M, tileable K/N, TPU backend, no mesh."""
+    import jax  # local: keep module import-light for CPU-only consumers
+    if jax.default_backend() != "tpu":   # Mosaic kernels are TPU-only
+        return False
+    if _mesh_active():
+        # A pallas custom-call has no GSPMD partitioning rule: under a
+        # tp/fsdp mesh XLA would all-gather the sharded quantized weights
+        # every decode step. The XLA dequant-matmul shards cleanly.
         return False
     if m > MAX_SMALL_M:
         return False
     n = qp["scale"].shape[0]
-    if "qw4" in qp:
+    if "qw4h" in qp:
         # packed rows = K/2; a K block maps to bk/2 packed rows
         return k % 2 == 0 and _blocks(k // 2, n, 1.0) is not None
     return _blocks(k, n, 1.0) is not None
@@ -132,12 +158,12 @@ def qmatmul(x: jax.Array, qp, *, interpret: bool = False) -> jax.Array:
     """x [M, K] @ dequant(qp) -> f32 [M, N]; int bytes never leave HBM wide.
 
     ``qp`` is an ``ops.quant`` pytree ({"qw": int8[K, N]} or
-    {"qw4": int8[K/2, N]} plus {"scale": f32[N]}). M is padded to the f32
+    {"qw4h": int8[K/2, N]} plus {"scale": f32[N]}). M is padded to the f32
     sublane tile (8) internally.
     """
     M, K = x.shape
-    int4 = "qw4" in qp
-    w = qp["qw4"] if int4 else qp["qw"]
+    int4 = "qw4h" in qp
+    w = qp["qw4h"] if int4 else qp["qw"]
     N = w.shape[1]
     scale = qp["scale"].reshape(1, N).astype(jnp.float32)
 

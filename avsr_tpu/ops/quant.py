@@ -46,9 +46,9 @@ def quantize_tensor(w: jax.Array, bits: int = 8) -> Params:
         lo = q[:half] & 0x0F
         hi = (q[half:] & 0x0F) << 4
         packed = (lo | hi).astype(jnp.int8)              # [in//2, out]
-        # bit width is encoded in the key name ("qw4" vs "qw") so the pytree
+        # bit width is encoded in the key name ("qw4h" vs "qw") so the pytree
         # holds arrays only — an int leaf would turn into a tracer under jit.
-        return {"qw4": packed, "scale": scale.astype(jnp.float32)}
+        return {"qw4h": packed, "scale": scale.astype(jnp.float32)}
     return {"qw": q, "scale": scale.astype(jnp.float32)}
 
 
@@ -65,8 +65,8 @@ def _unpack_int4(q: jax.Array) -> jax.Array:
 
 
 def dequantize(qp: Params, dtype=jnp.float32) -> jax.Array:
-    if "qw4" in qp:
-        q = _unpack_int4(qp["qw4"])
+    if "qw4h" in qp:
+        q = _unpack_int4(qp["qw4h"])
     else:
         q = qp["qw"]
     return q.astype(dtype) * qp["scale"].astype(dtype)[None, :]
@@ -155,7 +155,7 @@ def quantize_llm(llm_params: Params, bits: int = 8,
 
 
 def is_quantized(node: Any) -> bool:
-    return isinstance(node, dict) and ("qw" in node or "qw4" in node)
+    return isinstance(node, dict) and ("qw" in node or "qw4h" in node)
 
 
 def quant_bytes(llm_params: Params) -> int:

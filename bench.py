@@ -112,39 +112,43 @@ def main() -> int:
     return 0
 
 
-def bench_decode(cfg, params, batch) -> dict:
-    """Greedy decode throughput (ref protocol: greedy, max_new_tokens=100 —
-    /root/reference/scripts/clip_whisper/decode.py:47-49, 544-549), batch 8.
-    Reported alongside the train metric so inference perf is tracked per
-    round (round-1 VERDICT weak #3)."""
-    from avsr_tpu.infer.generate import (
-        generate_tokens,
-        prepare_params_for_decode,
-    )
+def _time_decode(cfg, params, batch, label: str) -> tuple[float, float]:
+    """Shared greedy-decode timing harness (ref protocol: greedy,
+    max_new_tokens=100 — /root/reference/scripts/clip_whisper/decode.py:
+    47-49, 544-549): one compile batch, then 3 timed batches.
+    Returns (utt/s, new tok/s)."""
+    from avsr_tpu.infer.generate import generate_tokens
 
-    params = prepare_params_for_decode(params, cfg.model)
     max_new = 100
+
+    def run():
+        return generate_tokens(
+            params, cfg.model, batch, max_new_tokens=max_new,
+            eos_id=-1,  # no EOS in random-init vocab: full 100 tokens
+            compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
+
     t0 = time.perf_counter()
-    out = generate_tokens(
-        params, cfg.model, batch, max_new_tokens=max_new,
-        eos_id=-1,  # no EOS in random-init vocab: forces the full 100 tokens
-        compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
-    jax.block_until_ready(out.tokens)
-    log(f"decode compile+first batch: {time.perf_counter() - t0:.1f}s")
+    jax.block_until_ready(run().tokens)
+    log(f"{label} compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     n_batches = 3
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        out = generate_tokens(
-            params, cfg.model, batch, max_new_tokens=max_new,
-            eos_id=-1, compute_dtype="bfloat16",
-            use_pallas=cfg.runtime.use_pallas)
+        out = run()
     jax.block_until_ready(out.tokens)
     dt = time.perf_counter() - t0
-    utts = BATCH * n_batches / dt
-    toks = BATCH * n_batches * max_new / dt
+    return BATCH * n_batches / dt, BATCH * n_batches * max_new / dt
+
+
+def bench_decode(cfg, params, batch) -> dict:
+    """bf16 decode throughput, batch 8. Reported alongside the train metric
+    so inference perf is tracked per round (round-1 VERDICT weak #3)."""
+    from avsr_tpu.infer.generate import prepare_params_for_decode
+
+    params = prepare_params_for_decode(params, cfg.model)
+    utts, toks = _time_decode(cfg, params, batch, "decode")
     log(f"decode: {utts:.2f} utt/s, {toks:.0f} new tok/s "
-        f"(greedy, {max_new} tokens, batch {BATCH})")
+        f"(greedy, 100 tokens, batch {BATCH})")
     return {"decode_utts_per_sec": round(utts, 3),
             "decode_new_tokens_per_sec": round(toks, 1)}
 
@@ -153,12 +157,7 @@ def bench_decode_quantized(cfg, params, batch) -> dict:
     """Serving-mode decode: int4 LLM base + int8 lm_head through the fused
     ops.qmatmul Pallas kernel (weight bytes stream packed through VMEM —
     the TPU-native use_4bit, SURVEY.md §7 hard parts)."""
-    import jax.numpy as jnp
-
-    from avsr_tpu.infer.generate import (
-        generate_tokens,
-        prepare_params_for_decode,
-    )
+    from avsr_tpu.infer.generate import prepare_params_for_decode
     from avsr_tpu.ops.quant import quantize_llm
 
     qparams = dict(params)
@@ -166,25 +165,7 @@ def bench_decode_quantized(cfg, params, batch) -> dict:
         lambda p: quantize_llm(p, 4, lm_head_bits=8))(params["llm"])
     jax.block_until_ready(qparams["llm"])
     qparams = prepare_params_for_decode(qparams, cfg.model)
-
-    max_new = 100
-    t0 = time.perf_counter()
-    out = generate_tokens(
-        qparams, cfg.model, batch, max_new_tokens=max_new,
-        eos_id=-1, compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
-    jax.block_until_ready(out.tokens)
-    log(f"int4 decode compile+first batch: {time.perf_counter() - t0:.1f}s")
-
-    n_batches = 3
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = generate_tokens(
-            qparams, cfg.model, batch, max_new_tokens=max_new,
-            eos_id=-1, compute_dtype="bfloat16",
-            use_pallas=cfg.runtime.use_pallas)
-    jax.block_until_ready(out.tokens)
-    dt = time.perf_counter() - t0
-    toks = BATCH * n_batches * max_new / dt
+    _, toks = _time_decode(cfg, qparams, batch, "int4 decode")
     log(f"int4+head8 decode: {toks:.0f} new tok/s (greedy, batch {BATCH})")
     return {"decode_int4_new_tokens_per_sec": round(toks, 1)}
 

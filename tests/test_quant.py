@@ -33,7 +33,7 @@ def test_int4_pack_unpack_exact(rng):
     w = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
     q8 = quantize_tensor(w, 8)
     q4 = quantize_tensor(w, 4)
-    assert q4["qw4"].shape == (32, 16)
+    assert q4["qw4h"].shape == (32, 16)
     # unpacked nibbles must be the clipped/rounded int4 grid values
     deq = np.asarray(dequantize(q4))
     scale = np.asarray(q4["scale"])
@@ -145,7 +145,7 @@ def test_fp_export_loads_with_quantization(tmp_path):
         cfg, model=dataclasses.replace(model, use_4bit=True))
     params = init_or_load_params(qcfg, str(tmp_path / "export"))
     layer = params["llm"]["layers"][0]["q"]
-    assert "qw4" in layer or "qw" in layer       # base got quantized
+    assert "qw4h" in layer or "qw" in layer       # base got quantized
     # and the restored fp values actually flowed in (embed matches export)
     np.testing.assert_array_equal(np.asarray(params["llm"]["embed"]),
                                   np.asarray(fp["llm"]["embed"]))

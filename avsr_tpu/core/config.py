@@ -72,9 +72,9 @@ class WhisperConfig:
     n_layers: int = 24
     ffn_mult: int = 4
     max_frames: int = 3000       # 30 s of 10 ms hops
-    sample_rate: int = 16000
-    n_fft: int = 400
-    hop_length: int = 160
+    # The 16 kHz / n_fft=400 / hop=160 log-mel protocol is fixed by the
+    # pretrained Whisper weights and lives as constants in ops.logmel —
+    # config knobs for it would be dead (nothing could honor a change).
 
     @property
     def max_source_positions(self) -> int:

@@ -369,3 +369,34 @@ def test_train_step_unfrozen_encoders(rng):
         assert not float(m["skipped"])
     w_after = np.asarray(state.params["whisper"]["conv1"]["w"])
     assert np.abs(w_after - w_before).max() > 0
+
+
+def test_profiler_and_memory_telemetry(tmp_path, caplog):
+    """runtime.profile_dir captures a jax.profiler trace of steps 4-7 and
+    the per-100-step device-memory log runs (the TPU answers to the
+    reference's CUDA memory instrumentation, trainer:484-487, 967-974)."""
+    import logging
+
+    from avsr_tpu.train.loop import Trainer
+
+    pdir = tmp_path / "prof"
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, synthetic_size=16, batch_size=2),
+        training=dataclasses.replace(cfg.training, max_steps=8,
+                                     checkpoint_dir=str(tmp_path / "ckpt")),
+        runtime=dataclasses.replace(cfg.runtime, profile_dir=str(pdir)))
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg.data, tok, modality="audio", image_size=16)
+    loader = DataLoader(ds, cfg.data, tok, model_cfg=cfg.model, seed=0)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    tr = Trainer(cfg, params, loader)
+    with caplog.at_level(logging.INFO, logger="avsr.train"):
+        tr.train()
+        tr._log_device_memory(0)   # cadence-gated in the loop; call direct
+    # a trace was started, stopped, and written to disk
+    assert any("tracing steps 4-7" in r.message for r in caplog.records)
+    assert any("trace written" in r.message for r in caplog.records)
+    traces = list(pdir.rglob("*.xplane.pb")) + list(pdir.rglob("*.trace*"))
+    assert traces, f"no profiler artifacts under {pdir}"

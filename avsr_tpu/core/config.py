@@ -368,6 +368,10 @@ class DecodeConfig:
     length_penalty: float = 1.0
     batch_size: int = 8
     output_dir: str = "outputs/decode"
+    # Serving-only: int8 KV cache (quantized at prefill, per-head scales;
+    # models.llama.quantize_cache) — decode is cache-bandwidth bound at
+    # batch >= 16; measured ~1.6x tokens/s at B=32.
+    kv_cache_dtype: str = "bfloat16"    # bfloat16 | int8
     # Serving-only: quantize the hidden->vocab projection at decode time
     # (0 = off). The fp embedding still serves token gathers; the vocab
     # matmul streams int bytes through ops.qmatmul. Biggest single
@@ -404,6 +408,8 @@ class AVSRConfig:
             raise ValueError("use_4bit and use_8bit are mutually exclusive")
         if self.decode.lm_head_bits not in (0, 4, 8):
             raise ValueError("decode.lm_head_bits must be 0, 4 or 8")
+        if self.decode.kv_cache_dtype not in ("bfloat16", "int8"):
+            raise ValueError("decode.kv_cache_dtype must be bfloat16|int8")
         if self.model.audio_encoder not in ("whisper", "hubert", "wav2vec2"):
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "

@@ -112,7 +112,8 @@ def main() -> int:
     return 0
 
 
-def _time_decode(cfg, params, batch, label: str) -> tuple[float, float]:
+def _time_decode(cfg, params, batch, label: str,
+                 kv_cache_dtype: str = "bfloat16") -> tuple[float, float]:
     """Shared greedy-decode timing harness (ref protocol: greedy,
     max_new_tokens=100 — /root/reference/scripts/clip_whisper/decode.py:
     47-49, 544-549): one compile batch, then 3 timed batches.
@@ -125,7 +126,8 @@ def _time_decode(cfg, params, batch, label: str) -> tuple[float, float]:
         return generate_tokens(
             params, cfg.model, batch, max_new_tokens=max_new,
             eos_id=-1,  # no EOS in random-init vocab: full 100 tokens
-            compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
+            compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas,
+            kv_cache_dtype=kv_cache_dtype)
 
     t0 = time.perf_counter()
     jax.block_until_ready(run().tokens)
@@ -156,7 +158,7 @@ def bench_decode(cfg, params, batch) -> dict:
 def bench_decode_quantized(cfg, params, batch) -> dict:
     """Serving-mode decode: int4 LLM base + int8 lm_head through the fused
     ops.qmatmul Pallas kernel (weight bytes stream packed through VMEM —
-    the TPU-native use_4bit, SURVEY.md §7 hard parts)."""
+    the TPU-native use_4bit, SURVEY.md §7 hard parts) + int8 KV cache."""
     from avsr_tpu.infer.generate import prepare_params_for_decode
     from avsr_tpu.ops.quant import quantize_llm
 
@@ -165,8 +167,9 @@ def bench_decode_quantized(cfg, params, batch) -> dict:
         lambda p: quantize_llm(p, 4, lm_head_bits=8))(params["llm"])
     jax.block_until_ready(qparams["llm"])
     qparams = prepare_params_for_decode(qparams, cfg.model)
-    _, toks = _time_decode(cfg, qparams, batch, "int4 decode")
-    log(f"int4+head8 decode: {toks:.0f} new tok/s (greedy, batch {BATCH})")
+    _, toks = _time_decode(cfg, qparams, batch, "serving decode",
+                           kv_cache_dtype="int8")
+    log(f"int4+head8+kv8 decode: {toks:.0f} new tok/s (greedy, batch {BATCH})")
     return {"decode_int4_new_tokens_per_sec": round(toks, 1)}
 
 

@@ -136,3 +136,56 @@ def test_generate_with_tp_sharded_params(rng):
 
     np.testing.assert_array_equal(np.asarray(out.tokens),
                                   np.asarray(ref.tokens))
+
+
+def test_int8_kv_cache_generate(rng):
+    """decode.kv_cache_dtype=int8: prefill-quantized cache (per-head
+    scales, models.llama.quantize_cache) generates valid sequences whose
+    logits track the bf16-cache path closely."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models_avsr import tiny_model_cfg
+
+    from avsr_tpu.models import llama as L
+    from avsr_tpu.models.avsr import Batch, init_avsr_model
+    from avsr_tpu.infer.generate import generate_tokens
+
+    mc = tiny_model_cfg(modality="audio")
+    params = init_avsr_model(jax.random.key(0), mc)
+    B = 2
+    batch = Batch(
+        mel=jnp.asarray(rng.standard_normal((B, 80, 40)), jnp.float32),
+        mel_lens=jnp.array([40, 24], jnp.int32),
+        frames=jnp.zeros((B, 1, 3, 16, 16), jnp.float32),
+        frame_lens=jnp.ones((B,), jnp.int32),
+        prompt_tokens=jnp.asarray(rng.integers(0, 100, (B, 3)), jnp.int32),
+        labels=jnp.zeros((B, 4), jnp.int32),
+        label_lens=jnp.zeros((B,), jnp.int32),
+    )
+    base = generate_tokens(params, mc, batch, max_new_tokens=6, eos_id=-1,
+                           use_pallas="never")
+    got = generate_tokens(params, mc, batch, max_new_tokens=6, eos_id=-1,
+                          use_pallas="never", kv_cache_dtype="int8")
+    assert got.tokens.shape == base.tokens.shape
+    # int8 rounding can flip near-ties; on a tiny random model most of
+    # the argmax chain must still agree
+    agree = float(np.mean(np.asarray(got.tokens) == np.asarray(base.tokens)))
+    assert agree >= 0.5, agree
+
+    # step-level logits parity (tight): one quantized decode step vs fp
+    cache = L.init_cache(mc.llm, batch=B, max_len=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, 1, mc.llm.d_model)), jnp.float32)
+    lens = jnp.array([3, 2], jnp.int32)
+    # warm the fp cache with a couple of rows
+    logits_fp, cache = L.llama_decode_step(params["llm"], mc.llm, x=x,
+                                           cache=cache, cur_lens=lens)
+    qcache = L.quantize_cache(cache)
+    assert qcache.quantized and qcache.k.dtype == jnp.int8
+    logits_q, qcache2 = L.llama_decode_step(params["llm"], mc.llm, x=x,
+                                            cache=qcache, cur_lens=lens + 1)
+    logits_f, _ = L.llama_decode_step(params["llm"], mc.llm, x=x,
+                                      cache=cache, cur_lens=lens + 1)
+    assert qcache2.k.dtype == jnp.int8     # decoded rows stored quantized
+    ref = np.asarray(logits_f)
+    rel = np.abs(np.asarray(logits_q) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1, rel

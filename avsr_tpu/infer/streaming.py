@@ -125,7 +125,8 @@ class StreamingTranscriber:
             max_new_tokens=self.cfg.decode.max_new_tokens,
             eos_id=self.tok.eos_id,
             compute_dtype=self.cfg.runtime.compute_dtype,
-            use_pallas=self.cfg.runtime.use_pallas)
+            use_pallas=self.cfg.runtime.use_pallas,
+            kv_cache_dtype=self.cfg.decode.kv_cache_dtype)
         n = int(out.lengths[0])
         toks = [int(t) for t in np.asarray(out.tokens)[0, :n]]
         # drop the trailing EOS from the hypothesis stream

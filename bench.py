@@ -113,7 +113,8 @@ def main() -> int:
 
 
 def _time_decode(cfg, params, batch, label: str,
-                 kv_cache_dtype: str = "bfloat16") -> tuple[float, float]:
+                 kv_cache_dtype: str = "bfloat16",
+                 batch_size: int | None = None) -> tuple[float, float]:
     """Shared greedy-decode timing harness (ref protocol: greedy,
     max_new_tokens=100 — /root/reference/scripts/clip_whisper/decode.py:
     47-49, 544-549): one compile batch, then 3 timed batches.
@@ -133,13 +134,14 @@ def _time_decode(cfg, params, batch, label: str,
     jax.block_until_ready(run().tokens)
     log(f"{label} compile+first batch: {time.perf_counter() - t0:.1f}s")
 
+    bsz = batch_size or BATCH
     n_batches = 3
     t0 = time.perf_counter()
     for _ in range(n_batches):
         out = run()
     jax.block_until_ready(out.tokens)
     dt = time.perf_counter() - t0
-    return BATCH * n_batches / dt, BATCH * n_batches * max_new / dt
+    return bsz * n_batches / dt, bsz * n_batches * max_new / dt
 
 
 def bench_decode(cfg, params, batch) -> dict:
@@ -170,7 +172,17 @@ def bench_decode_quantized(cfg, params, batch) -> dict:
     _, toks = _time_decode(cfg, qparams, batch, "serving decode",
                            kv_cache_dtype="int8")
     log(f"int4+head8+kv8 decode: {toks:.0f} new tok/s (greedy, batch {BATCH})")
-    return {"decode_int4_new_tokens_per_sec": round(toks, 1)}
+
+    # serving-batch throughput: decode is weight-bandwidth bound, so
+    # tokens/s keeps scaling with batch until the (int8) cache stream
+    # catches up — report the B=32 point as the serving headline
+    big = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * (32 // BATCH), axis=0), batch)
+    _, toks32 = _time_decode(cfg, qparams, big, "serving decode b32",
+                             kv_cache_dtype="int8", batch_size=32)
+    log(f"int4+head8+kv8 decode @ batch 32: {toks32:.0f} new tok/s")
+    return {"decode_int4_new_tokens_per_sec": round(toks, 1),
+            "decode_serving_b32_new_tokens_per_sec": round(toks32, 1)}
 
 
 if __name__ == "__main__":

@@ -99,6 +99,21 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
     return params
 
 
+def validate_modality_media(cfg, parser, *, have_audio: bool,
+                            have_video: bool) -> None:
+    """The checkpoint's param tree is built from model.modality, so the
+    provided media must match it (override model.modality=... to run a
+    different mode — that path re-validates)."""
+    need_audio = cfg.model.modality in ("audio", "both")
+    need_video = cfg.model.modality in ("video", "both")
+    if (need_audio and not have_audio) or (need_video and not have_video):
+        parser.error(
+            f"model.modality={cfg.model.modality!r} needs "
+            f"{'--audio ' if need_audio else ''}"
+            f"{'--video' if need_video else ''} "
+            "(or override model.modality=audio/video/both)")
+
+
 def load_decode_params(cfg: AVSRConfig, checkpoint: str | None,
                        mesh=None) -> Any:
     """Inference params: load/quantize, then the serving layout transform

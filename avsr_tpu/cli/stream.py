@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import logging
 
-from avsr_tpu.cli.common import base_parser, load_cli_config, load_decode_params
+from avsr_tpu.cli.common import (
+    base_parser,
+    load_cli_config,
+    load_decode_params,
+    validate_modality_media,
+)
 
 log = logging.getLogger("avsr.cli.stream")
 
@@ -37,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_cli_config(args)
     if not args.audio and not args.video:
         p.error("at least one of --audio / --video is required")
+    validate_modality_media(cfg, p, have_audio=bool(args.audio),
+                            have_video=bool(args.video))
 
     from avsr_tpu.data.audio_io import load_audio
     from avsr_tpu.data.dataset import resize_crop_frames
@@ -56,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
             load_frames(args.video, cfg.data.max_video_length),
             cfg.model.image_size)
 
-    hop_a = int(args.chunk_s * SAMPLE_RATE)
+    hop_a = max(int(args.chunk_s * SAMPLE_RATE), 1)
     hop_v = max(int(args.chunk_s * args.fps), 1)
     n_a = (audio.shape[0] if audio is not None else 0)
     n_v = (frames.shape[0] if frames is not None else 0)

@@ -12,11 +12,24 @@ For live captioning the standard recipe for encoder-decoder speech models
     executable per bucket, not per chunk;
   * COMMIT only the longest common prefix of the last ``agree_n``
     hypotheses (a token the model keeps producing as more audio arrives
-    is stable); committed text never changes afterwards — exactly what a
-    caption consumer needs;
-  * ``finalize()`` decodes the complete buffer once more and returns the
-    full transcript, so the end state matches the offline decoder
-    bit-for-bit (greedy decoding is deterministic).
+    is stable); committed tokens are monotonic — once emitted they are
+    never retracted;
+  * when the buffer would outgrow the decode window (the largest
+    audio/video length bucket), the current window's full hypothesis is
+    committed and the buffer resets — long streams become a sequence of
+    window segments (slight context loss at the seam, standard for
+    streaming ASR);
+  * ``finalize()`` decodes the complete buffer once more and APPENDS its
+    suffix past the committed prefix. When the running hypotheses were
+    prefix-stable (the common case for greedy decoding over growing
+    audio), the result equals the offline transcript; when they were
+    not, the already-emitted prefix wins — monotonicity is the contract.
+
+Deltas are emitted as decoded token suffixes (``tok.decode`` of just the
+newly committed ids): concatenating them can differ from decoding the
+whole sequence at a multi-byte character split across commits, so
+``committed_text`` (a decode of all committed tokens) stays the
+authoritative transcript.
 """
 
 from __future__ import annotations
@@ -28,6 +41,7 @@ import numpy as np
 from avsr_tpu.core.config import AVSRConfig
 from avsr_tpu.data.dataset import Sample
 from avsr_tpu.data.loader import (
+    HOP_LENGTH,
     audio_frontend_for,
     collate,
     featurize,
@@ -50,8 +64,8 @@ class StreamingTranscriber:
     """Incremental transcription over a growing media buffer.
 
     ``feed`` returns the text committed by that chunk (possibly empty);
-    ``finalize`` flushes the remainder. ``committed_text`` is monotonic:
-    once emitted, text never changes.
+    ``finalize`` flushes the remainder. ``committed_tokens`` /
+    ``committed_text`` are monotonic: once committed, never retracted.
     """
 
     params: object
@@ -62,12 +76,13 @@ class StreamingTranscriber:
     _frames: np.ndarray | None = None
     _hyps: list[list[int]] = field(default_factory=list)
     _committed: list[int] = field(default_factory=list)
-    _emitted_chars: int = 0
+    _segment_tokens: list[int] = field(default_factory=list)
 
     def feed(self, audio: np.ndarray | None = None,
              frames: np.ndarray | None = None) -> str:
         """Append a chunk (audio float32 [n] @16 kHz and/or frames uint8
         [T, S, S, 3]) and return newly committed text."""
+        emitted = self._maybe_rollover(audio, frames)
         self._buffer(audio, frames)
         hyp = self._decode_buffer()
         self._hyps.append(hyp)
@@ -77,18 +92,23 @@ class StreamingTranscriber:
             for h in self._hyps[1:]:
                 agreed = _common_prefix(agreed, h)
             # monotonic: only extend past what is already committed
-            if (len(agreed) > len(self._committed)
-                    and agreed[: len(self._committed)] == self._committed):
-                self._committed = agreed
-        return self._emit()
+            if (len(agreed) > len(self._segment_tokens)
+                    and agreed[: len(self._segment_tokens)]
+                    == self._segment_tokens):
+                emitted += self._commit(agreed[len(self._segment_tokens):])
+        return emitted
 
     def finalize(self) -> str:
-        """Decode the full buffer once more; afterwards ``committed_text``
-        equals the offline greedy transcript of everything fed."""
+        """Decode the full buffer once more and append its suffix past
+        the committed prefix (see module docstring for the guarantee)."""
         if self._audio is None and self._frames is None:
             return ""
-        self._committed = self._decode_buffer()
-        return self._emit()
+        full = self._decode_buffer()
+        return self._commit(full[len(self._segment_tokens):])
+
+    @property
+    def committed_tokens(self) -> list[int]:
+        return list(self._committed)
 
     @property
     def committed_text(self) -> str:
@@ -96,21 +116,54 @@ class StreamingTranscriber:
 
     # -- internals --------------------------------------------------------
 
+    @property
+    def _audio_window(self) -> int:
+        return self.cfg.data.audio_buckets[-1] * HOP_LENGTH
+
+    @property
+    def _video_window(self) -> int:
+        return self.cfg.data.video_buckets[-1]
+
+    def _commit(self, new_tokens: list[int]) -> str:
+        if not new_tokens:
+            return ""
+        self._segment_tokens.extend(new_tokens)
+        self._committed.extend(new_tokens)
+        return self.tok.decode(new_tokens)
+
+    def _maybe_rollover(self, audio, frames) -> str:
+        """Segment boundary: if this chunk would push the buffer past the
+        decode window (collate truncates to the largest length bucket),
+        commit the current window's full transcript and start a fresh
+        segment. Keeps every committed token aligned with media the
+        decoder actually saw."""
+        over_a = (audio is not None and self._audio is not None
+                  and self._audio.shape[0] + np.asarray(audio).shape[0]
+                  > self._audio_window)
+        over_v = (frames is not None and self._frames is not None
+                  and self._frames.shape[0] + np.asarray(frames).shape[0]
+                  > self._video_window)
+        if not (over_a or over_v):
+            return ""
+        full = self._decode_buffer()
+        out = self._commit(full[len(self._segment_tokens):])
+        self._audio = None
+        self._frames = None
+        self._hyps = []
+        self._segment_tokens = []
+        return out
+
     def _buffer(self, audio, frames) -> None:
         if audio is not None:
             audio = np.asarray(audio, np.float32)
             self._audio = (audio if self._audio is None
                            else np.concatenate([self._audio, audio]))
-            cap = self.cfg.data.max_audio_length
-            if self._audio.shape[0] > cap:      # ref 30 s cap semantics
-                self._audio = self._audio[-cap:]
+            self._audio = self._audio[: self._audio_window]
         if frames is not None:
             frames = np.asarray(frames, np.uint8)
             self._frames = (frames if self._frames is None
                             else np.concatenate([self._frames, frames]))
-            cap = self.cfg.data.max_video_length
-            if self._frames.shape[0] > cap:
-                self._frames = self._frames[-cap:]
+            self._frames = self._frames[: self._video_window]
 
     def _decode_buffer(self) -> list[int]:
         sample = Sample("stream", self._audio, self._frames, "",
@@ -133,9 +186,3 @@ class StreamingTranscriber:
         if toks and toks[-1] == self.tok.eos_id:
             toks = toks[:-1]
         return toks
-
-    def _emit(self) -> str:
-        text = self.committed_text
-        new = text[self._emitted_chars:]
-        self._emitted_chars = len(text)
-        return new

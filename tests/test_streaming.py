@@ -2,11 +2,16 @@
 the reference lacks entirely (decode.py is whole-utterance batch only).
 
 Properties under test:
-  * finalize() reproduces the offline greedy transcript of everything fed
-    (greedy decoding is deterministic, so this is exact);
-  * committed text is monotonic — once emitted it never changes;
+  * with no mid-stream commits, finalize() reproduces the offline greedy
+    transcript of everything fed (greedy decoding is deterministic);
+  * committed tokens are monotonic — once committed, never retracted —
+    and feed() returns exactly the decode of the newly committed ids;
+  * streams longer than the decode window roll over into segments
+    instead of silently truncating;
   * the CLI drives a real WAV end to end in chunks.
 """
+
+import dataclasses
 
 import numpy as np
 
@@ -30,16 +35,19 @@ def _setup():
 
 
 def test_finalize_matches_offline(rng):
+    # agree_n larger than the number of feeds -> nothing commits
+    # mid-stream, so finalize() must equal the one-shot offline decode
     cfg, tok, params = _setup()
-    st = StreamingTranscriber(params, cfg, tok, agree_n=2)
+    st = StreamingTranscriber(params, cfg, tok, agree_n=10)
     audio = (0.3 * rng.standard_normal(12800)).astype(np.float32)
     for i in range(4):
         st.feed(audio=audio[i * 3200:(i + 1) * 3200])
     st.finalize()
 
-    offline = StreamingTranscriber(params, cfg, tok, agree_n=2)
+    offline = StreamingTranscriber(params, cfg, tok, agree_n=10)
     offline.feed(audio=audio)
     offline.finalize()
+    assert st.committed_tokens == offline.committed_tokens
     assert st.committed_text == offline.committed_text
 
 
@@ -47,17 +55,41 @@ def test_commits_are_monotonic(rng):
     cfg, tok, params = _setup()
     st = StreamingTranscriber(params, cfg, tok, agree_n=2)
     audio = (0.3 * rng.standard_normal(16000)).astype(np.float32)
-    seen = ""
-    emitted = []
+    prev = []
+    deltas = []
     for i in range(5):
         new = st.feed(audio=audio[i * 3200:(i + 1) * 3200])
-        emitted.append(new)
-        assert st.committed_text.startswith(seen)   # never rewrites
-        assert st.committed_text == seen + new      # feed returns the delta
-        seen = st.committed_text
+        deltas.append(new)
+        toks = st.committed_tokens
+        assert toks[: len(prev)] == prev          # never retracted
+        # feed returns the decode of exactly the new ids
+        assert new == tok.decode(toks[len(prev):])
+        prev = toks
     tail = st.finalize()
-    assert st.committed_text == seen + tail
-    assert "".join(emitted) + tail == st.committed_text
+    toks = st.committed_tokens
+    assert toks[: len(prev)] == prev
+    assert tail == tok.decode(toks[len(prev):])
+    # authoritative transcript is the decode of all committed tokens
+    assert st.committed_text == tok.decode(toks)
+
+
+def test_window_rollover_keeps_transcribing(rng):
+    """A stream longer than the largest audio bucket rolls into a new
+    segment: earlier committed tokens survive and decoding continues
+    (the pre-fix behavior stalled commits and dropped them)."""
+    cfg, tok, params = _setup()
+    # shrink the decode window to 0.4 s so a 2 s stream must roll over
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, audio_buckets=(20, 40)))
+    st = StreamingTranscriber(params, cfg, tok, agree_n=1)
+    audio = (0.3 * rng.standard_normal(32000)).astype(np.float32)
+    for i in range(10):
+        st.feed(audio=audio[i * 3200:(i + 1) * 3200])
+        # buffer never exceeds the window collate would truncate to
+        assert st._audio.shape[0] <= 40 * 160
+    st.finalize()
+    assert len(st.committed_tokens) > 0
+    assert st.committed_text == tok.decode(st.committed_tokens)
 
 
 def test_cli_stream_audio(tmp_path, capsys):

@@ -105,3 +105,19 @@ def test_cli_stream_audio(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.endswith("\n")   # final transcript line printed
+
+
+def test_cli_stream_av(tmp_path, capsys, rng):
+    wav = tmp_path / "u.wav"
+    write_wav(wav, (0.2 * np.sin(np.linspace(0, 300, 12000))).astype(np.float32))
+    vid = tmp_path / "u.npy"
+    np.save(vid, rng.integers(0, 256, (8, 24, 24, 3)).astype(np.uint8))
+    rc = cli_stream.main([
+        "--config", CFG,
+        "--audio", str(wav), "--video", str(vid),
+        "--chunk-s", "0.25",
+        "model.modality=both",
+        "decode.max_new_tokens=4",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.endswith("\n")

@@ -88,9 +88,26 @@ def init_or_load_params(cfg: AVSRConfig, checkpoint: str | None = None) -> Any:
                 params = _restore(checkpoint, params, cfg)
             except Exception:  # noqa: BLE001 — orbax structure mismatch
                 log = logging.getLogger("avsr.cli")
-                log.info("checkpoint is full-precision — quantizing after "
-                         "restore")
-                params = quantize(_restore(checkpoint, params_fp, cfg))
+                restored = None
+                if quant_bits == 4:
+                    # Pre-layout-change int4 checkpoints store interleaved
+                    # "qw4" leaves; restore into that structure and repack
+                    # to the current half-split layout.
+                    from avsr_tpu.ops.quant import (legacy_int4_template,
+                                                    upgrade_legacy_int4)
+                    try:
+                        restored = upgrade_legacy_int4(_restore(
+                            checkpoint, legacy_int4_template(params), cfg))
+                        log.info("restored legacy int4 (qw4) checkpoint — "
+                                 "repacked to the half-split layout")
+                    except Exception:  # noqa: BLE001 — not legacy either
+                        restored = None
+                if restored is not None:
+                    params = restored
+                else:
+                    log.info("checkpoint is full-precision — quantizing "
+                             "after restore")
+                    params = quantize(_restore(checkpoint, params_fp, cfg))
         else:
             params = _restore(checkpoint, params, cfg)
     from avsr_tpu.train.state import cast_frozen

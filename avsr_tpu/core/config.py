@@ -450,6 +450,14 @@ class AVSRConfig:
                 raise ValueError(
                     f"llm.n_layers ({self.model.llm.n_layers}) must divide "
                     f"evenly into mesh.pp={self.mesh.pp} stages")
+            if self.model.lora.use_lora and self.model.lora.dropout > 0.0:
+                # A mesh knob must not silently change training math: LoRA
+                # dropout rng is not threaded across pipeline stages, so
+                # dropout would be inert under pp (models/llama.py).
+                raise ValueError(
+                    "mesh.pp > 1 does not support lora.dropout > 0 (dropout "
+                    "rng is not threaded across pipeline stages) — set "
+                    "model.lora.dropout=0 or use a pp=1 mesh")
         return self
 
 

@@ -81,7 +81,33 @@ class StreamingTranscriber:
     def feed(self, audio: np.ndarray | None = None,
              frames: np.ndarray | None = None) -> str:
         """Append a chunk (audio float32 [n] @16 kHz and/or frames uint8
-        [T, S, S, 3]) and return newly committed text."""
+        [T, S, S, 3]) and return newly committed text.
+
+        A chunk larger than the decode window is split into window-sized
+        pieces fed in sequence (same time fraction across modalities), so
+        no media is ever silently dropped — each piece triggers its own
+        rollover/commit as needed."""
+        audio = None if audio is None else np.asarray(audio, np.float32)
+        frames = None if frames is None else np.asarray(frames, np.uint8)
+        n = 1
+        if audio is not None:
+            n = max(n, -(-audio.shape[0] // self._audio_window))
+        if frames is not None:
+            n = max(n, -(-frames.shape[0] // self._video_window))
+        if n == 1:
+            return self._feed_one(audio, frames)
+        emitted = ""
+        for i in range(n):
+            a = (audio[audio.shape[0] * i // n: audio.shape[0] * (i + 1) // n]
+                 if audio is not None else None)
+            f = (frames[frames.shape[0] * i // n:
+                        frames.shape[0] * (i + 1) // n]
+                 if frames is not None else None)
+            emitted += self._feed_one(a, f)
+        return emitted
+
+    def _feed_one(self, audio: np.ndarray | None,
+                  frames: np.ndarray | None) -> str:
         emitted = self._maybe_rollover(audio, frames)
         self._buffer(audio, frames)
         hyp = self._decode_buffer()

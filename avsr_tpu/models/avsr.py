@@ -218,7 +218,15 @@ def encode(
                 frame_lengths=batch.frame_lens,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
                 remat=remat, mesh=mesh)
-        if cfg.freeze_encoders and not cfg.unfreeze_layer_norms:
+        # finetune_avhubert_layers marks selected AV-HuBERT blocks trainable
+        # (train/state.py trainable_mask) — the stop_gradient short-circuit
+        # would starve them of gradient, so it must stay off for that combo
+        # (round-1 advisor finding: the "trainable" layers got exactly zero
+        # grad and could even decay away under AdamW).
+        _avhubert_finetune = (cfg.video_encoder == "avhubert"
+                              and bool(cfg.finetune_avhubert_layers))
+        if (cfg.freeze_encoders and not cfg.unfreeze_layer_norms
+                and not _avhubert_finetune):
             vfeats = jax.lax.stop_gradient(vfeats)
         video_feat = vfeats
         video_lens = (batch.frame_lens.astype(jnp.int32)

@@ -98,6 +98,11 @@ def eligible(m: int, k: int, qp) -> bool:
         return False
     if m > MAX_SMALL_M:
         return False
+    if "qw4" in qp:
+        # legacy interleaved int4 layout: the kernel expects half-split
+        # packing; ops.quant.dequantize reads it, upgrade_legacy_int4
+        # repacks it for the kernel.
+        return False
     n = qp["scale"].shape[0]
     if "qw4h" in qp:
         # packed rows = K/2; a K block maps to bk/2 packed rows

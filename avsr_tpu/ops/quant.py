@@ -64,9 +64,60 @@ def _unpack_int4(q: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0)
 
 
+def _unpack_int4_legacy(q: jax.Array) -> jax.Array:
+    """Legacy row-interleaved int4 ("qw4": byte row i = logical rows 2i
+    low-nibble / 2i+1 high-nibble) -> int8[in, out]. Kept so checkpoints
+    written before the half-split layout change keep restoring."""
+    lo = (q & 0x0F).astype(jnp.int8)
+    hi = ((q >> 4) & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    out = jnp.stack([lo, hi], axis=1)                    # [in//2, 2, out]
+    return out.reshape(lo.shape[0] * 2, lo.shape[1])
+
+
+def upgrade_legacy_int4(tree: Any) -> Any:
+    """Repack every legacy "qw4" (interleaved) leaf dict as "qw4h"
+    (half-split) so the ops.qmatmul decode kernel applies. Call on
+    checkpoint restore; no-op for current-format trees."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "qw4" in node:
+                q = _unpack_int4_legacy(node["qw4"])
+                half = q.shape[0] // 2
+                packed = ((q[:half] & 0x0F)
+                          | ((q[half:] & 0x0F) << 4)).astype(jnp.int8)
+                rest = {k: walk(v) for k, v in node.items() if k != "qw4"}
+                return {"qw4h": packed, **rest}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)
+
+
+def legacy_int4_template(tree: Any) -> Any:
+    """Rename every "qw4h" leaf key to the legacy "qw4" (shapes are
+    identical — only the nibble layout differs), producing the pytree
+    *structure* of a pre-layout-change int4 checkpoint so orbax can
+    restore one. Pair with ``upgrade_legacy_int4`` after restore."""
+    def walk(node):
+        if isinstance(node, dict):
+            return {("qw4" if k == "qw4h" else k): walk(v)
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)
+
+
 def dequantize(qp: Params, dtype=jnp.float32) -> jax.Array:
     if "qw4h" in qp:
         q = _unpack_int4(qp["qw4h"])
+    elif "qw4" in qp:                  # legacy interleaved checkpoints
+        q = _unpack_int4_legacy(qp["qw4"])
     else:
         q = qp["qw"]
     return q.astype(dtype) * qp["scale"].astype(dtype)[None, :]
@@ -155,7 +206,8 @@ def quantize_llm(llm_params: Params, bits: int = 8,
 
 
 def is_quantized(node: Any) -> bool:
-    return isinstance(node, dict) and ("qw" in node or "qw4h" in node)
+    return isinstance(node, dict) and ("qw" in node or "qw4h" in node
+                                       or "qw4" in node)
 
 
 def quant_bytes(llm_params: Params) -> int:

@@ -53,6 +53,9 @@ def test_unknown_key_rejected():
     ("data.audio_buckets=[4000]", "whisper.max_frames"),
     (["mesh.pp=2", "mesh.sp=2"], "mutually exclusive"),
     ("mesh.pp=3", "stages"),                       # 16 layers % 3 != 0
+    # a mesh knob must not silently change training math: LoRA dropout
+    # rng is not threaded across pipeline stages
+    (["mesh.pp=2", "model.lora.dropout=0.1"], "lora.dropout"),
 ])
 def test_validate_rejects(override, match):
     ov = [override] if isinstance(override, str) else override

@@ -99,3 +99,35 @@ def test_finetune_avhubert_layers(rng):
     assert not av["stem"]["conv"]["w"]
     assert not any(jax.tree_util.tree_leaves(av["blocks"][0]))
     assert all(jax.tree_util.tree_leaves(av["blocks"][1]))
+
+
+def test_finetune_avhubert_layers_grad_flow(rng):
+    """The unfrozen AV-HuBERT blocks receive NONZERO gradients: the
+    freeze_encoders stop_gradient short-circuit must stay off when
+    finetune_avhubert_layers is set (round-1 advisor high finding: the
+    mask marked layers trainable but encode() zeroed their grads)."""
+    from avsr_tpu.models.avsr import Batch, forward, init_avsr_model
+    from avsr_tpu.train.state import combine_trainable, partition_trainable
+
+    cfg = _model_cfg(finetune_avhubert_layers=(1,))
+    assert cfg.freeze_encoders
+    params = init_avsr_model(jax.random.key(0), cfg)
+    train_p, frozen_p = partition_trainable(params, cfg)
+    batch = Batch(
+        frames=jnp.asarray(rng.standard_normal((2, 4, 3, 32, 32)),
+                           jnp.float32),
+        frame_lens=jnp.array([4, 2]),
+        prompt_tokens=jnp.array([1, 7, 9]),
+        labels=jnp.asarray(rng.integers(0, 64, (2, 6))),
+        label_lens=jnp.array([6, 3]),
+    )
+
+    def loss_fn(tp):
+        loss, _ = forward(combine_trainable(tp, frozen_p), cfg, batch,
+                          use_pallas="never")
+        return loss
+
+    grads = jax.grad(loss_fn)(train_p)
+    g_block = [np.abs(np.asarray(g)).max()
+               for g in jax.tree_util.tree_leaves(grads["avhubert"])]
+    assert g_block and max(g_block) > 0.0, "unfrozen avhubert blocks got zero grad"

@@ -286,3 +286,64 @@ def test_prepare_params_for_decode_generates(rng):
                           use_pallas="never")
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(base.tokens))
+
+
+def test_legacy_qw4_read_path(rng):
+    """Pre-layout-change int4 checkpoints (interleaved "qw4") keep
+    dequantizing, and upgrade_legacy_int4 repacks them bit-exactly to the
+    current half-split "qw4h" layout (round-1 advisor medium finding)."""
+    from avsr_tpu.ops.quant import upgrade_legacy_int4
+
+    w = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    q4 = quantize_tensor(w, 4)
+    # Reconstruct the legacy interleaved packing from the logical values.
+    logical = np.asarray(dequantize(q4)) / np.asarray(q4["scale"])[None, :]
+    q = np.round(logical).astype(np.int8)
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
+    legacy = {"qw4": jnp.asarray((lo | hi).astype(np.int8)),
+              "scale": q4["scale"]}
+    assert is_quantized(legacy)
+    np.testing.assert_array_equal(np.asarray(dequantize(legacy)),
+                                  np.asarray(dequantize(q4)))
+    # qdot must route legacy trees through the XLA dequant path, not the
+    # half-split kernel.
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(qdot(x, legacy)),
+                               np.asarray(x @ dequantize(q4)),
+                               rtol=1e-5, atol=1e-5)
+    upgraded = upgrade_legacy_int4({"layers": [{"down": legacy}]})
+    node = upgraded["layers"][0]["down"]
+    assert "qw4h" in node and "qw4" not in node
+    np.testing.assert_array_equal(np.asarray(node["qw4h"]),
+                                  np.asarray(q4["qw4h"]))
+
+
+def test_legacy_int4_template_structure(rng):
+    """legacy_int4_template renames qw4h->qw4 everywhere (same shapes), so
+    orbax can restore an old checkpoint into it."""
+    from avsr_tpu.ops.quant import legacy_int4_template
+
+    params = L.init_llama(jax.random.key(0), CFG)
+    qparams = quantize_llm(params, 4)
+    tmpl = legacy_int4_template(qparams)
+    n4h = sum("qw4h" == k for k in _all_keys(qparams))
+    assert n4h > 0
+    assert sum("qw4" == k for k in _all_keys(tmpl)) == n4h
+    assert sum("qw4h" == k for k in _all_keys(tmpl)) == 0
+
+
+def _all_keys(tree):
+    out = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                out.append(k)
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(tree)
+    return out

@@ -121,3 +121,26 @@ def test_cli_stream_av(tmp_path, capsys, rng):
     ])
     assert rc == 0
     assert capsys.readouterr().out.endswith("\n")
+
+
+def test_oversized_chunk_is_split_not_truncated(rng):
+    """A single fed chunk LARGER than the decode window is split into
+    window-sized pieces and fully decoded (round-1 advisor finding: the
+    tail past the window was silently dropped)."""
+    cfg, tok, params = _setup()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, audio_buckets=(20, 40)))
+    window = 40 * 160
+    audio = (0.3 * rng.standard_normal(4 * window)).astype(np.float32)
+
+    st = StreamingTranscriber(params, cfg, tok, agree_n=1)
+    st.feed(audio=audio)                 # one oversized feed
+    st.finalize()
+
+    # piecewise-fed baseline: same media in window-sized chunks
+    ref = StreamingTranscriber(params, cfg, tok, agree_n=1)
+    for i in range(4):
+        ref.feed(audio=audio[i * window:(i + 1) * window])
+    ref.finalize()
+    assert st.committed_tokens == ref.committed_tokens
+    assert len(st.committed_tokens) > 0

@@ -71,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
             out = generate(params, cfg.model, batch, cfg.decode,
                            eos_id=tok.eos_id, rng=sub,
                            compute_dtype=cfg.runtime.compute_dtype,
-                           use_pallas=cfg.runtime.use_pallas)
+                           use_pallas=cfg.runtime.use_pallas, mesh=mesh)
             tokens = np.asarray(out.tokens)
             lens = np.asarray(out.lengths)
             for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):

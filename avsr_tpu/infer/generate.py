@@ -81,11 +81,21 @@ def _sample_or_greedy(logits, temperature, top_p, rng):
 # Greedy / sampling
 # ---------------------------------------------------------------------------
 
+def _kernel_flag(mesh) -> bool | None:
+    """Static ops.qmatmul dispatch for a generation trace: a real multi-
+    device mesh forces the XLA dequant path (a pallas custom-call has no
+    GSPMD rule — XLA would all-gather the sharded quantized weights every
+    step); no mesh keeps the best-effort global detection (None)."""
+    if mesh is not None and mesh.size > 1:
+        return False
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model_cfg", "max_new_tokens", "temperature", "top_p",
                      "eos_id", "compute_dtype", "use_pallas",
-                     "kv_cache_dtype"))
+                     "kv_cache_dtype", "mesh"))
 def generate_tokens(
     params: Params,
     model_cfg: ModelConfig,
@@ -99,17 +109,24 @@ def generate_tokens(
     compute_dtype: str = "float32",
     use_pallas: str = "auto",
     kv_cache_dtype: str = "bfloat16",
+    mesh=None,
 ) -> GenOut:
     """Greedy (temperature=0) or nucleus-sampled generation.
 
     ``kv_cache_dtype="int8"`` quantizes the KV cache after prefill
     (models.llama.quantize_cache) — decode is cache-bandwidth bound at
     serving batch sizes, so halving the stored bytes is a ~1.6x
-    tokens/s win at B=32 with negligible transcript impact."""
+    tokens/s win at B=32 with negligible transcript impact.
+
+    ``mesh`` (static) threads the device mesh into the encoders and the
+    prefill, so an sp axis runs ring attention over long prefixes at
+    inference (SURVEY.md §5.7 — long-utterance decode scales across chips
+    instead of truncating) and the qmatmul dispatch is pinned per trace."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
+    uk = _kernel_flag(mesh)
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
-                 use_pallas=use_pallas)
+                 use_pallas=use_pallas, mesh=mesh)
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
@@ -121,13 +138,13 @@ def generate_tokens(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M, output="hidden")
+        return_cache=True, cache_len=M, output="hidden", mesh=mesh)
     if kv_cache_dtype == "int8":
         cache = L.quantize_cache(cache)
     # project only the last valid position to vocab (avoids [B,Tpre,V])
     h_last = jnp.take_along_axis(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)
-    last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]         # [B,V]
+    last = L.compute_logits(params["llm"], cfg, h_last, use_kernel=uk)[:, 0]
 
     def cond(carry):
         step, _, _, _, _, done, _ = carry
@@ -147,7 +164,7 @@ def generate_tokens(
         logits_new, cache = L.llama_decode_step(
             params["llm"], cfg, x=emb, cache=cache, cur_lens=cur_lens,
             lora=model_cfg.lora if model_cfg.lora.use_lora else None,
-            compute_dtype=dt)
+            compute_dtype=dt, use_kernel=uk)
         return (step + 1, logits_new, cache, cur_lens + 1, tokens,
                 done_new, rng_k)
 
@@ -172,7 +189,7 @@ def generate_tokens(
     jax.jit,
     static_argnames=("model_cfg", "max_new_tokens", "num_beams",
                      "length_penalty", "eos_id", "compute_dtype", "use_pallas",
-                     "kv_cache_dtype"))
+                     "kv_cache_dtype", "mesh"))
 def beam_search(
     params: Params,
     model_cfg: ModelConfig,
@@ -185,13 +202,15 @@ def beam_search(
     compute_dtype: str = "float32",
     use_pallas: str = "auto",
     kv_cache_dtype: str = "bfloat16",
+    mesh=None,
 ) -> GenOut:
     """Length-normalized beam search over the embeddings prefix."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
     W = num_beams
+    uk = _kernel_flag(mesh)
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
-                 use_pallas=use_pallas)
+                 use_pallas=use_pallas, mesh=mesh)
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
@@ -201,10 +220,10 @@ def beam_search(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M, output="hidden")
+        return_cache=True, cache_len=M, output="hidden", mesh=mesh)
     h_last = jnp.take_along_axis(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)
-    last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
+    last = L.compute_logits(params["llm"], cfg, h_last, use_kernel=uk)[:, 0]
     if kv_cache_dtype == "int8":
         cache = L.quantize_cache(cache)
 
@@ -258,7 +277,7 @@ def beam_search(
         logits_new, cache = L.llama_decode_step(
             params["llm"], cfg, x=emb, cache=cache, cur_lens=cur_lens,
             lora=model_cfg.lora if model_cfg.lora.use_lora else None,
-            compute_dtype=dt)
+            compute_dtype=dt, use_kernel=uk)
         return (step + 1, logits_new, cache, cur_lens + 1, tokens, done, scores)
 
     init = (jnp.zeros((), jnp.int32), logits, cache, cur_lens, tokens, done,
@@ -282,7 +301,7 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
              decode_cfg: DecodeConfig, *, eos_id: int,
              rng: jax.Array | None = None,
              compute_dtype: str = "float32",
-             use_pallas: str = "auto") -> GenOut:
+             use_pallas: str = "auto", mesh=None) -> GenOut:
     """Config-driven dispatch (ref decode.py protocol: greedy default)."""
     if decode_cfg.num_beams > 1:
         return beam_search(
@@ -291,10 +310,11 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
             num_beams=decode_cfg.num_beams,
             length_penalty=decode_cfg.length_penalty,
             eos_id=eos_id, compute_dtype=compute_dtype, use_pallas=use_pallas,
-            kv_cache_dtype=decode_cfg.kv_cache_dtype)
+            kv_cache_dtype=decode_cfg.kv_cache_dtype, mesh=mesh)
     return generate_tokens(
         params, model_cfg, batch,
         max_new_tokens=decode_cfg.max_new_tokens,
         temperature=decode_cfg.temperature, top_p=decode_cfg.top_p,
         eos_id=eos_id, rng=rng, compute_dtype=compute_dtype,
-        use_pallas=use_pallas, kv_cache_dtype=decode_cfg.kv_cache_dtype)
+        use_pallas=use_pallas, kv_cache_dtype=decode_cfg.kv_cache_dtype,
+        mesh=mesh)

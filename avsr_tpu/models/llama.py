@@ -62,18 +62,21 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def proj(p: Params, x: jax.Array, *, dtype: jnp.dtype | None = None,
          lora_scale: float = 0.0, dropout_rng: jax.Array | None = None,
-         lora_dropout: float = 0.0) -> jax.Array:
+         lora_dropout: float = 0.0,
+         use_kernel: bool | None = None) -> jax.Array:
     """x @ W (no bias, llama-style) + optional LoRA low-rank update.
 
     ``p`` may hold a full-precision kernel ("w") or a weight-only-quantized
     one ("qw"/"qw4h" + "scale", ops.quant) — the int8/int4 base dequantizes
-    on the fly while LoRA stays full precision (QLoRA-style)."""
+    on the fly while LoRA stays full precision (QLoRA-style).
+    ``use_kernel`` is the explicit ops.qmatmul dispatch override (see
+    ops.quant.qdot) threaded down from the jitted decode entry points."""
     dt = dtype or x.dtype
     if "w" in p:
         y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
     else:
         from avsr_tpu.ops.quant import qdot
-        y = qdot(x.astype(dt), p)
+        y = qdot(x.astype(dt), p, use_kernel=use_kernel)
     if lora_scale and "lora" in p:
         xl = x
         if dropout_rng is not None and lora_dropout > 0.0:
@@ -238,32 +241,34 @@ def fuse_decode_layout(params: Params, cfg: LLMConfig) -> Params:
 
 
 def _proj_qkv(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float,
-              rngs=None, ldrop: float = 0.0):
+              rngs=None, ldrop: float = 0.0,
+              use_kernel: bool | None = None):
     """(q, k, v) raw projections, fused or per-tensor layout."""
     d = cfg.d_model
     kvd = cfg.n_kv_heads * (d // cfg.n_heads)
     if "qkv" in layer:
         y = proj(layer["qkv"], h, lora_scale=ls,
                  dropout_rng=rngs[0] if rngs is not None else None,
-                 lora_dropout=ldrop)
+                 lora_dropout=ldrop, use_kernel=use_kernel)
         return y[..., :d], y[..., d: d + kvd], y[..., d + kvd:]
     r = rngs if rngs is not None else [None] * 3
     return (proj(layer["q"], h, lora_scale=ls, dropout_rng=r[0],
-                 lora_dropout=ldrop),
+                 lora_dropout=ldrop, use_kernel=use_kernel),
             proj(layer["k"], h, lora_scale=ls, dropout_rng=r[1],
-                 lora_dropout=ldrop),
+                 lora_dropout=ldrop, use_kernel=use_kernel),
             proj(layer["v"], h, lora_scale=ls, dropout_rng=r[2],
-                 lora_dropout=ldrop))
+                 lora_dropout=ldrop, use_kernel=use_kernel))
 
 
-def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float):
+def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float,
+              use_kernel: bool | None = None):
     """silu(gate) * up, fused or per-tensor layout."""
     if "gateup" in layer:
-        y = proj(layer["gateup"], h, lora_scale=ls)
+        y = proj(layer["gateup"], h, lora_scale=ls, use_kernel=use_kernel)
         gate, up = y[..., : cfg.ffn_dim], y[..., cfg.ffn_dim:]
     else:
-        gate = proj(layer["gate"], h, lora_scale=ls)
-        up = proj(layer["up"], h, lora_scale=ls)
+        gate = proj(layer["gate"], h, lora_scale=ls, use_kernel=use_kernel)
+        up = proj(layer["up"], h, lora_scale=ls, use_kernel=use_kernel)
     return jax.nn.silu(gate) * up
 
 
@@ -456,7 +461,8 @@ def llama_apply(
     return out, cache
 
 
-def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
+def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array,
+                   use_kernel: bool | None = None) -> jax.Array:
     """Final hidden -> vocab logits, f32 accumulation (loss stability).
 
     The matmul runs at the wider of (hidden, weight) dtype with
@@ -473,7 +479,7 @@ def compute_logits(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
         # at decode shapes qdot streams the int bytes through the Pallas
         # kernel instead of reading the fp vocab matrix every token.
         from avsr_tpu.ops.quant import qdot
-        logits = qdot(x, head, out_dtype=jnp.float32)
+        logits = qdot(x, head, out_dtype=jnp.float32, use_kernel=use_kernel)
         # quantize_llm may pad the vocab dim for kernel tiling
         return logits[..., : cfg.vocab_size]
     if cfg.tie_embeddings or head is None:
@@ -560,6 +566,7 @@ def llama_decode_step(
     cur_lens: jax.Array,           # [B] tokens already in cache (= position)
     lora: LoRAConfig | None = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    use_kernel: bool | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One causal step: attends to cache[:cur_len]+self, writes kv at cur_len.
 
@@ -584,7 +591,7 @@ def llama_decode_step(
     b_idx = jnp.arange(B)
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(layer["ln_attn"], x, eps=cfg.rms_eps)
-        q, k, v = _proj_qkv(layer, h, cfg, ls)
+        q, k, v = _proj_qkv(layer, h, cfg, ls, use_kernel=use_kernel)
         q = q.reshape(B, 1, cfg.n_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, 1, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -610,14 +617,15 @@ def llama_decode_step(
             k_scale=cache.k_scale[i] if qcache else None,
             v_scale=cache.v_scale[i] if qcache else None)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, d)
-        x = x + proj(layer["o"], attn, lora_scale=ls)
+        x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
         h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
-        x = x + proj(layer["down"], _proj_mlp(layer, h, cfg, ls),
-                     lora_scale=ls)
+        x = x + proj(layer["down"],
+                     _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
+                     lora_scale=ls, use_kernel=use_kernel)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
-    logits = compute_logits(params, cfg, x)[:, 0]             # [B, V]
+    logits = compute_logits(params, cfg, x, use_kernel=use_kernel)[:, 0]
     return logits, KVCache(k_all, v_all, cache.k_scale, cache.v_scale)
 
 

@@ -86,12 +86,19 @@ def _blocks(rows: int, n: int, itemsize: float) -> tuple[int, int] | None:
     return bk, bn
 
 
-def eligible(m: int, k: int, qp) -> bool:
-    """Kernel applicability: small M, tileable K/N, TPU backend, no mesh."""
+def eligible(m: int, k: int, qp, use_kernel: bool | None = None) -> bool:
+    """Kernel applicability: small M, tileable K/N, TPU backend, no mesh.
+
+    ``use_kernel`` overrides the mesh *policy* (not the shape/backend
+    requirements): False forces the XLA path, True skips the best-effort
+    global mesh detection (the caller threaded the decision down from a
+    static jit arg — ops.quant.qdot), None keeps the detection."""
     import jax  # local: keep module import-light for CPU-only consumers
+    if use_kernel is False:
+        return False
     if jax.default_backend() != "tpu":   # Mosaic kernels are TPU-only
         return False
-    if _mesh_active():
+    if use_kernel is not True and _mesh_active():
         # A pallas custom-call has no GSPMD partitioning rule: under a
         # tp/fsdp mesh XLA would all-gather the sharded quantized weights
         # every decode step. The XLA dequant-matmul shards cleanly.

@@ -124,7 +124,8 @@ def dequantize(qp: Params, dtype=jnp.float32) -> jax.Array:
 
 
 def qdot(x: jax.Array, qp: Params,
-         out_dtype: jnp.dtype | None = None) -> jax.Array:
+         out_dtype: jnp.dtype | None = None,
+         use_kernel: bool | None = None) -> jax.Array:
     """x @ dequant(qw) -> ``out_dtype`` (default: x.dtype).
 
     Two regimes (measured on v5e, llama-1B geometry): at training/prefill
@@ -132,14 +133,22 @@ def qdot(x: jax.Array, qp: Params,
     conversion amortizes over many rows. At decode shapes (one token per
     step) XLA rematerializes the full-width weight every step, so the
     fused ``ops.qmatmul`` Pallas kernel streams the int bytes instead
-    (int8 1.25x -> ~2x, int4 0.25x -> ~3x vs bf16 weights)."""
+    (int8 1.25x -> ~2x, int4 0.25x -> ~3x vs bf16 weights).
+
+    ``use_kernel`` is the explicit dispatch override threaded down from
+    the jitted entry point (a static arg there, so the decision is baked
+    into the right trace-cache entry instead of read from mutable global
+    state at trace time — round-1 advisor finding): False forces the XLA
+    path (e.g. sharded decode, where a pallas custom-call would make XLA
+    all-gather the sharded weights), True trusts the caller that no mesh
+    is in play, None keeps the best-effort global detection."""
     dt_out = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     lead, K = x.shape[:-1], x.shape[-1]
     m = 1
     for s in lead:
         m *= s
     from avsr_tpu.ops import qmatmul as qm
-    if qm.eligible(m, K, qp):
+    if qm.eligible(m, K, qp, use_kernel=use_kernel):
         y = qm.qmatmul(x.reshape(m, K), qp)     # f32 accumulation
         return y.reshape(*lead, y.shape[-1]).astype(dt_out)
     w = dequantize(qp, x.dtype)

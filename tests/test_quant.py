@@ -347,3 +347,20 @@ def _all_keys(tree):
 
     walk(tree)
     return out
+
+
+def test_qdot_explicit_kernel_dispatch(rng):
+    """use_kernel threads an explicit dispatch decision into qdot/eligible
+    (a static arg at the jitted entry point) instead of reading mutable
+    global mesh state at trace time (round-1 advisor low finding)."""
+    from avsr_tpu.ops import qmatmul as qm
+
+    w = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    qp = quantize_tensor(w, 8)
+    # False forces the XLA path regardless of backend/mesh
+    assert qm.eligible(4, 256, qp, use_kernel=False) is False
+    # numerics are identical either way
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(qdot(x, qp, use_kernel=False)),
+        np.asarray(x @ dequantize(qp)), rtol=1e-5, atol=1e-5)

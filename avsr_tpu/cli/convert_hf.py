@@ -36,12 +36,13 @@ def _torch_state_dict(path: str, loader: str):
     return model.state_dict(), model.config
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = base_parser("Convert local HF checkpoints to an avsr_tpu params export")
-    p.add_argument("--out", required=True, help="output params directory")
-    args = p.parse_args(argv)
-    cfg = load_cli_config(args)
+def build_converted_params(cfg) -> tuple[dict, list[str]]:
+    """Fresh-init params with every component whose HF path is configured
+    replaced by converted pretrained weights. Returns (params, notes) where
+    notes names the converted components — shared by this CLI and the
+    pretrained parity harness (cli.parity)."""
     m = cfg.model
+    notes: list[str] = []
 
     from avsr_tpu.models.avsr import init_avsr_model
     from avsr_tpu.models.clip_vit import convert_hf_clip_vision
@@ -50,7 +51,6 @@ def main(argv: list[str] | None = None) -> int:
     from avsr_tpu.models.llama import add_lora, convert_hf_llama
     from avsr_tpu.models.resnet import convert_hf_resnet
     from avsr_tpu.models.whisper_encoder import convert_hf_whisper_encoder
-    from avsr_tpu.train.checkpoint import export_params
 
     params = init_avsr_model(jax.random.key(cfg.training.seed), m)
 
@@ -61,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"whisper d_model mismatch: HF {hf_cfg.d_model} vs config "
                 f"{m.whisper.d_model}")
         params["whisper"] = convert_hf_whisper_encoder(sd, m.whisper)
+        notes.append("whisper")
         log.info("converted whisper from %s", m.whisper_path)
 
     if (m.audio_encoder_path and m.modality in ("audio", "both")
@@ -72,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"{m.audio_encoder} d_model mismatch: HF {hf_cfg.hidden_size} "
                 f"vs config {m.ssl.d_model}")
         params[m.audio_encoder] = convert_hf_speech_ssl(sd, m.ssl)
+        notes.append(m.audio_encoder)
         log.info("converted %s from %s", m.audio_encoder, m.audio_encoder_path)
 
     if (m.video_encoder_path and m.modality in ("video", "both")
@@ -82,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"resnet hidden_sizes mismatch: HF {hf_cfg.hidden_sizes} "
                 f"vs config {m.resnet.hidden_sizes}")
         params["resnet"] = convert_hf_resnet(sd, m.resnet)
+        notes.append("resnet")
         log.info("converted resnet from %s", m.video_encoder_path)
 
     if (m.video_encoder_path and m.modality in ("video", "both")
@@ -93,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"efficientnet hidden_dim mismatch: HF {hf_cfg.hidden_dim} "
                 f"vs config {m.efficientnet.hidden_dim}")
         params["efficientnet"] = convert_hf_efficientnet(sd, m.efficientnet)
+        notes.append("efficientnet")
         log.info("converted efficientnet from %s", m.video_encoder_path)
 
     if m.clip_path and m.modality in ("video", "both") and m.video_encoder == "clip":
@@ -102,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"clip d_model mismatch: HF {hf_cfg.hidden_size} vs config "
                 f"{m.clip.d_model}")
         params["clip"] = convert_hf_clip_vision(sd, m.clip)
+        notes.append("clip")
         log.info("converted clip from %s", m.clip_path)
 
     if m.llm_path:
@@ -115,11 +120,25 @@ def main(argv: list[str] | None = None) -> int:
             llm = add_lora(jax.random.key(cfg.training.seed + 1), llm,
                            m.llm, m.lora)
         params["llm"] = llm
+        notes.append("llm")
         log.info("converted llm from %s", m.llm_path)
 
+    return params, notes
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = base_parser("Convert local HF checkpoints to an avsr_tpu params export")
+    p.add_argument("--out", required=True, help="output params directory")
+    args = p.parse_args(argv)
+    cfg = load_cli_config(args)
+
+    from avsr_tpu.train.checkpoint import export_params
+
+    params, notes = build_converted_params(cfg)
     out = Path(args.out).absolute()
     export_params(params, out)
-    log.info("params export -> %s (load with --checkpoint %s)", out, out)
+    log.info("params export -> %s (converted: %s; load with --checkpoint %s)",
+             out, ", ".join(notes) or "none", out)
     print(f"exported params to {out}")
     return 0
 

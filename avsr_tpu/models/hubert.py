@@ -299,8 +299,9 @@ def convert_hf_speech_ssl(state_dict: dict[str, Any],
             k = prefix + name
             if k in state_dict:
                 t = state_dict[k]
-                return jnp.asarray(np.asarray(
-                    t.detach().cpu() if hasattr(t, "detach") else t))
+                if hasattr(t, "detach"):   # torch tensor
+                    t = np.asarray(t.detach().cpu())
+                return jnp.asarray(t)   # tracer-safe (eval_shape dry-run)
         raise KeyError(f"missing weight {name!r}")
 
     def has(name: str) -> bool:

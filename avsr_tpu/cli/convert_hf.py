@@ -99,6 +99,18 @@ def build_converted_params(cfg) -> tuple[dict, list[str]]:
         notes.append("efficientnet")
         log.info("converted efficientnet from %s", m.video_encoder_path)
 
+    if (m.video_encoder_path and m.modality in ("video", "both")
+            and m.video_encoder == "avhubert"):
+        # AV-HuBERT ships as fairseq .pt checkpoints, not HF dirs
+        # (ref README.md:196-211 declares the family; config.py:55).
+        from avsr_tpu.models.avhubert import (convert_fairseq_avhubert,
+                                              load_fairseq_checkpoint)
+        sd = load_fairseq_checkpoint(m.video_encoder_path)
+        params["avhubert"] = convert_fairseq_avhubert(sd, m.avhubert)
+        notes.append("avhubert")
+        log.info("converted avhubert from fairseq ckpt %s",
+                 m.video_encoder_path)
+
     if m.clip_path and m.modality in ("video", "both") and m.video_encoder == "clip":
         sd, hf_cfg = _torch_state_dict(m.clip_path, "CLIPVisionModel")
         if hf_cfg.hidden_size != m.clip.d_model:

@@ -107,7 +107,12 @@ def avhubert_apply(
     x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B * T, C, s1, s2)
     x = resnet_stages(params["trunk"], x, _trunk_cfg(cfg))
     x = jnp.mean(x, axis=(2, 3)).reshape(B, T, -1)        # [B, T, 512]
-    x = dense(params["proj"], layer_norm(params["proj_ln"], x))
+    if "fuse_ln" in params:
+        # Pretrained fairseq head (convert_fairseq_avhubert): proj ->
+        # modality-fuse layer norm (+ post_extract_proj for concat fuse).
+        x = _fairseq_fuse_head(params, dense(params["proj"], x))
+    else:
+        x = dense(params["proj"], layer_norm(params["proj_ln"], x))
 
     lengths = (frame_lengths.astype(jnp.int32) if frame_lengths is not None
                else jnp.full((B,), T, jnp.int32))
@@ -123,3 +128,199 @@ def avhubert_apply(
         pos_conv_groups=cfg.pos_conv_groups,
         mask_before_pos_conv=frame_lengths is not None,
         use_pallas=use_pallas, remat=remat, mesh=mesh)
+
+
+def _fairseq_fuse_head(params: Params, v: jax.Array) -> jax.Array:
+    """Video-only modality fusion exactly as fairseq AVHubertModel does it.
+
+    At video-only inference av_hubert feeds a ZERO audio feature
+    (av_hubert/avhubert/hubert.py, extract_finetune: ``features_audio =
+    features_video.new_zeros(...)``), fuses, layer-norms the fused vector,
+    then (concat fuse only) projects ``post_extract_proj``. Add fuse
+    (``fuse_ln`` width d, no ``post_proj``) reduces to a plain LN of the
+    video features. Concat fuse layer-norms ``[audio=0 ; video]`` of width
+    2d — the zero half still shifts the LN mean/variance and feeds the
+    projection through its bias column block, so it cannot be folded away;
+    this computes it exactly without materializing the zero half:
+
+        mu  = sum(v)/(2d)
+        var = (sum((v-mu)^2) + d*mu^2)/(2d)
+        y   = LN_a(0) @ Wa + LN_v(v) @ Wv + b     (W = [Wa ; Wv] row blocks)
+    """
+    if "post_proj" not in params:              # add fuse: v + 0 == v
+        return layer_norm(params["fuse_ln"], v)
+    d = v.shape[-1]
+    g, b = params["fuse_ln"]["scale"], params["fuse_ln"]["b"]
+    vf = v.astype(jnp.float32)
+    mu = jnp.sum(vf, axis=-1, keepdims=True) / (2 * d)
+    var = (jnp.sum(jnp.square(vf - mu), axis=-1, keepdims=True)
+           + d * jnp.square(mu)) / (2 * d)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    # fairseq concat order is [audio, video] (hubert.py modality_fuse):
+    # audio occupies rows [:d] of W and slots [:d] of gamma/beta.
+    ln_v = ((vf - mu) * inv * g[d:].astype(jnp.float32)
+            + b[d:].astype(jnp.float32))
+    ln_a = ((-mu) * inv * g[:d].astype(jnp.float32)[None, None, :]
+            + b[:d].astype(jnp.float32))
+    w = params["post_proj"]["w"].astype(jnp.float32)       # [2d, d_out]
+    y = ln_a @ w[:d] + ln_v @ w[d:] + params["post_proj"]["b"].astype(
+        jnp.float32)
+    return y.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fairseq weight conversion (torch .pt state_dict -> our pytree)
+# ---------------------------------------------------------------------------
+
+
+def load_fairseq_checkpoint(path: str) -> dict:
+    """Read a fairseq checkpoint's model state dict WITHOUT fairseq.
+
+    Fairseq ``.pt`` files pickle an OmegaConf config object alongside the
+    tensors; unpickling that normally requires ``omegaconf``/``fairseq``
+    imports. This loader stubs any unimportable class so the tensor payload
+    (which only needs torch) loads cleanly, then returns ``ckpt['model']``.
+    Matches the ref's declared-but-unimplemented avhubert support
+    (/root/reference/src/utils/config.py:55,72-74)."""
+    import importlib
+    import pickle
+
+    class _Stub:
+        def __init__(self, *a, **k):    # noqa: D401 - placeholder instance
+            pass
+
+        def __setstate__(self, state):
+            self.__dict__["_state"] = state
+
+    class _PermissiveUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return getattr(importlib.import_module(module), name)
+            except Exception:
+                return type(f"{module}.{name}", (_Stub,), {})
+
+    class _pickle_module:
+        Unpickler = _PermissiveUnpickler
+        load = staticmethod(pickle.load)
+        loads = staticmethod(pickle.loads)
+        dumps = staticmethod(pickle.dumps)
+        __name__ = "avsr_tpu_permissive_pickle"
+
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_pickle_module)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    if not isinstance(ckpt, dict):
+        raise ValueError(f"{path}: not a fairseq checkpoint "
+                         "(no 'model' state dict)")
+    return ckpt
+
+
+def convert_fairseq_avhubert(state_dict: dict, cfg: AVHubertConfig) -> Params:
+    """Convert a fairseq ``AVHubertModel`` state dict (video branch +
+    shared transformer) to our pytree.
+
+    Key layout per av_hubert (facebookresearch/av_hubert):
+      feature_extractor_video.resnet.frontend3D.{0,1,2}.*   3D stem
+      feature_extractor_video.resnet.trunk.layer{1..4}.*    ResNet-18, PReLU
+      feature_extractor_video.proj.*                        512 -> d
+      layer_norm.*                 post-fuse LN (width 2d concat / d add)
+      post_extract_proj.*          2d -> d (concat fuse only)
+      encoder.pos_conv.0.*         weight-norm grouped conv (dim=2)
+      encoder.layers.N.*           self_attn/{q,k,v,out}_proj, fc1/fc2, LNs
+      encoder.layer_norm.*         final (pre-LN) / initial (post-LN) LN
+    Audio-branch and pretraining-head keys (feature_extractor_audio.*,
+    final_proj, mask_emb, label_embs_concat) are intentionally ignored.
+    """
+    import numpy as np
+
+    def arr(name: str) -> jnp.ndarray:
+        if name not in state_dict:
+            raise KeyError(f"missing fairseq weight {name!r}")
+        t = state_dict[name]
+        if hasattr(t, "detach"):   # torch tensor
+            t = np.asarray(t.detach().cpu().float())
+        return jnp.asarray(t)   # tracer-safe (eval_shape dry-run)
+
+    def lin(name: str) -> Params:
+        return {"w": arr(name + ".weight").T, "b": arr(name + ".bias")}
+
+    def ln(name: str) -> Params:
+        return {"scale": arr(name + ".weight"), "b": arr(name + ".bias")}
+
+    def bn(name: str) -> Params:
+        return {"scale": arr(name + ".weight"), "b": arr(name + ".bias"),
+                "mean": arr(name + ".running_mean"),
+                "var": arr(name + ".running_var")}
+
+    res = "feature_extractor_video.resnet."
+    stem = {
+        "conv": {"w": arr(res + "frontend3D.0.weight")},
+        "bn": bn(res + "frontend3D.1"),
+        "prelu": arr(res + "frontend3D.2.weight"),
+    }
+
+    trunk = []
+    for si, depth in enumerate(cfg.trunk_depths):
+        layers = []
+        for li in range(depth):
+            pre = f"{res}trunk.layer{si + 1}.{li}."
+            p: Params = {
+                "convs": [
+                    {"conv": {"w": arr(pre + "conv1.weight")},
+                     "bn": bn(pre + "bn1")},
+                    {"conv": {"w": arr(pre + "conv2.weight")},
+                     "bn": bn(pre + "bn2")},
+                ],
+                "prelus": [arr(pre + "relu1.weight"),
+                           arr(pre + "relu2.weight")],
+            }
+            if pre + "downsample.0.weight" in state_dict:
+                p["shortcut"] = {
+                    "conv": {"w": arr(pre + "downsample.0.weight")},
+                    "bn": bn(pre + "downsample.1"),
+                }
+            layers.append(p)
+        trunk.append(layers)
+
+    # Fuse mode from the post-fuse LN width: 2d => concat, d => add.
+    fuse_width = state_dict["layer_norm.weight"].shape[0]
+    d = cfg.d_model
+    params: Params = {
+        "stem": stem,
+        "trunk": trunk,
+        "proj": lin("feature_extractor_video.proj"),
+        "fuse_ln": ln("layer_norm"),
+    }
+    if fuse_width == 2 * d:
+        params["post_proj"] = lin("post_extract_proj")
+    elif fuse_width != d:
+        raise ValueError(
+            f"layer_norm width {fuse_width} matches neither concat (2d="
+            f"{2 * d}) nor add (d={d}) fuse for d_model={d}")
+
+    # Positional conv weight norm: g * v / ||v|| over dims (0,1) (dim=2).
+    g = arr("encoder.pos_conv.0.weight_g")
+    v = arr("encoder.pos_conv.0.weight_v")
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
+    params["pos_conv"] = {"w": g * v / jnp.maximum(norm, 1e-12),
+                          "b": arr("encoder.pos_conv.0.bias")}
+    params["ln"] = ln("encoder.layer_norm")
+    params["blocks"] = [
+        {
+            "attn": {
+                "q": lin(f"encoder.layers.{i}.self_attn.q_proj"),
+                "k": lin(f"encoder.layers.{i}.self_attn.k_proj"),
+                "v": lin(f"encoder.layers.{i}.self_attn.v_proj"),
+                "o": lin(f"encoder.layers.{i}.self_attn.out_proj"),
+            },
+            "ln1": ln(f"encoder.layers.{i}.self_attn_layer_norm"),
+            "fc1": lin(f"encoder.layers.{i}.fc1"),
+            "fc2": lin(f"encoder.layers.{i}.fc2"),
+            "ln2": ln(f"encoder.layers.{i}.final_layer_norm"),
+        }
+        for i in range(cfg.n_layers)
+    ]
+    return params

@@ -117,6 +117,15 @@ def _conv(p: Params, x: jax.Array, *, stride: int = 1,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
 
+def _act(p: Params, x: jax.Array, i: int) -> jax.Array:
+    """ReLU, or per-channel PReLU when the block carries ``prelus`` weights
+    (fairseq AV-HuBERT trunks use relu_type='prelu'; av_hubert/resnet.py)."""
+    if "prelus" in p:
+        a = p["prelus"][i].astype(x.dtype)[None, :, None, None]
+        return jnp.where(x >= 0, x, a * x)
+    return jax.nn.relu(x)
+
+
 def _conv_bn(p: Params, x: jax.Array, *, stride: int = 1,
              act: bool = True) -> jax.Array:
     y = _bn(p["bn"], _conv(p["conv"], x, stride=stride))
@@ -128,13 +137,13 @@ def _layer_apply(p: Params, x: jax.Array, stride: int,
     res = (_conv_bn(p["shortcut"], x, stride=stride, act=False)
            if "shortcut" in p else x)
     if cfg.layer_type == "bottleneck":
-        y = _conv_bn(p["convs"][0], x)
-        y = _conv_bn(p["convs"][1], y, stride=stride)
+        y = _act(p, _conv_bn(p["convs"][0], x, act=False), 0)
+        y = _act(p, _conv_bn(p["convs"][1], y, stride=stride, act=False), 1)
         y = _conv_bn(p["convs"][2], y, act=False)
-    else:
-        y = _conv_bn(p["convs"][0], x, stride=stride)
-        y = _conv_bn(p["convs"][1], y, act=False)
-    return jax.nn.relu(y + res)
+        return _act(p, y + res, 2)
+    y = _act(p, _conv_bn(p["convs"][0], x, stride=stride, act=False), 0)
+    y = _conv_bn(p["convs"][1], y, act=False)
+    return _act(p, y + res, 1)
 
 
 def resnet_stages(stages: list, x: jax.Array, cfg: ResNetConfig) -> jax.Array:

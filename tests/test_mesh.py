@@ -107,3 +107,33 @@ def test_build_mesh_dcn_axis():
     x = jnp.arange(8 * 3, dtype=jnp.float32).reshape(1, 8, 3)
     sharded = batch_sharder(mesh)({"x": x})["x"]
     assert float(jnp.sum(sharded)) == float(jnp.sum(x))
+
+
+def test_dcn_train_step_matches_single_device(rng):
+    """dcn_dp=2 x dp2 x tp2 (8 devices): a full train step over a hybrid
+    ICI+DCN mesh — batch sharded over (dcn, dp), params replicated across
+    dcn slices, tp megatron inside each slice — must match the unsharded
+    step (round-1 VERDICT next-step #4: same rigor as the other axes)."""
+    cfg = tiny_avsr_cfg()
+    dcn_mesh_cfg = dataclasses.replace(
+        cfg.mesh, dp=2, fsdp=1, sp=1, tp=2, dcn_dp=2)
+    cfg = dataclasses.replace(cfg, mesh=dcn_mesh_cfg)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    batch = tiny_batch(rng, "audio", B=4)   # micro dim divisible by dcn*dp
+
+    s1, tx1 = create_train_state(params, cfg, total_steps=10)
+    s1, m1 = make_train_step(cfg, tx1)(s1, microbatch(batch, 1),
+                                       jax.random.key(0))
+
+    mesh = build_mesh(dcn_mesh_cfg)
+    s2, tx2 = create_train_state(params, cfg, total_steps=10)
+    s2 = shard_state(s2, mesh)
+    s2, m2 = make_train_step(cfg, tx2)(
+        s2, batch_sharder(mesh)(microbatch(batch, 1)), jax.random.key(0))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
+    a = np.asarray(s1.params["llm"]["layers"][0]["q"]["lora"]["b"])
+    b = np.asarray(s2.params["llm"]["layers"][0]["q"]["lora"]["b"])
+    np.testing.assert_allclose(a, b, atol=1e-5)

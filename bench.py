@@ -92,24 +92,153 @@ def main() -> int:
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step_fn(state, mb, jax.random.key(2 + i))
-    jax.block_until_ready(metrics["loss"])
+    # value fetch (not block_until_ready) — the only completion signal the
+    # tunneled TPU honors reliably; the state chain serializes all steps
+    assert np.isfinite(float(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     utts_per_sec = BATCH * STEPS / dt
     log(f"{STEPS} steps in {dt:.2f}s -> {utts_per_sec:.2f} utt/s "
         f"({dt / STEPS * 1e3:.0f} ms/step)")
 
+    mfu = bench_mfu(step_fn, state, mb, dt / STEPS)
+
     dec = bench_decode(cfg, state.params, batch)
     qdec = bench_decode_quantized(cfg, state.params, batch)
+    pipe = bench_pipeline(cfg, state, step_fn, utts_per_sec)
 
     print(json.dumps({
         "metric": "train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
-        **dec, **qdec,
+        **mfu, **dec, **qdec, **pipe,
     }))
     return 0
+
+
+# Peak dense matmul throughput per chip, bf16 (vendor specs). The bench
+# formula: mfu = (XLA-counted FLOPs per train step) / (measured s/step)
+# / (peak FLOP/s) — model FLOPs utilization per round-1 VERDICT next-step #9.
+_PEAK_BF16_FLOPS = {
+    "v4": 275e12, "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12, "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def _chip_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def bench_mfu(step_fn, state, mb, sec_per_step: float) -> dict:
+    """Model-FLOPs utilization of the train step: the compiler's own FLOP
+    count for the compiled executable (cost analysis — counts every fused
+    matmul/conv at the precision it runs at) over measured step time and
+    chip peak. Reported so rounds optimize efficiency, not just the ratio
+    to a fixed A100 estimate."""
+    try:
+        ca = step_fn.lower(state, mb, jax.random.key(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception as e:  # noqa: BLE001 — cost analysis is backend-optional
+        log(f"mfu: cost_analysis unavailable ({e})")
+        return {}
+    peak = _chip_peak_flops()
+    if peak is None:
+        log(f"mfu: unknown chip {jax.devices()[0].device_kind!r}; "
+            f"step flops={flops:.3e}")
+        return {"train_step_flops": flops}
+    mfu = flops / sec_per_step / peak
+    log(f"mfu: {flops:.3e} FLOPs/step / {sec_per_step * 1e3:.0f} ms "
+        f"/ {peak:.0f} peak = {mfu:.3f}")
+    return {"train_step_flops": flops, "mfu": round(mfu, 4)}
+
+
+def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
+    """Train throughput THROUGH the input pipeline: synthetic 10 s WAVs +
+    25-frame videos on disk, decoded (native C++ tier), resized, collated,
+    log-mel'd and fed by the real DataLoader while the TPU trains —
+    pipeline efficiency = loader-fed utt/s / device-only utt/s. The
+    north-star "preprocessing never stalls the TPU" as a measured number
+    (round-1 VERDICT next-step #7)."""
+    import dataclasses
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from avsr_tpu.data.audio_io import write_wav
+    from avsr_tpu.data.dataset import _WORDS, ManifestAVSRDataset
+    from avsr_tpu.data.loader import DataLoader
+    from avsr_tpu.data.manifest import ManifestEntry, write_manifest
+    from avsr_tpu.data.tokenizer import load_tokenizer
+    from avsr_tpu.train.step import microbatch
+
+    n_utts = 6 * BATCH
+    tmp = Path(tempfile.mkdtemp(prefix="avsr_bench_pipe_"))
+    try:
+        media = tmp / "media"
+        media.mkdir()
+        rng = np.random.default_rng(0)
+        entries, labels = [], []
+        t = np.arange(16000 * 10, dtype=np.float32) / 16000.0
+        for i in range(n_utts):
+            audio = (0.3 * np.sin(2 * np.pi * float(rng.uniform(80, 300)) * t)
+                     + 0.05 * rng.standard_normal(t.shape[0])).astype(np.float32)
+            write_wav(media / f"u{i:03d}.wav", audio)
+            # stored larger than the 224 model input: the host pays a real
+            # decode+resize per frame, like LRS3 source video would cost
+            np.save(media / f"u{i:03d}.npy",
+                    rng.integers(0, 256, (VIDEO_FRAMES, 256, 256, 3),
+                                 dtype=np.uint8))
+            entries.append(ManifestEntry(
+                utt_id=f"u{i:03d}", video_path=f"u{i:03d}.npy",
+                audio_path=f"u{i:03d}.wav", num_frames=VIDEO_FRAMES,
+                num_samples=t.shape[0]))
+            labels.append(" ".join(rng.choice(_WORDS, 6)))
+        write_manifest(tmp / "train.tsv", media, entries)
+        (tmp / "train.wrd").write_text("\n".join(labels) + "\n")
+
+        dcfg = dataclasses.replace(
+            cfg.data, path=str(tmp), synthetic=False, batch_size=BATCH,
+            audio_buckets=(AUDIO_MEL_FRAMES,), video_buckets=(VIDEO_FRAMES,))
+        tok = load_tokenizer(cfg.model.llm_path or None)
+        ds = ManifestAVSRDataset(dcfg, tok, split="train", modality="both",
+                                 image_size=cfg.model.clip.image_size)
+        loader = DataLoader(ds, dcfg, tok, model_cfg=cfg.model,
+                            shuffle=False, drop_last=True,
+                            compute_dtype=cfg.runtime.compute_dtype)
+
+        # epoch 1: compile the loader-shaped step + warm the page cache
+        # (step donates its input state, so always rethread it)
+        for _, b in loader:
+            state, metrics = step_fn(state, microbatch(b, 1),
+                                     jax.random.key(0))
+            break
+        assert np.isfinite(float(metrics["loss"]))
+
+        t0 = time.perf_counter()
+        n = 0
+        for _, b in loader:
+            state, metrics = step_fn(state, microbatch(b, 1),
+                                     jax.random.key(3 + n))
+            n += 1
+        assert np.isfinite(float(metrics["loss"]))  # serializes the chain
+        dt = time.perf_counter() - t0
+        loader.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    utts = n * BATCH / dt
+    eff = utts / device_utts_per_sec
+    log(f"pipeline: {n} loader-fed steps in {dt:.2f}s -> {utts:.2f} utt/s "
+        f"(efficiency {eff:.2f} vs device-only)")
+    return {"pipeline_utts_per_sec": round(utts, 3),
+            "pipeline_efficiency": round(eff, 3)}
 
 
 def _time_decode(cfg, params, batch, label: str,

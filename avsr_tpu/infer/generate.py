@@ -146,6 +146,21 @@ def generate_tokens(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)
     last = L.compute_logits(params["llm"], cfg, h_last, use_kernel=uk)[:, 0]
 
+    out, _ = _decode_loop(
+        params, model_cfg, last, cache, prefix_lens.astype(jnp.int32),
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        eos_id=eos_id, rng=rng, dt=dt, uk=uk)
+    return out
+
+
+def _decode_loop(params, model_cfg: ModelConfig, last, cache, cur_lens, *,
+                 max_new_tokens: int, temperature: float, top_p: float,
+                 eos_id: int, rng, dt, uk) -> tuple[GenOut, L.KVCache]:
+    """The shared greedy/sampled token loop: while_loop of
+    llama_decode_step from ``last`` logits over a prefilled ``cache``."""
+    cfg = model_cfg.llm
+    B = last.shape[0]
+
     def cond(carry):
         step, _, _, _, _, done, _ = carry
         return (step < max_new_tokens) & ~jnp.all(done)
@@ -170,15 +185,84 @@ def generate_tokens(
 
     tokens0 = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     done0 = jnp.zeros((B,), bool)
-    init = (jnp.zeros((), jnp.int32), last, cache, prefix_lens.astype(jnp.int32),
+    init = (jnp.zeros((), jnp.int32), last, cache, cur_lens,
             tokens0, done0, rng)
-    _, _, _, _, tokens, _, _ = jax.lax.while_loop(cond, body, init)
+    _, _, cache, _, tokens, _, _ = jax.lax.while_loop(cond, body, init)
 
     is_eos = tokens == eos_id
     first_eos = jnp.argmax(is_eos, axis=-1)
     has_eos = jnp.any(is_eos, axis=-1)
     lengths = jnp.where(has_eos, first_eos + 1, max_new_tokens)
-    return GenOut(tokens, lengths.astype(jnp.int32))
+    return GenOut(tokens, lengths.astype(jnp.int32)), cache
+
+
+# ---------------------------------------------------------------------------
+# Streaming continuation (chunked prefill + decode over a persistent cache)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "compute_dtype"))
+def prefill_extend(
+    params: Params,
+    model_cfg: ModelConfig,
+    cache: L.KVCache,
+    base_lens: jax.Array,          # [B] frozen tokens already in the cache
+    embeds: jax.Array,             # [B, T, d] new block (right-padded)
+    lens: jax.Array,               # [B] valid rows of embeds
+    *,
+    compute_dtype: str = "float32",
+) -> L.KVCache:
+    """Freeze a block into the persistent cache (streaming serving): one
+    chunked prefill, hidden states discarded. Returns the extended cache;
+    the new frozen length is ``base_lens + lens`` (caller bookkeeping)."""
+    _, cache = L.llama_prefill_continue(
+        params["llm"], model_cfg.llm, x=embeds, cache=cache,
+        base_lens=base_lens, tail_lens=lens,
+        lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+        compute_dtype=jnp.dtype(compute_dtype))
+    return cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "max_new_tokens", "temperature", "top_p",
+                     "eos_id", "compute_dtype"))
+def generate_continue(
+    params: Params,
+    model_cfg: ModelConfig,
+    cache: L.KVCache,
+    base_lens: jax.Array,          # [B] frozen tokens already in the cache
+    tail_embeds: jax.Array,        # [B, T, d] un-frozen tail (right-padded)
+    tail_lens: jax.Array,          # [B] valid rows of tail_embeds
+    *,
+    max_new_tokens: int = 100,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    eos_id: int = 2,
+    rng: jax.Array | None = None,
+    compute_dtype: str = "float32",
+) -> tuple[GenOut, L.KVCache]:
+    """Decode from a frozen history + fresh tail: chunked prefill of the
+    tail (llama_prefill_continue), then the standard token loop. Per-chunk
+    cost is O(tail + max_new_tokens) — independent of how much history the
+    cache holds (round-1 VERDICT next-step #8: streaming per-chunk cost
+    must stop growing with the buffer). The frozen cache columns
+    (< base_lens) are never rewritten, so the returned cache can seed the
+    next chunk with a larger ``base_lens`` after more blocks freeze."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    hidden, cache = L.llama_prefill_continue(
+        params["llm"], cfg, x=tail_embeds, cache=cache,
+        base_lens=base_lens, tail_lens=tail_lens,
+        lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+        compute_dtype=dt)
+    h_last = jnp.take_along_axis(
+        hidden, jnp.maximum(tail_lens - 1, 0)[:, None, None], axis=1)
+    last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
+    return _decode_loop(
+        params, model_cfg, last, cache,
+        (base_lens + tail_lens).astype(jnp.int32),
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        eos_id=eos_id, rng=rng, dt=dt, uk=None)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +288,13 @@ def beam_search(
     kv_cache_dtype: str = "bfloat16",
     mesh=None,
 ) -> GenOut:
-    """Length-normalized beam search over the embeddings prefix."""
+    """Length-normalized beam search over the embeddings prefix.
+
+    The KV cache is split (models.llama.llama_decode_step_split): the
+    prefill prefix stays [B]-rows — shared by all W beams, never gathered —
+    and only a small [B*W, Ms] suffix of generated tokens is reindexed on
+    beam switches. The flat [B*W, Mp+Ms] layout gathered the entire cache
+    every token (round-1 VERDICT missing #7)."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
     W = num_beams
@@ -214,28 +304,29 @@ def beam_search(
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
-    M = -(-(Tpre + max_new_tokens) // 128) * 128   # lane-tiled cache_len
+    Mp = -(-Tpre // 128) * 128                     # lane-tiled prefix cache
+    Ms = -(-max_new_tokens // 128) * 128           # lane-tiled suffix cache
 
-    hidden, cache = L.llama_apply(
+    hidden, pre_cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M, output="hidden", mesh=mesh)
+        return_cache=True, cache_len=Mp, output="hidden", mesh=mesh)
     h_last = jnp.take_along_axis(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)
     last = L.compute_logits(params["llm"], cfg, h_last, use_kernel=uk)[:, 0]
     if kv_cache_dtype == "int8":
-        cache = L.quantize_cache(cache)
+        pre_cache = L.quantize_cache(pre_cache)
+    prefix_lens = prefix_lens.astype(jnp.int32)
 
-    # Expand to beams along the batch axis: [B*W, ...]
+    # Per-beam suffix cache only: [L, B*W, Hkv, Dh, Ms], zero-filled.
+    hd = cfg.d_model // cfg.n_heads
+    suf_shape = (cfg.n_layers, B * W, cfg.n_kv_heads, hd, Ms)
+    suf_cache = L.KVCache(jnp.zeros(suf_shape, dt), jnp.zeros(suf_shape, dt))
+
     def tile(x):
         return jnp.repeat(x, W, axis=0)
 
-    def tile_cache_leaf(x):
-        return jnp.repeat(x, W, axis=1) if x is not None else None
-
-    cache = L.KVCache(*(tile_cache_leaf(x) for x in cache))
-    cur_lens = tile(prefix_lens.astype(jnp.int32))
     logp0 = jax.nn.log_softmax(last, axis=-1)                 # [B, V]
     V = logp0.shape[-1]
 
@@ -250,7 +341,7 @@ def beam_search(
         return (step < max_new_tokens) & ~jnp.all(done)
 
     def body(carry):
-        step, logits, cache, cur_lens, tokens, done, scores = carry
+        step, logits, suf_cache, kv_pending, tokens, done, scores = carry
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, W, V)
         # finished beams only extend with EOS at no cost
         eos_only = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
@@ -261,11 +352,13 @@ def beam_search(
         src_beam = top_idx // V                               # [B, W]
         new_tok = (top_idx % V).astype(jnp.int32)
 
-        # Reindex beam state by source beam (gather over the B*W axis).
+        # Reindex beam state by source beam — suffix cache only (the
+        # prefix rows are identical across beams and stay untouched),
+        # landing the previous step's pending K/V columns in the same
+        # fused pass (models.llama.merge_new_columns).
         gather = (jnp.arange(B)[:, None] * W + src_beam).reshape(-1)  # [B*W]
-        cache = L.KVCache(*(x[:, gather] if x is not None else None
-                            for x in cache))
-        cur_lens = cur_lens[gather]
+        suf_cache = L.merge_new_columns(suf_cache, *kv_pending, gather,
+                                        step - 1)
         tokens = jnp.take_along_axis(tokens, src_beam[..., None], axis=1)
         done = jnp.take_along_axis(done, src_beam, axis=1)
 
@@ -274,13 +367,16 @@ def beam_search(
         scores = top_scores
 
         emb = L.embed_tokens(params["llm"], new_tok.reshape(-1)[:, None], dt)
-        logits_new, cache = L.llama_decode_step(
-            params["llm"], cfg, x=emb, cache=cache, cur_lens=cur_lens,
+        logits_new, kv_pending = L.llama_decode_step_split(
+            params["llm"], cfg, x=emb, prefix_cache=pre_cache,
+            suffix_cache=suf_cache, prefix_lens=prefix_lens, step=step,
             lora=model_cfg.lora if model_cfg.lora.use_lora else None,
             compute_dtype=dt, use_kernel=uk)
-        return (step + 1, logits_new, cache, cur_lens + 1, tokens, done, scores)
+        return (step + 1, logits_new, suf_cache, kv_pending, tokens, done,
+                scores)
 
-    init = (jnp.zeros((), jnp.int32), logits, cache, cur_lens, tokens, done,
+    kv0 = (jnp.zeros(suf_shape[:4], dt), jnp.zeros(suf_shape[:4], dt))
+    init = (jnp.zeros((), jnp.int32), logits, suf_cache, kv0, tokens, done,
             scores)
     _, _, _, _, tokens, _, scores = jax.lax.while_loop(cond, body, init)
 

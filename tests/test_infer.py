@@ -189,3 +189,115 @@ def test_int8_kv_cache_generate(rng):
     ref = np.asarray(logits_f)
     rel = np.abs(np.asarray(logits_q) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.1, rel
+
+
+def test_beam_split_cache_matches_flat_cache_oracle(model_and_batch):
+    """The shared-prefix split-cache beam (llama_decode_step_split) must be
+    token-exact against a python beam loop over the flat [B*W] cache built
+    with llama_decode_step (itself oracle-tested above) — same top-k, same
+    ragged prefixes, every step gathering the full cache the naive way."""
+    cfg, params, batch = model_and_batch
+    W, N = 3, 5
+    out = beam_search(params, cfg, batch, max_new_tokens=N, num_beams=W,
+                      eos_id=EOS, use_pallas="never")
+
+    enc = encode(params, cfg, batch, use_pallas="never")
+    prefix, plens = build_prefix(params, cfg, batch, enc)
+    B, Tpre = prefix.shape[:2]
+    M = Tpre + N
+    hidden, cache = L.llama_apply(
+        params["llm"], cfg.llm, inputs_embeds=prefix, lengths=plens,
+        lora=cfg.lora, return_cache=True, cache_len=M, output="hidden",
+        use_pallas="never")
+    h_last = jnp.take_along_axis(hidden, (plens - 1)[:, None, None], axis=1)
+    last = L.compute_logits(params["llm"], cfg.llm, h_last)[:, 0]
+
+    cache = L.KVCache(jnp.repeat(cache.k, W, axis=1),
+                      jnp.repeat(cache.v, W, axis=1))
+    cur = jnp.repeat(plens.astype(jnp.int32), W)
+    logits = jnp.repeat(last, W, axis=0)
+    V = last.shape[-1]
+    scores = np.full((B, W), -1e30)
+    scores[:, 0] = 0.0
+    tokens = np.full((B, W, N), EOS, np.int32)
+    done = np.zeros((B, W), bool)
+    for step in range(N):
+        if done.all():
+            break
+        logp = np.asarray(jax.nn.log_softmax(logits, -1)).reshape(B, W, V)
+        eos_only = np.full((V,), -1e30)
+        eos_only[EOS] = 0.0
+        logp = np.where(done[..., None], eos_only[None, None], logp)
+        flat = (scores[..., None] + logp).reshape(B, W * V)
+        top_idx = np.argsort(flat, axis=-1)[:, ::-1][:, :W]
+        scores = np.take_along_axis(flat, top_idx, axis=-1)
+        src = top_idx // V
+        new_tok = (top_idx % V).astype(np.int32)
+        gather = (np.arange(B)[:, None] * W + src).reshape(-1)
+        cache = L.KVCache(cache.k[:, gather], cache.v[:, gather])
+        cur = cur[gather]
+        tokens = np.take_along_axis(tokens, src[..., None], axis=1)
+        done = np.take_along_axis(done, src, axis=1)
+        tokens[:, :, step] = np.where(done, EOS, new_tok)
+        done = done | (new_tok == EOS)
+        logits, cache = L.llama_decode_step(
+            params["llm"], cfg.llm,
+            x=L.embed_tokens(params["llm"], jnp.asarray(new_tok).reshape(-1)[:, None]),
+            cache=cache, cur_lens=cur, lora=cfg.lora)
+        cur = cur + 1
+
+    lens = np.where((tokens == EOS).any(-1),
+                    np.argmax(tokens == EOS, -1) + 1, N)
+    norm = scores / np.maximum(lens, 1.0)
+    best = np.argmax(norm, axis=-1)
+    oracle = np.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    np.testing.assert_array_equal(np.asarray(out.tokens), oracle)
+
+
+def test_beam_int8_prefix_cache(model_and_batch):
+    """Serving beam: int8-quantized (prefix) cache — the split attention
+    dequants the shared prefix in-einsum; tokens track the fp path."""
+    cfg, params, batch = model_and_batch
+    base = beam_search(params, cfg, batch, max_new_tokens=4, num_beams=3,
+                       eos_id=EOS, use_pallas="never")
+    got = beam_search(params, cfg, batch, max_new_tokens=4, num_beams=3,
+                      eos_id=EOS, use_pallas="never", kv_cache_dtype="int8")
+    assert got.tokens.shape == base.tokens.shape
+    agree = float(np.mean(np.asarray(got.tokens) == np.asarray(base.tokens)))
+    assert agree >= 0.5, agree
+
+
+def test_generate_continue_matches_full_prefix(model_and_batch):
+    """Streaming serving chain (prefill_extend -> generate_continue) must
+    be token-exact vs the one-shot generate_tokens over the same prefix:
+    freeze the first S prefix rows into a persistent cache, then decode
+    with the remainder as the tail. This is the per-chunk path of
+    blockwise streaming (infer.streaming, decode.stream_block_s)."""
+    from avsr_tpu.infer.generate import generate_continue, prefill_extend
+
+    cfg, params, batch = model_and_batch
+    N = 6
+    full = generate_tokens(params, cfg, batch, max_new_tokens=N,
+                           temperature=0.0, eos_id=EOS, use_pallas="never")
+
+    enc = encode(params, cfg, batch, use_pallas="never")
+    prefix, plens = build_prefix(params, cfg, batch, enc)
+    B, Tpre = prefix.shape[:2]
+    S = 3
+    assert int(plens.min()) > S
+    M = -(-(Tpre + N) // 128) * 128
+    llm = cfg.llm
+    hd = llm.d_model // llm.n_heads
+    shape = (llm.n_layers, B, llm.n_kv_heads, hd, M)
+    cache = L.KVCache(jnp.zeros(shape, jnp.float32),
+                      jnp.zeros(shape, jnp.float32))
+    cache = prefill_extend(params, cfg, cache, jnp.zeros((B,), jnp.int32),
+                           prefix[:, :S], jnp.full((B,), S, jnp.int32))
+    out, _ = generate_continue(
+        params, cfg, cache, jnp.full((B,), S, jnp.int32),
+        prefix[:, S:], (plens - S).astype(jnp.int32),
+        max_new_tokens=N, eos_id=EOS)
+    np.testing.assert_array_equal(np.asarray(out.tokens),
+                                  np.asarray(full.tokens))
+    np.testing.assert_array_equal(np.asarray(out.lengths),
+                                  np.asarray(full.lengths))

@@ -127,3 +127,55 @@ def test_lora_nonzero_changes_output(hf_pair, rng):
                          use_pallas="never")
     np.testing.assert_allclose(np.asarray(m), np.asarray(adapted), atol=1e-5,
                                rtol=1e-4)
+
+
+def test_prefill_continue_matches_full_prefill(hf_pair, rng):
+    """Chunked prefill (llama_prefill_continue) over [part1][part2] must
+    reproduce the full-sequence prefill exactly: same final hidden states,
+    same cache columns — the serving primitive behind streaming KV reuse."""
+    _, params = hf_pair
+    B, T1, T2 = 2, 6, 5
+    M = 32
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, T1 + T2)))
+    embeds = L.embed_tokens(params, tokens)
+
+    # oracle: one uniform prefill over the whole sequence
+    hid_full, cache_full = L.llama_apply(
+        params, CFG, inputs_embeds=embeds, return_cache=True, cache_len=M,
+        output="hidden", use_pallas="never")
+
+    # chunked: part1 via llama_apply, part2 via prefill_continue
+    _, cache1 = L.llama_apply(
+        params, CFG, inputs_embeds=embeds[:, :T1], return_cache=True,
+        cache_len=M, output="hidden", use_pallas="never")
+    hid2, cache2 = L.llama_prefill_continue(
+        params, CFG, x=embeds[:, T1:], cache=cache1,
+        base_lens=jnp.full((B,), T1, jnp.int32),
+        tail_lens=jnp.full((B,), T2, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(hid2),
+                               np.asarray(hid_full)[:, T1:],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cache2.k)[..., :T1 + T2],
+                               np.asarray(cache_full.k)[..., :T1 + T2],
+                               atol=2e-5, rtol=1e-4)
+
+    # ragged tails: sample 1 extends by only 3 of the 5 rows
+    tl = jnp.array([T2, 3], jnp.int32)
+    hid_r, cache_r = L.llama_prefill_continue(
+        params, CFG, x=embeds[:, T1:], cache=cache1,
+        base_lens=jnp.full((B,), T1, jnp.int32), tail_lens=tl)
+    np.testing.assert_allclose(np.asarray(hid_r)[1, :3],
+                               np.asarray(hid_full)[1, T1:T1 + 3],
+                               atol=2e-5, rtol=1e-4)
+
+    # decode continues seamlessly from the continued cache
+    nxt = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, 1)))
+    step_c, _ = L.llama_decode_step(
+        params, CFG, x=L.embed_tokens(params, nxt), cache=cache2,
+        cur_lens=jnp.full((B,), T1 + T2))
+    step_f, _ = L.llama_decode_step(
+        params, CFG, x=L.embed_tokens(params, nxt), cache=cache_full,
+        cur_lens=jnp.full((B,), T1 + T2))
+    np.testing.assert_allclose(np.asarray(step_c), np.asarray(step_f),
+                               atol=2e-5, rtol=1e-4)

@@ -377,6 +377,14 @@ class DecodeConfig:
     # matmul streams int bytes through ops.qmatmul. Biggest single
     # per-token HBM read at 128k vocab (525 MB bf16 -> 131/262 MB).
     lm_head_bits: int = 0               # 0 | 4 | 8
+    # Streaming-only: block size (seconds) for incremental encoding + KV
+    # reuse. 0 = exact mode (re-encode the whole buffer per chunk; finalize
+    # equals offline decode). > 0 = blockwise mode: completed blocks are
+    # encoded once and their LLM KV frozen in a persistent cache
+    # (infer.generate.prefill_extend / generate_continue), so per-chunk
+    # cost stays flat across the window instead of growing with the
+    # buffer. Audio-only (encoder blocks are modality-local).
+    stream_block_s: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -443,6 +451,17 @@ class AVSRConfig:
                 f"largest audio bucket ({self.data.audio_buckets[-1]} mel "
                 f"frames) exceeds whisper.max_frames "
                 f"({self.model.whisper.max_frames})")
+        if self.decode.stream_block_s > 0 and self.model.modality != "audio":
+            raise ValueError(
+                "decode.stream_block_s (blockwise streaming) requires "
+                "model.modality=audio — video/fused features are not "
+                "block-local; use the exact mode (stream_block_s=0)")
+        if self.decode.stream_block_s > 0 and self.decode.kv_cache_dtype == "int8":
+            raise ValueError(
+                "decode.stream_block_s (blockwise streaming) keeps a live "
+                "float KV cache that is extended in place per block; "
+                "int8 kv_cache_dtype quantizes once at prefill and is "
+                "incompatible — use it with the exact mode only")
         if self.mesh.pp > 1:
             if self.mesh.sp > 1:
                 raise ValueError("mesh.pp and mesh.sp are mutually exclusive")

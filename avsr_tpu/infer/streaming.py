@@ -30,12 +30,26 @@ newly committed ids): concatenating them can differ from decoding the
 whole sequence at a multi-byte character split across commits, so
 ``committed_text`` (a decode of all committed tokens) stays the
 authoritative transcript.
+
+Blockwise mode (``decode.stream_block_s > 0``, audio only): instead of
+re-encoding and re-prefilling the whole buffer every chunk (O(n^2) per
+window segment), completed fixed-size audio blocks are encoded once and
+their connector features frozen into a persistent LLM KV cache
+(infer.generate.prefill_extend); each chunk then pays one block encode at
+most, a chunked prefill of [un-frozen tail | committed tokens]
+(infer.generate.generate_continue), and an EOS-bounded decode of just the
+new suffix — flat per-chunk cost across the window. The trade: blocks are
+encoded independently, so encoder context does not span block boundaries
+(the exact mode, stream_block_s=0, keeps finalize == offline decode).
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from avsr_tpu.core.config import AVSRConfig
@@ -47,7 +61,22 @@ from avsr_tpu.data.loader import (
     featurize,
     image_stats_for,
 )
-from avsr_tpu.infer.generate import generate_tokens
+from avsr_tpu.infer.generate import (
+    generate_continue,
+    generate_tokens,
+    prefill_extend,
+)
+from avsr_tpu.models import llama as L
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "compute_dtype"))
+def _encode_features(params, model_cfg, batch, compute_dtype: str):
+    """Connector features for one media block (blockwise streaming)."""
+    from avsr_tpu.models.avsr import encode
+
+    enc = encode(params, model_cfg, batch,
+                 compute_dtype=jnp.dtype(compute_dtype))
+    return enc.features, enc.lengths
 
 
 def _common_prefix(a: list[int], b: list[int]) -> list[int]:
@@ -77,6 +106,12 @@ class StreamingTranscriber:
     _hyps: list[list[int]] = field(default_factory=list)
     _committed: list[int] = field(default_factory=list)
     _segment_tokens: list[int] = field(default_factory=list)
+    # blockwise mode (decode.stream_block_s > 0): persistent LLM KV cache
+    # over [prompt][frozen feature blocks]; per-chunk cost = 1 block encode
+    # + tail prefill + decode, flat across the window
+    _cache: object | None = None
+    _base_len: int = 0             # frozen tokens in the cache
+    _frozen_samples: int = 0       # audio samples already frozen as blocks
 
     def feed(self, audio: np.ndarray | None = None,
              frames: np.ndarray | None = None) -> str:
@@ -110,7 +145,7 @@ class StreamingTranscriber:
                   frames: np.ndarray | None) -> str:
         emitted = self._maybe_rollover(audio, frames)
         self._buffer(audio, frames)
-        hyp = self._decode_buffer()
+        hyp = self._hypothesis()
         self._hyps.append(hyp)
         self._hyps = self._hyps[-self.agree_n:]
         if len(self._hyps) == self.agree_n:
@@ -129,7 +164,7 @@ class StreamingTranscriber:
         the committed prefix (see module docstring for the guarantee)."""
         if self._audio is None and self._frames is None:
             return ""
-        full = self._decode_buffer()
+        full = self._hypothesis()
         return self._commit(full[len(self._segment_tokens):])
 
     @property
@@ -171,12 +206,15 @@ class StreamingTranscriber:
                   > self._video_window)
         if not (over_a or over_v):
             return ""
-        full = self._decode_buffer()
+        full = self._hypothesis()
         out = self._commit(full[len(self._segment_tokens):])
         self._audio = None
         self._frames = None
         self._hyps = []
         self._segment_tokens = []
+        self._cache = None
+        self._base_len = 0
+        self._frozen_samples = 0
         return out
 
     def _buffer(self, audio, frames) -> None:
@@ -212,3 +250,135 @@ class StreamingTranscriber:
         if toks and toks[-1] == self.tok.eos_id:
             toks = toks[:-1]
         return toks
+
+    # -- blockwise mode (decode.stream_block_s > 0) -----------------------
+
+    @property
+    def _blockwise(self) -> bool:
+        return self.cfg.decode.stream_block_s > 0
+
+    def _hypothesis(self) -> list[int]:
+        return (self._decode_incremental() if self._blockwise
+                else self._decode_buffer())
+
+    @property
+    def _block_samples(self) -> int:
+        # the whole pipeline is 16 kHz (audio_io resamples on ingest;
+        # _audio_window above already assumes it via HOP_LENGTH)
+        return int(round(self.cfg.decode.stream_block_s * 16000))
+
+    def _featurize_audio(self, audio: np.ndarray):
+        """collate+featurize one audio-only sample (bucketed static shape)."""
+        sample = Sample("stream", audio, None, "", [self.tok.eos_id])
+        prompt_ids = self.tok.encode(self.cfg.model.prompt, add_bos=True)
+        hb = collate([sample], self.cfg.data, prompt_ids, self.tok.pad_id)
+        return featurize(hb, self.cfg.runtime.compute_dtype,
+                         audio_frontend_for(self.cfg.model),
+                         image_stats_for(self.cfg.model))
+
+    def _ensure_cache(self) -> None:
+        """First decode of a segment: allocate the persistent KV cache and
+        freeze the prompt as its first block. Capacity covers the prompt,
+        a full window of features at mel-frame granularity (>= 2x the
+        actual count: whisper halves the frame rate and connectors only
+        ever downsample — the slack absorbs per-block bucket padding and
+        the committed transcript tokens re-fed as tail), and the decode
+        budget."""
+        if self._cache is not None:
+            return
+        prompt_ids = self.tok.encode(self.cfg.model.prompt, add_bos=True)
+        cap = (len(prompt_ids) + self.cfg.data.audio_buckets[-1]
+               + 2 * self.cfg.decode.max_new_tokens + 128)
+        M = -(-cap // 128) * 128
+        llm = self.cfg.model.llm
+        hd = llm.d_model // llm.n_heads
+        dt = jnp.dtype(self.cfg.runtime.compute_dtype)
+        shape = (llm.n_layers, 1, llm.n_kv_heads, hd, M)
+        cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        emb = L.embed_tokens(self.params["llm"],
+                             jnp.asarray([prompt_ids], jnp.int32), dt)
+        self._cache = prefill_extend(
+            self.params, self.cfg.model, cache,
+            jnp.zeros((1,), jnp.int32), emb,
+            jnp.asarray([len(prompt_ids)], jnp.int32),
+            compute_dtype=self.cfg.runtime.compute_dtype)
+        self._base_len = len(prompt_ids)
+
+    def _freeze_block(self, audio: np.ndarray) -> None:
+        """Encode one completed block and extend the persistent cache."""
+        batch = self._featurize_audio(audio)
+        feat, lens = _encode_features(self.params, self.cfg.model, batch,
+                                      self.cfg.runtime.compute_dtype)
+        n = int(lens[0])
+        M = self._cache.k.shape[-1]
+        if self._base_len + feat.shape[1] > M:
+            raise RuntimeError(
+                f"blockwise stream cache overflow (frozen {self._base_len} "
+                f"+ block {feat.shape[1]} > capacity {M}); raise "
+                "decode.stream_block_s or shrink data.audio_buckets")
+        self._cache = prefill_extend(
+            self.params, self.cfg.model, self._cache,
+            jnp.asarray([self._base_len], jnp.int32),
+            feat, lens.astype(jnp.int32),
+            compute_dtype=self.cfg.runtime.compute_dtype)
+        self._base_len += n
+
+    def _decode_incremental(self) -> list[int]:
+        """Blockwise hypothesis: committed segment tokens (teacher-forced —
+        once committed they are never retracted, so re-sampling them buys
+        nothing) + a fresh continuation decoded over [frozen blocks | tail].
+
+        Per-chunk cost: one block encode at most (amortized), a chunked
+        prefill of [tail features | committed tokens] (parallel, MXU-bound),
+        and a decode loop that exits at EOS after roughly the NEW suffix —
+        flat across the window, vs the exact mode's full re-encode +
+        re-prefill + full-transcript decode every chunk (round-1 VERDICT
+        next-step #8)."""
+        if self._audio is None:
+            return list(self._segment_tokens)
+        self._ensure_cache()
+        block = self._block_samples
+        # freeze completed blocks, always keeping a non-empty tail
+        while self._audio.shape[0] - self._frozen_samples > block:
+            self._freeze_block(
+                self._audio[self._frozen_samples:
+                            self._frozen_samples + block])
+            self._frozen_samples += block
+
+        dt = jnp.dtype(self.cfg.runtime.compute_dtype)
+        batch = self._featurize_audio(self._audio[self._frozen_samples:])
+        feat, lens = _encode_features(self.params, self.cfg.model, batch,
+                                      self.cfg.runtime.compute_dtype)
+        parts = [np.asarray(feat)[0, : int(lens[0])]]
+        seg = list(self._segment_tokens)
+        if seg:
+            emb = L.embed_tokens(self.params["llm"],
+                                 jnp.asarray([seg], jnp.int32), dt)
+            parts.append(np.asarray(emb)[0])
+        tail = np.concatenate(parts, axis=0)
+        T = tail.shape[0]
+        M = self._cache.k.shape[-1]
+        # decode writes land at columns base+T .. base+T+max_new: reserve
+        # them, then length-bucket the tail shape for the jit trace (128
+        # grain, shrunk to whatever room remains near capacity)
+        room = M - self._base_len - self.cfg.decode.max_new_tokens
+        if T > room:
+            raise RuntimeError(
+                f"blockwise stream cache overflow (frozen {self._base_len} "
+                f"+ tail {T} + decode budget "
+                f"{self.cfg.decode.max_new_tokens} > capacity {M}); raise "
+                "decode.stream_block_s or shrink data.audio_buckets")
+        Tpad = min(-(-T // 128) * 128, room)
+        tail = np.pad(tail, ((0, Tpad - T), (0, 0)))
+        out, _ = generate_continue(
+            self.params, self.cfg.model, self._cache,
+            jnp.asarray([self._base_len], jnp.int32),
+            jnp.asarray(tail[None]), jnp.asarray([T], jnp.int32),
+            max_new_tokens=self.cfg.decode.max_new_tokens,
+            eos_id=self.tok.eos_id,
+            compute_dtype=self.cfg.runtime.compute_dtype)
+        n = int(out.lengths[0])
+        toks = [int(t) for t in np.asarray(out.tokens)[0, :n]]
+        if toks and toks[-1] == self.tok.eos_id:
+            toks = toks[:-1]
+        return seg + toks

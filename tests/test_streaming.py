@@ -144,3 +144,63 @@ def test_oversized_chunk_is_split_not_truncated(rng):
     ref.finalize()
     assert st.committed_tokens == ref.committed_tokens
     assert len(st.committed_tokens) > 0
+
+
+def test_blockwise_streaming_commits_and_freezes(rng):
+    """Blockwise mode (decode.stream_block_s > 0): the incremental path
+    must actually engage — blocks freeze into the persistent KV cache and
+    the committed transcript stays monotonic and self-consistent."""
+    cfg, tok, params = _setup()
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, stream_block_s=0.2,
+                                        max_new_tokens=6))
+    st = StreamingTranscriber(params, cfg, tok, agree_n=2)
+    audio = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    prev = []
+    for i in range(5):
+        new = st.feed(audio=audio[i * 3200:(i + 1) * 3200])
+        toks = st.committed_tokens
+        assert toks[: len(prev)] == prev
+        assert new == tok.decode(toks[len(prev):])
+        prev = toks
+    # the incremental machinery engaged: prompt + >=1 frozen block
+    assert st._cache is not None
+    assert st._frozen_samples >= 3200
+    prompt_len = len(tok.encode(cfg.model.prompt, add_bos=True))
+    assert st._base_len > prompt_len
+    st.finalize()
+    assert st.committed_text == tok.decode(st.committed_tokens)
+
+
+def test_blockwise_rollover_resets_cache(rng):
+    """Window rollover in blockwise mode restarts the segment: the
+    persistent cache and frozen-block bookkeeping reset, and transcription
+    continues across segments without error."""
+    cfg, tok, params = _setup()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, audio_buckets=(20, 40)),
+        decode=dataclasses.replace(cfg.decode, stream_block_s=0.1,
+                                   max_new_tokens=4))
+    st = StreamingTranscriber(params, cfg, tok, agree_n=1)
+    audio = (0.3 * rng.standard_normal(32000)).astype(np.float32)
+    for i in range(10):
+        st.feed(audio=audio[i * 3200:(i + 1) * 3200])
+        assert st._audio.shape[0] <= 40 * 160
+        # bookkeeping never runs ahead of the live buffer
+        assert st._frozen_samples <= st._audio.shape[0]
+    st.finalize()
+    assert len(st.committed_tokens) > 0
+    assert st.committed_text == tok.decode(st.committed_tokens)
+
+
+def test_blockwise_config_validation():
+    import pytest
+
+    from avsr_tpu.core.config import load_config
+    with pytest.raises(ValueError, match="modality=audio"):
+        load_config(CFG, ["decode.stream_block_s=0.5",
+                          "model.modality=both"])
+    with pytest.raises(ValueError, match="int8"):
+        load_config(CFG, ["decode.stream_block_s=0.5",
+                          "decode.kv_cache_dtype=int8"])

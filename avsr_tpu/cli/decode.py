@@ -40,8 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     from avsr_tpu.infer.generate import generate
     from avsr_tpu.infer.wer import WERAccumulator
 
-    tok, _, loader = build_data(cfg, args.split, shuffle=False,
-                                batch_size=cfg.decode.batch_size)
+    tok, ds, loader = build_data(cfg, args.split, shuffle=False,
+                                 batch_size=cfg.decode.batch_size)
     mesh, _ = maybe_mesh(cfg)
     params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
     shard_batch = None
@@ -62,6 +62,37 @@ def main(argv: list[str] | None = None) -> int:
     acc = WERAccumulator()
     rng = jax.random.key(cfg.training.seed)
     t0 = time.perf_counter()
+
+    if cfg.decode.engine_slots > 0:
+        # continuous batching: a fixed slot pool, refilled mid-flight as
+        # transcripts finish (infer.engine) — no head-of-line blocking on
+        # ragged lengths. One resident cache: with a mesh, tp/fsdp param
+        # shardings propagate through the engine's jitted steps while the
+        # slot pool itself stays replicated (dp buys nothing here).
+        if mesh is not None:
+            log.info("engine_slots with a %d-device mesh: slot pool is "
+                     "replicated; only tp/fsdp param sharding applies",
+                     mesh.size)
+        from avsr_tpu.infer.engine import ServingEngine
+
+        eng = ServingEngine(params, cfg, tok,
+                            num_slots=cfg.decode.engine_slots)
+        with open(results_path, "w") as rf:
+            for start in range(0, len(ds), 256):   # bound host memory
+                samples = [ds[i] for i in range(start,
+                                                min(start + 256, len(ds)))]
+                for sample, ids in zip(samples, eng.transcribe(samples)):
+                    hyp = tok.decode(ids)
+                    u_wer = acc.add(sample.text, hyp)
+                    log.info("utt %s | WER %.3f", sample.utt_id, u_wer)
+                    print(f"UTT: {sample.utt_id}", file=rf)
+                    print(f"REF: {sample.text}", file=rf)
+                    print(f"HYP: {hyp}", file=rf)
+                    print(f"WER: {u_wer:.4f}", file=rf)
+                    print("", file=rf)
+        dt = time.perf_counter() - t0
+        return _summarize(acc, dt, wer_path)
+
     seen: set[str] = set()
     with open(results_path, "w") as rf:
         for hb, batch in loader:
@@ -87,7 +118,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"WER: {u_wer:.4f}", file=rf)
                 print("", file=rf)
     dt = time.perf_counter() - t0
+    return _summarize(acc, dt, wer_path)
 
+
+def _summarize(acc, dt: float, wer_path: Path) -> int:
     summary = (
         f"utterances: {acc.utterances}\n"
         f"reference words: {acc.ref_words}\n"

@@ -385,6 +385,13 @@ class DecodeConfig:
     # cost stays flat across the window instead of growing with the
     # buffer. Audio-only (encoder blocks are modality-local).
     stream_block_s: float = 0.0
+    # Serving-only: continuous batching over a fixed slot pool
+    # (infer.engine.ServingEngine). 0 = static batches (the reference's
+    # decode.py:405-440 protocol). > 0 = number of resident decode slots:
+    # finished rows are refilled from the queue mid-flight, so ragged
+    # transcript lengths stop head-of-line blocking the batch. Greedy,
+    # single-chip.
+    engine_slots: int = 0
 
 
 @dataclass(frozen=True)
@@ -456,6 +463,12 @@ class AVSRConfig:
                 "decode.stream_block_s (blockwise streaming) requires "
                 "model.modality=audio — video/fused features are not "
                 "block-local; use the exact mode (stream_block_s=0)")
+        if self.decode.engine_slots > 0 and (
+                self.decode.num_beams > 1 or self.decode.temperature > 0):
+            raise ValueError(
+                "decode.engine_slots (continuous batching) decodes greedily "
+                "slot by slot — incompatible with num_beams>1 or "
+                "temperature>0; use static batches for those")
         if self.decode.stream_block_s > 0 and self.decode.kv_cache_dtype == "int8":
             raise ValueError(
                 "decode.stream_block_s (blockwise streaming) keeps a live "

@@ -1,0 +1,262 @@
+"""Continuous-batching serving engine: slot-based decode, static shapes.
+
+The reference serves utterances as whole static batches
+(/root/reference/scripts/clip_whisper/decode.py:405-440): every sequence in
+a batch decodes until the LAST one finishes, so ragged transcript lengths
+leave most rows idle — head-of-line blocking. The standard fix (vLLM/Orca
+"continuous batching") readmits new requests into finished rows mid-flight.
+
+TPU-native version: everything stays static-shaped and jitted.
+
+  * one persistent KV cache of S slots, [L, S, Hkv, Dh, M] (position-minor,
+    models.llama.KVCache);
+  * ``admit`` — encode one request's media, prefill its [prompt][features]
+    prefix into a fresh cache row, scatter the row into the slot, emit the
+    first token. One jit trace per media length bucket;
+  * ``decode_chunk`` — K fused greedy steps over ALL slots
+    (lax.fori_loop of llama_decode_step); finished slots idle behind their
+    ``done`` flag. K amortizes host round-trips (the tunneled-TPU dispatch
+    tax) against admission latency;
+  * the host loop in :class:`ServingEngine` refills finished slots from
+    the request queue between chunks.
+
+Per-row numerics are independent of the other slots (row-batched matmuls,
+per-row masked attention), so each request's transcript is token-exact vs
+a standalone ``generate_tokens`` call — tested in tests/test_engine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.core.config import AVSRConfig, ModelConfig
+from avsr_tpu.data.dataset import Sample
+from avsr_tpu.data.loader import (
+    audio_frontend_for,
+    collate,
+    featurize,
+    image_stats_for,
+)
+from avsr_tpu.models import llama as L
+from avsr_tpu.models.avsr import build_prefix, encode
+from avsr_tpu.models.layers import Params
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "compute_dtype", "use_pallas"),
+    donate_argnums=(2,))
+def admit(
+    params: Params,
+    model_cfg: ModelConfig,
+    cache: L.KVCache,              # [L, S, Hkv, Dh, M] persistent slot cache
+    batch,                         # B=1 featurized Batch (one request)
+    slot: jax.Array,               # scalar int32 slot index
+    *,
+    compute_dtype: str = "bfloat16",
+    use_pallas: str = "auto",
+) -> tuple[L.KVCache, jax.Array, jax.Array]:
+    """Prefill one request into ``slot``: encode media, run the
+    [prompt][features] prefix through the LLM with a full-width (M) cache
+    row, scatter that row into the slot cache, and return
+    (cache, first_token, prefix_len). The cache argument is donated —
+    admission rewrites one slot row in place."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    enc = encode(params, model_cfg, batch, compute_dtype=dt,
+                 use_pallas=use_pallas)
+    prefix, plens = build_prefix(params, model_cfg, batch, enc,
+                                 compute_dtype=dt)
+    M = cache.k.shape[-1]
+    hidden, row = L.llama_apply(
+        params["llm"], cfg, inputs_embeds=prefix, lengths=plens,
+        lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+        compute_dtype=dt, use_pallas=use_pallas,
+        return_cache=True, cache_len=M, output="hidden")
+    h_last = jnp.take_along_axis(hidden, (plens - 1)[:, None, None], axis=1)
+    logits = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+    k = cache.k.at[:, slot].set(row.k[:, 0].astype(cache.k.dtype))
+    v = cache.v.at[:, slot].set(row.v[:, 0].astype(cache.v.dtype))
+    return L.KVCache(k, v), tok0, plens[0].astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "k_steps", "eos_id", "compute_dtype"),
+    donate_argnums=(2,))
+def decode_chunk(
+    params: Params,
+    model_cfg: ModelConfig,
+    cache: L.KVCache,
+    cur_lens: jax.Array,           # [S] cache frontier per slot
+    last_tok: jax.Array,           # [S] last emitted token per slot
+    done: jax.Array,               # [S] bool — finished/idle slots
+    *,
+    k_steps: int = 16,
+    eos_id: int = 2,
+    compute_dtype: str = "bfloat16",
+) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """K fused greedy decode steps over all S slots. Finished slots emit
+    ``eos_id`` and stop advancing their frontier (their stale writes land
+    at a frozen position and are overwritten on readmission). Returns
+    (cache, cur_lens, last_tok, done, tokens [S, K])."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    S = cur_lens.shape[0]
+
+    def body(k, carry):
+        cache, cur, last, done, out = carry
+        emb = L.embed_tokens(params["llm"], last[:, None], dt)
+        logits, cache = L.llama_decode_step(
+            params["llm"], cfg, x=emb, cache=cache, cur_lens=cur,
+            lora=model_cfg.lora if model_cfg.lora.use_lora else None,
+            compute_dtype=dt)
+        nxt = jnp.where(done, eos_id,
+                        jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        out = out.at[:, k].set(nxt)
+        cur = cur + (~done).astype(jnp.int32)
+        done = done | (nxt == eos_id)
+        return cache, cur, nxt, done, out
+
+    out0 = jnp.full((S, k_steps), eos_id, jnp.int32)
+    cache, cur_lens, last_tok, done, out = jax.lax.fori_loop(
+        0, k_steps, body, (cache, cur_lens, last_tok, done, out0))
+    return cache, cur_lens, last_tok, done, out
+
+
+@dataclass
+class _Slot:
+    req: int | None = None         # request index, None = free
+    tokens: list | None = None     # generated ids so far (incl. first)
+    budget: int = 0                # this request's max_new_tokens
+
+
+class ServingEngine:
+    """Offline continuous-batching driver over a fixed pool of S slots.
+
+    ``transcribe(samples)`` returns each request's generated ids (EOS
+    included, as generate_tokens reports lengths). Requests are admitted
+    in order as slots free up; decode proceeds in K-token chunks across
+    whatever is resident — short utterances leave early, long ones keep
+    their slot, the batch never drains to refill.
+    """
+
+    def __init__(self, params: Params, cfg: AVSRConfig, tok, *,
+                 num_slots: int = 8, max_new_tokens: int | None = None,
+                 k_steps: int = 16, cache_len: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tok
+        self.S = num_slots
+        self.max_new = max_new_tokens or cfg.decode.max_new_tokens
+        self.k_steps = k_steps
+        llm = cfg.model.llm
+        hd = llm.d_model // llm.n_heads
+        if cache_len is None:
+            # worst prefix: prompt + the largest feature bucket (features
+            # never exceed mel frames; the slack absorbs connector choices)
+            prompt = len(tok.encode(cfg.model.prompt, add_bos=True))
+            cache_len = prompt + cfg.data.audio_buckets[-1] + self.max_new
+        self.M = -(-cache_len // 128) * 128
+        dt = jnp.dtype(cfg.runtime.compute_dtype)
+        shape = (llm.n_layers, self.S, llm.n_kv_heads, hd, self.M)
+        self.cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        self.cur_lens = jnp.zeros((self.S,), jnp.int32)
+        self.last_tok = jnp.full((self.S,), tok.eos_id, jnp.int32)
+        self.done = jnp.ones((self.S,), bool)      # all slots start idle
+        self.slots = [_Slot() for _ in range(self.S)]
+
+    # -- host-side scheduling --------------------------------------------
+
+    def _featurize(self, sample: Sample):
+        if sample.audio is None and sample.audio_path:
+            # manifest datasets defer WAV decode to the batch loader; the
+            # engine admits one request at a time, so decode inline
+            from dataclasses import replace
+
+            from avsr_tpu.data.audio_io import load_audio
+            sample = replace(sample, audio=load_audio(
+                sample.audio_path,
+                max_samples=self.cfg.data.max_audio_length))
+        prompt_ids = self.tok.encode(self.cfg.model.prompt, add_bos=True)
+        hb = collate([sample], self.cfg.data, prompt_ids, self.tok.pad_id)
+        return featurize(hb, self.cfg.runtime.compute_dtype,
+                         audio_frontend_for(self.cfg.model),
+                         image_stats_for(self.cfg.model))
+
+    def _admit(self, slot: int, req: int, sample: Sample,
+               budget: int) -> None:
+        batch = self._featurize(sample)
+        self.cache, tok0, plen = admit(
+            self.params, self.cfg.model, self.cache, batch,
+            jnp.int32(slot),
+            compute_dtype=self.cfg.runtime.compute_dtype,
+            use_pallas=self.cfg.runtime.use_pallas)
+        t0 = int(tok0)
+        self.slots[slot] = _Slot(req, [t0], budget)
+        first_done = (t0 == self.tok.eos_id) or (budget <= 1)
+        self.cur_lens = self.cur_lens.at[slot].set(plen)
+        self.last_tok = self.last_tok.at[slot].set(t0)
+        self.done = self.done.at[slot].set(first_done)
+
+    def transcribe(self, samples,
+                   max_new_per_request: list[int] | None = None
+                   ) -> list[list[int]]:
+        """Run every request through the slot pool; returns generated ids
+        per request, in input order. ``max_new_per_request`` optionally
+        caps each request individually (a serving-queue budget — the host
+        frees the slot the moment a request's budget is spent, just as it
+        does on EOS)."""
+        queue = list(enumerate(samples))
+        results: dict[int, list[int]] = {}
+        n_req = len(queue)
+        budgets = max_new_per_request or [self.max_new] * n_req
+        queue.reverse()                              # pop() = FIFO
+
+        def harvest(slot: int) -> None:
+            st = self.slots[slot]
+            if st.req is not None:
+                results[st.req] = st.tokens[: st.budget]
+                self.slots[slot] = _Slot()
+
+        while len(results) < n_req:
+            # fill every free slot (finished slots first harvest)
+            done_h = np.asarray(self.done)
+            for s in range(self.S):
+                st = self.slots[s]
+                if done_h[s] and st.req is not None:
+                    if (self.tok.eos_id in st.tokens
+                            or len(st.tokens) >= st.budget):
+                        harvest(s)
+                if queue and self.slots[s].req is None:
+                    req, sample = queue.pop()
+                    self._admit(s, req, sample, budgets[req])
+            if all(st.req is None for st in self.slots):
+                continue                             # everything harvested
+            self.cache, self.cur_lens, self.last_tok, self.done, out = \
+                decode_chunk(
+                    self.params, self.cfg.model, self.cache, self.cur_lens,
+                    self.last_tok, self.done, k_steps=self.k_steps,
+                    eos_id=self.tok.eos_id,
+                    compute_dtype=self.cfg.runtime.compute_dtype)
+            toks = np.asarray(out)
+            for s, st in enumerate(self.slots):
+                if st.req is None:
+                    continue
+                for t in toks[s]:
+                    if len(st.tokens) >= st.budget:
+                        break
+                    if st.tokens and st.tokens[-1] == self.tok.eos_id:
+                        break
+                    st.tokens.append(int(t))
+                # budget exhausted: free the slot even without EOS
+                if (len(st.tokens) >= st.budget
+                        or st.tokens[-1] == self.tok.eos_id):
+                    self.done = self.done.at[s].set(True)
+        return [results[i] for i in range(n_req)]

@@ -105,6 +105,10 @@ def main() -> int:
 
     dec = bench_decode(cfg, state.params, batch)
     qdec = bench_decode_quantized(cfg, state.params, batch)
+    beam = bench_beam(cfg, state.params, batch,
+                      dec.get("decode_new_tokens_per_sec"))
+    eng = bench_engine(cfg, state.params, batch)
+    stream = bench_streaming(state.params)
     pipe = bench_pipeline(cfg, state, step_fn, utts_per_sec)
 
     print(json.dumps({
@@ -112,7 +116,7 @@ def main() -> int:
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
-        **mfu, **dec, **qdec, **pipe,
+        **mfu, **dec, **qdec, **beam, **eng, **stream, **pipe,
     }))
     return 0
 
@@ -264,13 +268,23 @@ def _time_decode(cfg, params, batch, label: str,
     log(f"{label} compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     bsz = batch_size or BATCH
-    n_batches = 3
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = run()
-    jax.block_until_ready(out.tokens)
-    dt = time.perf_counter() - t0
-    return bsz * n_batches / dt, bsz * n_batches * max_new / dt
+
+    def timed(n_batches: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_batches):
+            out = run()
+        jax.block_until_ready(out.tokens)
+        return time.perf_counter() - t0
+
+    # slope timing (round-1 VERDICT weak #7): N vs 2N batches cancels the
+    # one-time sync/fetch overhead of a measurement on the tunneled TPU;
+    # per-call dispatch stays in — it is real serving cost
+    t3, t6 = timed(3), timed(6)
+    dt = t6 - t3
+    log(f"{label}: 3 batches {t3:.2f}s, 6 batches {t6:.2f}s "
+        f"(slope {dt / 3:.2f}s/batch)")
+    return bsz * 3 / dt, bsz * 3 * max_new / dt
 
 
 def bench_decode(cfg, params, batch) -> dict:
@@ -312,6 +326,153 @@ def bench_decode_quantized(cfg, params, batch) -> dict:
     log(f"int4+head8+kv8 decode @ batch 32: {toks32:.0f} new tok/s")
     return {"decode_int4_new_tokens_per_sec": round(toks, 1),
             "decode_serving_b32_new_tokens_per_sec": round(toks32, 1)}
+
+
+def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
+    """Beam-search cost per sample-token vs greedy (round-1 VERDICT
+    next-step #8 done-criterion: <= 1.3x at W=5). The shared-prefix split
+    cache keeps the prefill prefix un-duplicated and beam-reindexes only
+    the generated-token suffix."""
+    from avsr_tpu.infer.generate import beam_search, prepare_params_for_decode
+
+    params = prepare_params_for_decode(params, cfg.model)
+    W, max_new = 5, 100
+
+    def run():
+        return beam_search(
+            params, cfg.model, batch, max_new_tokens=max_new, num_beams=W,
+            eos_id=-1,  # no EOS in random-init vocab: full 100 tokens
+            compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(run().tokens)
+    log(f"beam W={W} compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    def timed(n_batches: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_batches):
+            out = run()
+        jax.block_until_ready(out.tokens)
+        return time.perf_counter() - t0
+
+    dt = timed(6) - timed(3)            # slope: N vs 2N batches
+    beam_ms_tok = dt / (BATCH * 3 * max_new) * 1e3
+    res = {"beam_w5_ms_per_sample_token": round(beam_ms_tok, 4)}
+    if greedy_toks_per_sec:
+        ratio = beam_ms_tok / (1e3 / greedy_toks_per_sec / BATCH)
+        log(f"beam W={W}: {beam_ms_tok:.3f} ms/sample-token "
+            f"({ratio:.2f}x greedy)")
+        res["beam_w5_vs_greedy_cost_per_token"] = round(ratio, 3)
+    return res
+
+
+def bench_engine(cfg, params, batch) -> dict:
+    """Continuous batching (infer.engine) vs the static-batch decode
+    protocol on ragged transcript lengths. Real speech transcripts end at
+    different tokens; a static batch decodes until its LAST row finishes
+    (the reference protocol — and our generate_tokens early-exit is
+    all-rows-done too), while the engine refills finished slots
+    mid-flight. Random-init models never emit EOS, so raggedness is
+    simulated with per-request token budgets ~ U(10, 100) (a plausible
+    transcript-length spread at max_new=100); the static side pays the
+    full 100 — which is what it pays on real data whenever one row in the
+    batch runs long."""
+    from avsr_tpu.data.dataset import Sample
+    from avsr_tpu.data.tokenizer import load_tokenizer
+    from avsr_tpu.infer.engine import ServingEngine
+    from avsr_tpu.infer.generate import (
+        generate_tokens,
+        prepare_params_for_decode,
+    )
+
+    params = prepare_params_for_decode(params, cfg.model)
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    rng = np.random.default_rng(7)
+    n_req = 32
+    budgets = [int(b) for b in rng.integers(10, 101, n_req)]
+    t = np.arange(16000 * 10, dtype=np.float32) / 16000.0
+    samples = [
+        Sample(f"u{i:02d}",
+               (0.3 * np.sin(2 * np.pi * float(rng.uniform(80, 300)) * t))
+               .astype(np.float32), None, "", [tok.eos_id])
+        for i in range(n_req)
+    ]
+
+    # static baseline: 4 batches of 8, full 100 tokens each (reuses the
+    # executable bench_decode compiled: same shapes, same param tree)
+    def static_run():
+        return generate_tokens(
+            params, cfg.model, batch, max_new_tokens=100, eos_id=-1,
+            compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
+
+    jax.block_until_ready(static_run().tokens)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_req // BATCH):
+        out = static_run()
+    jax.block_until_ready(out.tokens)
+    static_dt = time.perf_counter() - t0
+
+    import dataclasses
+    ecfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, modality="audio"))
+    eng = ServingEngine(params, ecfg, tok, num_slots=BATCH,
+                        max_new_tokens=100, k_steps=32)
+    eng.transcribe(samples[:2], max_new_per_request=[3, 3])  # compile
+    t0 = time.perf_counter()
+    res = eng.transcribe(samples, max_new_per_request=budgets)
+    eng_dt = time.perf_counter() - t0
+    assert len(res) == n_req
+
+    speedup = static_dt / eng_dt
+    log(f"engine: {n_req} ragged requests (mean budget "
+        f"{np.mean(budgets):.0f} tok) in {eng_dt:.2f}s vs static batches "
+        f"{static_dt:.2f}s -> {speedup:.2f}x")
+    return {"engine_requests_per_sec": round(n_req / eng_dt, 3),
+            "engine_vs_static_speedup": round(speedup, 3)}
+
+
+def bench_streaming(params) -> dict:
+    """Blockwise streaming chunk latency across a ~30 s window (round-1
+    VERDICT next-step #8 done-criterion: flat, not growing with the
+    buffer). Feeds 0.5 s chunks through StreamingTranscriber with
+    decode.stream_block_s=0.5 and compares late-window vs early-window
+    mean chunk latency — the exact mode re-encodes and re-prefills the
+    whole buffer per chunk, so only KV/prefix reuse keeps this ratio ~1."""
+    from avsr_tpu.core.config import load_config
+    from avsr_tpu.data.tokenizer import load_tokenizer
+    from avsr_tpu.infer.streaming import StreamingTranscriber
+
+    cfg = load_config("avsr_tpu/configs/base.yaml", {
+        "model.modality": "audio",
+        # small buckets so a 0.5 s block encodes at block cost, window 30 s
+        "data.audio_buckets": (64, 3000),
+        "decode.stream_block_s": 0.5,
+        "decode.max_new_tokens": 12,
+    })
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    st = StreamingTranscriber(params, cfg, tok, agree_n=2)
+
+    rng = np.random.default_rng(0)
+    n_chunks, chunk = 56, 8000                       # 28 s total, 0.5 s each
+    t = np.arange(n_chunks * chunk, dtype=np.float32) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
+             + 0.05 * rng.standard_normal(t.shape[0])).astype(np.float32)
+
+    lat = []
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        st.feed(audio=audio[i * chunk:(i + 1) * chunk])
+        lat.append(time.perf_counter() - t0)
+    early = float(np.mean(lat[6:16]))                # past compile warmup
+    late = float(np.mean(lat[-10:]))
+    ratio = late / early
+    log(f"stream: {np.median(lat[6:]) * 1e3:.0f} ms median chunk, "
+        f"early {early * 1e3:.0f} ms vs late {late * 1e3:.0f} ms "
+        f"({ratio:.2f}x across the window)")
+    return {"stream_chunk_ms_median": round(float(np.median(lat[6:])) * 1e3, 1),
+            "stream_late_vs_early_chunk_latency": round(ratio, 3)}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,112 @@
+"""Continuous-batching serving engine (infer.engine).
+
+The engine's contract: every request's transcript is token-exact vs a
+standalone generate_tokens call — slots are just rows, and per-row
+numerics are independent of what else is resident. The reference decodes
+whole static batches (decode.py:405-440) and has no mid-flight refill.
+"""
+
+import numpy as np
+
+import jax
+
+from avsr_tpu.core.config import load_config
+from avsr_tpu.data.dataset import Sample
+from avsr_tpu.data.loader import (
+    audio_frontend_for,
+    collate,
+    featurize,
+    image_stats_for,
+)
+from avsr_tpu.data.tokenizer import load_tokenizer
+from avsr_tpu.infer.engine import ServingEngine
+from avsr_tpu.infer.generate import generate_tokens
+from avsr_tpu.models.avsr import init_avsr_model
+
+CFG = "avsr_tpu/configs/tiny_cpu.yaml"
+
+
+def _setup():
+    cfg = load_config(CFG)
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    return cfg, tok, params
+
+
+def _reference_decode(cfg, tok, params, sample: Sample, max_new: int):
+    """Standalone single-request decode through the standard path."""
+    prompt_ids = tok.encode(cfg.model.prompt, add_bos=True)
+    hb = collate([sample], cfg.data, prompt_ids, tok.pad_id)
+    batch = featurize(hb, cfg.runtime.compute_dtype,
+                      audio_frontend_for(cfg.model),
+                      image_stats_for(cfg.model))
+    out = generate_tokens(params, cfg.model, batch, max_new_tokens=max_new,
+                          eos_id=tok.eos_id,
+                          compute_dtype=cfg.runtime.compute_dtype,
+                          use_pallas=cfg.runtime.use_pallas)
+    n = int(out.lengths[0])
+    return [int(t) for t in np.asarray(out.tokens)[0, :n]]
+
+
+def test_engine_token_exact_with_refill(rng):
+    """More requests than slots, ragged audio lengths (both length
+    buckets), 2 slots, small chunk size: every transcript must equal the
+    standalone generate_tokens result for that request."""
+    cfg, tok, params = _setup()
+    max_new = 8
+    lengths = [4800, 16000, 8000, 12000, 6400]   # mixes the 100/200 buckets
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate(lengths)
+    ]
+
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=3)
+    got = eng.transcribe(samples)
+
+    assert len(got) == len(samples)
+    for i, sample in enumerate(samples):
+        want = _reference_decode(cfg, tok, params, sample, max_new)
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_engine_single_slot_serializes(rng):
+    """num_slots=1 degenerates to sequential decoding — still exact, and
+    the slot is reused across every request (readmission overwrites the
+    stale row completely)."""
+    cfg, tok, params = _setup()
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(8000)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i in range(3)
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=1, max_new_tokens=6,
+                        k_steps=4)
+    got = eng.transcribe(samples)
+    for i, sample in enumerate(samples):
+        assert got[i] == _reference_decode(cfg, tok, params, sample, 6)
+
+
+def test_cli_decode_engine_matches_static(tmp_path):
+    """cli.decode with decode.engine_slots produces the same HYP stream as
+    the static-batch path (same seed-deterministic params, greedy)."""
+    import re
+
+    from avsr_tpu.cli import decode as cli_decode
+
+    def run(out_dir, extra):
+        rc = cli_decode.main([
+            "--config", CFG, "--split", "train",
+            f"decode.output_dir={out_dir}",
+            "decode.max_new_tokens=6",
+            *extra,
+        ])
+        assert rc == 0
+        res = sorted(out_dir.glob("results_*.txt"))[-1].read_text()
+        return dict(re.findall(r"UTT: (\S+)\nREF: .*\nHYP: (.*)\n", res))
+
+    static = run(tmp_path / "static", [])
+    engine = run(tmp_path / "engine", ["decode.engine_slots=3"])
+    assert static and engine
+    assert engine == static

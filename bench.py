@@ -360,7 +360,9 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
     beam_ms_tok = dt / (BATCH * 3 * max_new) * 1e3
     res = {"beam_w5_ms_per_sample_token": round(beam_ms_tok, 4)}
     if greedy_toks_per_sec:
-        ratio = beam_ms_tok / (1e3 / greedy_toks_per_sec / BATCH)
+        # greedy_toks_per_sec already counts all BATCH rows, so greedy
+        # ms/sample-token = 1e3 / rate — no extra batch factor
+        ratio = beam_ms_tok * greedy_toks_per_sec / 1e3
         log(f"beam W={W}: {beam_ms_tok:.3f} ms/sample-token "
             f"({ratio:.2f}x greedy)")
         res["beam_w5_vs_greedy_cost_per_token"] = round(ratio, 3)
@@ -419,7 +421,7 @@ def bench_engine(cfg, params, batch) -> dict:
         cfg, model=dataclasses.replace(cfg.model, modality="audio"))
     eng = ServingEngine(params, ecfg, tok, num_slots=BATCH,
                         max_new_tokens=100, k_steps=32)
-    eng.transcribe(samples[:2], max_new_per_request=[3, 3])  # compile
+    eng.warmup(samples[0])   # compile every admit group size + the chunk
     t0 = time.perf_counter()
     res = eng.transcribe(samples, max_new_per_request=budgets)
     eng_dt = time.perf_counter() - t0

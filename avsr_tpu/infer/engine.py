@@ -175,6 +175,7 @@ class ServingEngine:
         self.last_tok = jnp.full((self.S,), tok.eos_id, jnp.int32)
         self.done = jnp.ones((self.S,), bool)      # all slots start idle
         self.slots = [_Slot() for _ in range(self.S)]
+        self.chunks_run = 0        # decode_chunk invocations (telemetry)
 
     # -- host-side scheduling --------------------------------------------
 
@@ -279,6 +280,7 @@ class ServingEngine:
                     self.last_tok, self.done, k_steps=self.k_steps,
                     eos_id=self.tok.eos_id,
                     compute_dtype=self.cfg.runtime.compute_dtype)
+            self.chunks_run += 1
             toks = np.asarray(out)
             for s, st in enumerate(self.slots):
                 if st.req is None:

@@ -351,10 +351,21 @@ class StreamingTranscriber:
                                       self.cfg.runtime.compute_dtype)
         parts = [np.asarray(feat)[0, : int(lens[0])]]
         seg = list(self._segment_tokens)
-        if seg:
-            emb = L.embed_tokens(self.params["llm"],
-                                 jnp.asarray([seg], jnp.int32), dt)
-            parts.append(np.asarray(emb)[0])
+        # Teacher-force only the last 64 committed tokens as context: with
+        # the full transcript re-fed, every chunk's shapes (eager embed
+        # gather, packed tail, its host<->device transfers) grew with the
+        # transcript — profiled 5.2x late-vs-early chunk latency across a
+        # 28 s window, each 64/128-grain crossing paying a fresh compile.
+        # A fixed recent-text window keeps every shape constant forever
+        # (flat cost), and the model still conditions on ALL audio via the
+        # frozen cache — only text context beyond 64 tokens is dropped,
+        # the standard streaming-ASR trade.
+        ctx = seg[-64:]
+        if ctx:
+            ids = np.zeros((1, 64), np.int32)
+            ids[0, : len(ctx)] = ctx
+            emb = L.embed_tokens(self.params["llm"], jnp.asarray(ids), dt)
+            parts.append(np.asarray(emb)[0, : len(ctx)])
         tail = np.concatenate(parts, axis=0)
         T = tail.shape[0]
         M = self._cache.k.shape[-1]

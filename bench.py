@@ -233,16 +233,43 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
             n += 1
         assert np.isfinite(float(metrics["loss"]))  # serializes the chain
         dt = time.perf_counter() - t0
+
+        # attribution: host-side batch prep alone (media decode + resize +
+        # collate, no device transfer/step) — this is what the FRAMEWORK
+        # controls. The loader-fed number above additionally pays the
+        # host->device link, which on this tunneled chip is ~16 MB/s
+        # (measured below) vs PCIe's GB/s on a real TPU VM host — at
+        # ~45 MB/batch the link alone caps efficiency at ~0.1.
+        t0 = time.perf_counter()
+        nh = 0
+        for hb in loader._host_batches():
+            nh += 1
+        host_dt = time.perf_counter() - t0
         loader.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    frames = np.zeros((BATCH, VIDEO_FRAMES, 224, 224, 3), np.uint8)
+    d = jax.device_put(frames)
+    _ = float(jnp.asarray(d)[0, 0, 0, 0, 0])
+    t0 = time.perf_counter()
+    d = jax.device_put(frames)
+    _ = float(jnp.asarray(d)[0, 0, 0, 0, 0])
+    link_mbs = frames.nbytes / (time.perf_counter() - t0) / 1e6
+
     utts = n * BATCH / dt
     eff = utts / device_utts_per_sec
+    host_utts = nh * BATCH / host_dt
+    host_eff = min(host_utts / device_utts_per_sec, 1.0)
     log(f"pipeline: {n} loader-fed steps in {dt:.2f}s -> {utts:.2f} utt/s "
-        f"(efficiency {eff:.2f} vs device-only)")
+        f"(efficiency {eff:.2f} vs device-only); host-only prep "
+        f"{host_utts:.1f} utt/s (headroom {host_eff:.2f}); "
+        f"link {link_mbs:.0f} MB/s")
     return {"pipeline_utts_per_sec": round(utts, 3),
-            "pipeline_efficiency": round(eff, 3)}
+            "pipeline_efficiency": round(eff, 3),
+            "pipeline_host_prep_utts_per_sec": round(host_utts, 3),
+            "pipeline_host_headroom": round(host_eff, 3),
+            "pipeline_link_mb_per_s": round(link_mbs, 1)}
 
 
 def _time_decode(cfg, params, batch, label: str,
@@ -279,7 +306,10 @@ def _time_decode(cfg, params, batch, label: str,
 
     # slope timing (round-1 VERDICT weak #7): N vs 2N batches cancels the
     # one-time sync/fetch overhead of a measurement on the tunneled TPU;
-    # per-call dispatch stays in — it is real serving cost
+    # per-call dispatch stays in — it is real serving cost. A discard run
+    # first absorbs any still-queued earlier work, which would otherwise
+    # land in t3 and bias the slope optimistic.
+    timed(1)
     t3, t6 = timed(3), timed(6)
     dt = t6 - t3
     log(f"{label}: 3 batches {t3:.2f}s, 6 batches {t6:.2f}s "
@@ -356,6 +386,7 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
         jax.block_until_ready(out.tokens)
         return time.perf_counter() - t0
 
+    timed(1)                            # absorb queued stragglers
     dt = timed(6) - timed(3)            # slope: N vs 2N batches
     beam_ms_tok = dt / (BATCH * 3 * max_new) * 1e3
     res = {"beam_w5_ms_per_sample_token": round(beam_ms_tok, 4)}
@@ -401,20 +432,35 @@ def bench_engine(cfg, params, batch) -> dict:
         for i in range(n_req)
     ]
 
-    # static baseline: 4 batches of 8, full 100 tokens each (reuses the
-    # executable bench_decode compiled: same shapes, same param tree)
-    def static_run():
+    # static baseline: batches of 8, full 100 tokens each. Timing rules on
+    # this tunneled chip (see .claude/skills/verify): repeated dispatch of
+    # one executable with identical buffers reports fake times, so calls
+    # CHAIN on the previous output (prompt_tokens + 0*prev) and end with a
+    # value fetch; and the first measurement after a chain can absorb
+    # unrelated queued work, so the number of record is the SLOPE between
+    # a 2-batch and a 6-batch chain.
+    def static_run(b):
         return generate_tokens(
-            params, cfg.model, batch, max_new_tokens=100, eos_id=-1,
+            params, cfg.model, b, max_new_tokens=100, eos_id=-1,
             compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
 
-    jax.block_until_ready(static_run().tokens)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n_req // BATCH):
-        out = static_run()
-    jax.block_until_ready(out.tokens)
-    static_dt = time.perf_counter() - t0
+    jax.block_until_ready(static_run(batch).tokens)
+
+    def chain(n_batches: int) -> float:
+        prev = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            b = batch._replace(prompt_tokens=batch.prompt_tokens + prev * 0)
+            out = static_run(b)
+            prev = out.tokens[0, 0]
+        assert int(prev) >= 0
+        return time.perf_counter() - t0
+
+    chain(2)                     # absorb stragglers from earlier sections
+    t2, t6 = chain(2), chain(6)
+    static_dt = (t6 - t2) / 4 * (n_req // BATCH)
+    log(f"engine static baseline: 2-chain {t2:.2f}s, 6-chain {t6:.2f}s "
+        f"-> {(t6 - t2) / 4:.2f}s/batch")
 
     import dataclasses
     ecfg = dataclasses.replace(
@@ -422,17 +468,28 @@ def bench_engine(cfg, params, batch) -> dict:
     eng = ServingEngine(params, ecfg, tok, num_slots=BATCH,
                         max_new_tokens=100, k_steps=32)
     eng.warmup(samples[0])   # compile every admit group size + the chunk
+    eng.chunks_run = 0
     t0 = time.perf_counter()
     res = eng.transcribe(samples, max_new_per_request=budgets)
     eng_dt = time.perf_counter() - t0
     assert len(res) == n_req
 
+    # hardware-independent win: batch-wide decode-loop iterations run.
+    # Static pays max_new per batch regardless of raggedness; the engine
+    # pays ~ceil(total tokens / (slots * k)) chunks. Wall-clock on this
+    # tunneled chip additionally taxes the engine's extra dispatches.
+    eng_steps = eng.chunks_run * eng.k_steps
+    static_steps = (n_req // BATCH) * 100
     speedup = static_dt / eng_dt
     log(f"engine: {n_req} ragged requests (mean budget "
         f"{np.mean(budgets):.0f} tok) in {eng_dt:.2f}s vs static batches "
-        f"{static_dt:.2f}s -> {speedup:.2f}x")
+        f"{static_dt:.2f}s -> {speedup:.2f}x wall; decode steps "
+        f"{eng_steps} vs {static_steps} "
+        f"({static_steps / max(eng_steps, 1):.2f}x fewer)")
     return {"engine_requests_per_sec": round(n_req / eng_dt, 3),
-            "engine_vs_static_speedup": round(speedup, 3)}
+            "engine_vs_static_speedup": round(speedup, 3),
+            "engine_vs_static_decode_steps": round(
+                static_steps / max(eng_steps, 1), 3)}
 
 
 def bench_streaming(params) -> dict:

@@ -469,6 +469,12 @@ class AVSRConfig:
                 "decode.engine_slots (continuous batching) decodes greedily "
                 "slot by slot — incompatible with num_beams>1 or "
                 "temperature>0; use static batches for those")
+        if self.decode.engine_slots > 0 and self.decode.kv_cache_dtype == "int8":
+            raise ValueError(
+                "decode.engine_slots keeps a live float slot cache that is "
+                "rewritten on every admission; int8 kv_cache_dtype "
+                "quantizes once at prefill and is incompatible — use it "
+                "with static batches")
         if self.decode.stream_block_s > 0 and self.decode.kv_cache_dtype == "int8":
             raise ValueError(
                 "decode.stream_block_s (blockwise streaming) keeps a live "

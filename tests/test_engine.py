@@ -110,3 +110,36 @@ def test_cli_decode_engine_matches_static(tmp_path):
     engine = run(tmp_path / "engine", ["decode.engine_slots=3"])
     assert static and engine
     assert engine == static
+
+
+def test_engine_config_validation():
+    import pytest
+
+    from avsr_tpu.core.config import load_config
+    with pytest.raises(ValueError, match="greedily"):
+        load_config(CFG, ["decode.engine_slots=2", "decode.num_beams=5"])
+    with pytest.raises(ValueError, match="int8"):
+        load_config(CFG, ["decode.engine_slots=2",
+                          "decode.kv_cache_dtype=int8"])
+
+
+def test_engine_av_modality(rng):
+    """Engine admits audio+video requests too (encode handles modality from
+    the config; slots are modality-agnostic rows)."""
+    import dataclasses
+
+    cfg, tok, params = _setup()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, modality="both"))
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(8000)).astype(np.float32),
+               rng.integers(0, 256, (4, 16, 16, 3)).astype(np.uint8),
+               "", [tok.eos_id])
+        for i in range(3)
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2, max_new_tokens=5,
+                        k_steps=2)
+    got = eng.transcribe(samples)
+    for i, sample in enumerate(samples):
+        assert got[i] == _reference_decode(cfg, tok, params, sample, 5)

@@ -49,7 +49,7 @@ from avsr_tpu.models.layers import Params
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "compute_dtype", "use_pallas"),
+    static_argnames=("model_cfg", "eos_id", "compute_dtype", "use_pallas"),
     donate_argnums=(2,))
 def admit(
     params: Params,
@@ -57,18 +57,27 @@ def admit(
     cache: L.KVCache,              # [L, S, Hkv, Dh, M] persistent slot cache
     batch,                         # [B]-request featurized Batch
     slots: jax.Array,              # [B] int32 slot indices (distinct)
+    cur_lens: jax.Array,           # [S] slot state (threaded through)
+    last_tok: jax.Array,           # [S]
+    done: jax.Array,               # [S] bool
+    budgets: jax.Array,            # [B] per-request max_new_tokens
     *,
+    eos_id: int = 2,
     compute_dtype: str = "bfloat16",
     use_pallas: str = "auto",
-) -> tuple[L.KVCache, jax.Array, jax.Array]:
+) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill a group of requests into ``slots``: encode the media batch,
     run the [prompt][features] prefixes through the LLM with full-width
     (M) cache rows, scatter those rows into the slot cache, and return
-    (cache, first_tokens [B], prefix_lens [B]). Admission is batched —
-    grouping free slots into one call keeps the encoder/prefill matmuls
-    MXU-wide and pays one dispatch instead of B (the B=1 version was the
-    dominant engine cost: 32 admits ~3 s vs ~2 s of decode). The cache
-    argument is donated — admission rewrites the slot rows in place."""
+    (cache, cur_lens, last_tok, done, first_tokens [B]). Admission is
+    batched — grouping free slots into one call keeps the encoder/prefill
+    matmuls MXU-wide and pays one dispatch instead of B (the B=1 version
+    was the dominant engine cost: 32 admits ~3 s vs ~2 s of decode). Slot
+    state updates happen ON DEVICE so a decode chunk can be dispatched
+    right behind an admission without the host blocking on the admission's
+    results first — the host syncs once per chunk, not once per call. The
+    cache argument is donated — admission rewrites the slot rows in
+    place."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
@@ -87,7 +96,10 @@ def admit(
     # single advanced index on dim 1 stays in place: target [L, B, ...]
     k = cache.k.at[:, slots].set(rows.k.astype(cache.k.dtype))
     v = cache.v.at[:, slots].set(rows.v.astype(cache.v.dtype))
-    return L.KVCache(k, v), tok0, plens.astype(jnp.int32)
+    cur_lens = cur_lens.at[slots].set(plens.astype(jnp.int32))
+    last_tok = last_tok.at[slots].set(tok0)
+    done = done.at[slots].set((tok0 == eos_id) | (budgets <= 1))
+    return L.KVCache(k, v), cur_lens, last_tok, done, tok0
 
 
 @functools.partial(
@@ -171,10 +183,15 @@ class ServingEngine:
         dt = jnp.dtype(cfg.runtime.compute_dtype)
         shape = (llm.n_layers, self.S, llm.n_kv_heads, hd, self.M)
         self.cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
-        self.cur_lens = jnp.zeros((self.S,), jnp.int32)
-        self.last_tok = jnp.full((self.S,), tok.eos_id, jnp.int32)
-        self.done = jnp.ones((self.S,), bool)      # all slots start idle
+        # slot bookkeeping lives on HOST numpy: per-element .at[].set()
+        # updates on device arrays cost one dispatch each (~100 tiny
+        # dispatches per 32-request run on a high-latency link); shipping
+        # three [S] arrays per jit call costs effectively nothing
+        self.cur_lens = np.zeros((self.S,), np.int32)
+        self.last_tok = np.full((self.S,), tok.eos_id, np.int32)
+        self.done = np.ones((self.S,), bool)       # all slots start idle
         self.slots = [_Slot() for _ in range(self.S)]
+        self._pending_admits: list = []    # (group, tok0_dev) awaiting sync
         self.chunks_run = 0        # decode_chunk invocations (telemetry)
 
     # -- host-side scheduling --------------------------------------------
@@ -200,23 +217,44 @@ class ServingEngine:
     def _admit_group(self, group: list[tuple[int, int, Sample, int]]) -> None:
         """Admit (slot, req, sample, budget) tuples in ONE batched call.
         Callers split work into power-of-2 group sizes so the jit trace
-        count stays bounded at {1,2,4,...} x media buckets."""
+        count stays bounded at {1,2,4,...} x media buckets. The call is
+        dispatched ASYNCHRONOUSLY — slot state chains on device and the
+        first tokens are fetched later by :meth:`_sync` — so the host
+        never blocks between an admission and the decode chunk behind
+        it."""
         batch = self._featurize([s for _, _, s, _ in group])
         slots = [s for s, _, _, _ in group]
-        self.cache, tok0, plens = admit(
+        budgets = [b for _, _, _, b in group]
+        (self.cache, self.cur_lens, self.last_tok, self.done,
+         tok0_dev) = admit(
             self.params, self.cfg.model, self.cache, batch,
             jnp.asarray(slots, jnp.int32),
+            self.cur_lens, self.last_tok, self.done,
+            jnp.asarray(budgets, jnp.int32),
+            eos_id=self.tok.eos_id,
             compute_dtype=self.cfg.runtime.compute_dtype,
             use_pallas=self.cfg.runtime.use_pallas)
-        tok0 = np.asarray(tok0)
-        plens_h = np.asarray(plens)
-        for j, (slot, req, _, budget) in enumerate(group):
-            t0 = int(tok0[j])
-            self.slots[slot] = _Slot(req, [t0], budget)
-            first_done = (t0 == self.tok.eos_id) or (budget <= 1)
-            self.cur_lens = self.cur_lens.at[slot].set(int(plens_h[j]))
-            self.last_tok = self.last_tok.at[slot].set(t0)
-            self.done = self.done.at[slot].set(first_done)
+        self._pending_admits.append((list(group), tok0_dev))
+
+    def _sync(self, extra=None):
+        """One blocking device fetch: pending admissions' first tokens +
+        the current slot-state arrays (+ ``extra``, returned fetched),
+        installed into host bookkeeping. Host-side arrays become writable
+        numpy again after this."""
+        pend = self._pending_admits
+        self._pending_admits = []
+        tok0s, cur_h, last_h, done_h, extra_h = jax.device_get(
+            ([t for _, t in pend], self.cur_lens, self.last_tok, self.done,
+             extra))
+        # device_get may hand back read-only views; the host loop mutates
+        # these in place
+        self.cur_lens = np.array(cur_h, np.int32)
+        self.last_tok = np.array(last_h, np.int32)
+        self.done = np.array(done_h, bool)
+        for (group, _), tok0 in zip(pend, tok0s):
+            for j, (slot, req, _, budget) in enumerate(group):
+                self.slots[slot] = _Slot(req, [int(tok0[j])], budget)
+        return extra_h
 
     def warmup(self, sample: Sample) -> None:
         """Pre-compile every admission group size (1, 2, 4, ..., S) and the
@@ -226,13 +264,15 @@ class ServingEngine:
         while g <= self.S:
             self._admit_group([(s, -1, sample, 1) for s in range(g)])
             g *= 2
-        self.cache, self.cur_lens, self.last_tok, self.done, _ = decode_chunk(
+        (self.cache, self.cur_lens, self.last_tok, self.done,
+         _) = decode_chunk(
             self.params, self.cfg.model, self.cache, self.cur_lens,
             self.last_tok, self.done, k_steps=self.k_steps,
             eos_id=self.tok.eos_id,
             compute_dtype=self.cfg.runtime.compute_dtype)
+        self._sync()
         self.slots = [_Slot() for _ in range(self.S)]
-        self.done = jnp.ones((self.S,), bool)
+        self.done = np.ones((self.S,), bool)
 
     def transcribe(self, samples,
                    max_new_per_request: list[int] | None = None
@@ -257,11 +297,10 @@ class ServingEngine:
         while len(results) < n_req:
             # harvest finished slots, then refill the free ones in batched
             # power-of-2 admission groups (one prefill call per group)
-            done_h = np.asarray(self.done)
             pending: list[tuple[int, int, Sample, int]] = []
             for s in range(self.S):
                 st = self.slots[s]
-                if done_h[s] and st.req is not None:
+                if self.done[s] and st.req is not None:
                     if (self.tok.eos_id in st.tokens
                             or len(st.tokens) >= st.budget):
                         harvest(s)
@@ -272,16 +311,19 @@ class ServingEngine:
                 g = 1 << (len(pending).bit_length() - 1)   # largest 2^k <=
                 self._admit_group(pending[:g])
                 pending = pending[g:]
-            if all(st.req is None for st in self.slots):
+            if (all(st.req is None for st in self.slots)
+                    and not self._pending_admits):
                 continue                             # everything harvested
-            self.cache, self.cur_lens, self.last_tok, self.done, out = \
-                decode_chunk(
-                    self.params, self.cfg.model, self.cache, self.cur_lens,
-                    self.last_tok, self.done, k_steps=self.k_steps,
-                    eos_id=self.tok.eos_id,
-                    compute_dtype=self.cfg.runtime.compute_dtype)
+            (self.cache, self.cur_lens, self.last_tok, self.done,
+             out) = decode_chunk(
+                self.params, self.cfg.model, self.cache, self.cur_lens,
+                self.last_tok, self.done, k_steps=self.k_steps,
+                eos_id=self.tok.eos_id,
+                compute_dtype=self.cfg.runtime.compute_dtype)
             self.chunks_run += 1
-            toks = np.asarray(out)
+            # the ONLY blocking point per chunk: admissions' first tokens,
+            # slot state, and the chunk's tokens come back in one fetch
+            toks = self._sync(out)
             for s, st in enumerate(self.slots):
                 if st.req is None:
                     continue
@@ -294,5 +336,5 @@ class ServingEngine:
                 # budget exhausted: free the slot even without EOS
                 if (len(st.tokens) >= st.budget
                         or st.tokens[-1] == self.tok.eos_id):
-                    self.done = self.done.at[s].set(True)
+                    self.done[s] = True
         return [results[i] for i in range(n_req)]

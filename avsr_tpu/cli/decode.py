@@ -76,12 +76,20 @@ def main(argv: list[str] | None = None) -> int:
         from avsr_tpu.infer.engine import ServingEngine
 
         eng = ServingEngine(params, cfg, tok,
-                            num_slots=cfg.decode.engine_slots)
+                            num_slots=cfg.decode.engine_slots,
+                            seed=cfg.training.seed)
+        # decode.temperature/top_p apply engine-wide; the engine API also
+        # takes them per request (a serving-queue knob)
+        temp, top_p = cfg.decode.temperature, cfg.decode.top_p
         with open(results_path, "w") as rf:
             for start in range(0, len(ds), 256):   # bound host memory
                 samples = [ds[i] for i in range(start,
                                                 min(start + 256, len(ds)))]
-                for sample, ids in zip(samples, eng.transcribe(samples)):
+                ids_all = eng.transcribe(
+                    samples,
+                    temperature_per_request=[temp] * len(samples),
+                    top_p_per_request=[top_p] * len(samples))
+                for sample, ids in zip(samples, ids_all):
                     hyp = tok.decode(ids)
                     u_wer = acc.add(sample.text, hyp)
                     log.info("utt %s | WER %.3f", sample.utt_id, u_wer)

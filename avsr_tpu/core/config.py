@@ -463,12 +463,11 @@ class AVSRConfig:
                 "decode.stream_block_s (blockwise streaming) requires "
                 "model.modality=audio — video/fused features are not "
                 "block-local; use the exact mode (stream_block_s=0)")
-        if self.decode.engine_slots > 0 and (
-                self.decode.num_beams > 1 or self.decode.temperature > 0):
+        if self.decode.engine_slots > 0 and self.decode.num_beams > 1:
             raise ValueError(
-                "decode.engine_slots (continuous batching) decodes greedily "
-                "slot by slot — incompatible with num_beams>1 or "
-                "temperature>0; use static batches for those")
+                "decode.engine_slots (continuous batching) decodes slot by "
+                "slot (greedy or per-request sampling) — incompatible with "
+                "num_beams>1; use static batches for beam search")
         if self.decode.engine_slots > 0 and self.decode.kv_cache_dtype == "int8":
             raise ValueError(
                 "decode.engine_slots keeps a live float slot cache that is "

@@ -13,10 +13,10 @@ TPU-native version: everything stays static-shaped and jitted.
   * ``admit`` — encode one request's media, prefill its [prompt][features]
     prefix into a fresh cache row, scatter the row into the slot, emit the
     first token. One jit trace per media length bucket;
-  * ``decode_chunk`` — K fused greedy steps over ALL slots
-    (lax.fori_loop of llama_decode_step); finished slots idle behind their
-    ``done`` flag. K amortizes host round-trips (the tunneled-TPU dispatch
-    tax) against admission latency;
+  * ``decode_chunk`` — K fused steps over ALL slots (lax.fori_loop of
+    llama_decode_step), greedy or per-slot temperature/top-p sampling;
+    finished slots idle behind their ``done`` flag. K amortizes host
+    round-trips (the tunneled-TPU dispatch tax) against admission latency;
   * the host loop in :class:`ServingEngine` refills finished slots from
     the request queue between chunks.
 
@@ -42,14 +42,28 @@ from avsr_tpu.data.loader import (
     featurize,
     image_stats_for,
 )
+from avsr_tpu.infer.generate import _top_p_filter
 from avsr_tpu.models import llama as L
 from avsr_tpu.models.avsr import build_prefix, encode
 from avsr_tpu.models.layers import Params
 
 
+def _slot_sample(logits: jax.Array, temps: jax.Array, top_ps: jax.Array,
+                 rng: jax.Array) -> jax.Array:
+    """Per-row greedy-or-nucleus next token: rows with temperature <= 0
+    take argmax, the rest sample from the top-p filtered distribution at
+    their own temperature. logits [S, V], temps/top_ps [S] -> [S]."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    filtered = _top_p_filter(scaled, top_ps[:, None])
+    sampled = jax.random.categorical(rng, filtered).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "eos_id", "compute_dtype", "use_pallas"),
+    static_argnames=("model_cfg", "eos_id", "sampling", "compute_dtype",
+                     "use_pallas"),
     donate_argnums=(2,))
 def admit(
     params: Params,
@@ -61,8 +75,13 @@ def admit(
     last_tok: jax.Array,           # [S]
     done: jax.Array,               # [S] bool
     budgets: jax.Array,            # [B] per-request max_new_tokens
+    temps: jax.Array,              # [B] per-request temperature (<=0 greedy)
+    top_ps: jax.Array,             # [B] per-request nucleus p
+    rng: jax.Array,                # PRNG key for sampled first tokens
     *,
     eos_id: int = 2,
+    sampling: bool = False,        # static: all-greedy workloads skip the
+                                   # per-step top-p sort entirely
     compute_dtype: str = "bfloat16",
     use_pallas: str = "auto",
 ) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -92,7 +111,10 @@ def admit(
         return_cache=True, cache_len=M, output="hidden")
     h_last = jnp.take_along_axis(hidden, (plens - 1)[:, None, None], axis=1)
     logits = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if sampling:
+        tok0 = _slot_sample(logits.astype(jnp.float32), temps, top_ps, rng)
+    else:
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     # single advanced index on dim 1 stays in place: target [L, B, ...]
     k = cache.k.at[:, slots].set(rows.k.astype(cache.k.dtype))
     v = cache.v.at[:, slots].set(rows.v.astype(cache.v.dtype))
@@ -104,7 +126,8 @@ def admit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "k_steps", "eos_id", "compute_dtype"),
+    static_argnames=("model_cfg", "k_steps", "eos_id", "sampling",
+                     "compute_dtype"),
     donate_argnums=(2,))
 def decode_chunk(
     params: Params,
@@ -113,12 +136,18 @@ def decode_chunk(
     cur_lens: jax.Array,           # [S] cache frontier per slot
     last_tok: jax.Array,           # [S] last emitted token per slot
     done: jax.Array,               # [S] bool — finished/idle slots
+    temps: jax.Array | None = None,    # [S] per-slot temperature
+    top_ps: jax.Array | None = None,   # [S] per-slot nucleus p
+    rng: jax.Array | None = None,      # PRNG key (folded per step)
     *,
     k_steps: int = 16,
     eos_id: int = 2,
+    sampling: bool = False,
     compute_dtype: str = "bfloat16",
 ) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """K fused greedy decode steps over all S slots. Finished slots emit
+    """K fused decode steps over all S slots — greedy, or (with the
+    static ``sampling`` flag) per-slot greedy-or-nucleus so resident
+    requests can carry their own temperature/top_p. Finished slots emit
     ``eos_id`` and stop advancing their frontier (their stale writes land
     at a frozen position and are overwritten on readmission). Returns
     (cache, cur_lens, last_tok, done, tokens [S, K])."""
@@ -133,8 +162,12 @@ def decode_chunk(
             params["llm"], cfg, x=emb, cache=cache, cur_lens=cur,
             lora=model_cfg.lora if model_cfg.lora.use_lora else None,
             compute_dtype=dt)
-        nxt = jnp.where(done, eos_id,
-                        jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        if sampling:
+            pick = _slot_sample(logits.astype(jnp.float32), temps, top_ps,
+                                jax.random.fold_in(rng, k))
+        else:
+            pick = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, pick)
         out = out.at[:, k].set(nxt)
         cur = cur + (~done).astype(jnp.int32)
         done = done | (nxt == eos_id)
@@ -165,7 +198,8 @@ class ServingEngine:
 
     def __init__(self, params: Params, cfg: AVSRConfig, tok, *,
                  num_slots: int = 8, max_new_tokens: int | None = None,
-                 k_steps: int = 16, cache_len: int | None = None):
+                 k_steps: int = 16, cache_len: int | None = None,
+                 seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.tok = tok
@@ -191,6 +225,14 @@ class ServingEngine:
         self.last_tok = np.full((self.S,), tok.eos_id, np.int32)
         self.done = np.ones((self.S,), bool)       # all slots start idle
         self.slots = [_Slot() for _ in range(self.S)]
+        # per-slot sampling params are pure host state: the host knows a
+        # request's temperature at scheduling time, so they ride into the
+        # jitted calls as inputs and never round-trip
+        self.slot_temps = np.zeros((self.S,), np.float32)
+        self.slot_tops = np.ones((self.S,), np.float32)
+        self._sampling = False     # static trace flag for this workload
+        self._base_key = jax.random.key(seed)
+        self._rng_calls = 0        # fold counter: unique subkey per call
         self._pending_admits: list = []    # (group, tok0_dev) awaiting sync
         self.chunks_run = 0        # decode_chunk invocations (telemetry)
 
@@ -214,24 +256,38 @@ class ServingEngine:
                          audio_frontend_for(self.cfg.model),
                          image_stats_for(self.cfg.model))
 
-    def _admit_group(self, group: list[tuple[int, int, Sample, int]]) -> None:
-        """Admit (slot, req, sample, budget) tuples in ONE batched call.
-        Callers split work into power-of-2 group sizes so the jit trace
-        count stays bounded at {1,2,4,...} x media buckets. The call is
-        dispatched ASYNCHRONOUSLY — slot state chains on device and the
-        first tokens are fetched later by :meth:`_sync` — so the host
-        never blocks between an admission and the decode chunk behind
-        it."""
-        batch = self._featurize([s for _, _, s, _ in group])
-        slots = [s for s, _, _, _ in group]
-        budgets = [b for _, _, _, b in group]
+    def _next_key(self) -> jax.Array:
+        self._rng_calls += 1
+        return jax.random.fold_in(self._base_key, self._rng_calls)
+
+    def _admit_group(
+            self,
+            group: list[tuple[int, int, Sample, int, float, float]]) -> None:
+        """Admit (slot, req, sample, budget, temperature, top_p) tuples in
+        ONE batched call. Callers split work into power-of-2 group sizes
+        so the jit trace count stays bounded at {1,2,4,...} x media
+        buckets. The call is dispatched ASYNCHRONOUSLY — slot state chains
+        on device and the first tokens are fetched later by :meth:`_sync`
+        — so the host never blocks between an admission and the decode
+        chunk behind it."""
+        batch = self._featurize([s for _, _, s, *_ in group])
+        slots = [g[0] for g in group]
+        budgets = [g[3] for g in group]
+        temps = [g[4] for g in group]
+        tops = [g[5] for g in group]
+        for slot, t, p in zip(slots, temps, tops):
+            self.slot_temps[slot] = t
+            self.slot_tops[slot] = p
         (self.cache, self.cur_lens, self.last_tok, self.done,
          tok0_dev) = admit(
             self.params, self.cfg.model, self.cache, batch,
             jnp.asarray(slots, jnp.int32),
             self.cur_lens, self.last_tok, self.done,
             jnp.asarray(budgets, jnp.int32),
-            eos_id=self.tok.eos_id,
+            jnp.asarray(temps, jnp.float32),
+            jnp.asarray(tops, jnp.float32),
+            self._next_key(),
+            eos_id=self.tok.eos_id, sampling=self._sampling,
             compute_dtype=self.cfg.runtime.compute_dtype,
             use_pallas=self.cfg.runtime.use_pallas)
         self._pending_admits.append((list(group), tok0_dev))
@@ -252,40 +308,53 @@ class ServingEngine:
         self.last_tok = np.array(last_h, np.int32)
         self.done = np.array(done_h, bool)
         for (group, _), tok0 in zip(pend, tok0s):
-            for j, (slot, req, _, budget) in enumerate(group):
+            for j, (slot, req, _, budget, *_unused) in enumerate(group):
                 self.slots[slot] = _Slot(req, [int(tok0[j])], budget)
         return extra_h
 
-    def warmup(self, sample: Sample) -> None:
+    def warmup(self, sample: Sample, *, sampling: bool = False) -> None:
         """Pre-compile every admission group size (1, 2, 4, ..., S) and the
         decode chunk for one media shape, then reset the pool — so a timed
-        or latency-sensitive run never hits a compile mid-flight."""
+        or latency-sensitive run never hits a compile mid-flight. Pass
+        ``sampling=True`` to precompile the per-slot-sampling traces
+        instead of the greedy ones."""
+        self._sampling = sampling
         g = 1
         while g <= self.S:
-            self._admit_group([(s, -1, sample, 1) for s in range(g)])
+            self._admit_group([(s, -1, sample, 1, 0.0, 1.0)
+                               for s in range(g)])
             g *= 2
         (self.cache, self.cur_lens, self.last_tok, self.done,
          _) = decode_chunk(
             self.params, self.cfg.model, self.cache, self.cur_lens,
-            self.last_tok, self.done, k_steps=self.k_steps,
-            eos_id=self.tok.eos_id,
+            self.last_tok, self.done, self.slot_temps, self.slot_tops,
+            self._next_key(), k_steps=self.k_steps,
+            eos_id=self.tok.eos_id, sampling=self._sampling,
             compute_dtype=self.cfg.runtime.compute_dtype)
         self._sync()
         self.slots = [_Slot() for _ in range(self.S)]
         self.done = np.ones((self.S,), bool)
 
     def transcribe(self, samples,
-                   max_new_per_request: list[int] | None = None
+                   max_new_per_request: list[int] | None = None,
+                   temperature_per_request: list[float] | None = None,
+                   top_p_per_request: list[float] | None = None,
                    ) -> list[list[int]]:
         """Run every request through the slot pool; returns generated ids
         per request, in input order. ``max_new_per_request`` optionally
         caps each request individually (a serving-queue budget — the host
         frees the slot the moment a request's budget is spent, just as it
-        does on EOS)."""
+        does on EOS). ``temperature_per_request`` / ``top_p_per_request``
+        give each request its own sampling knobs (temperature <= 0 =
+        greedy); a workload with any sampled request uses the sampling
+        decode trace, and greedy rows within it still take exact argmax."""
         queue = list(enumerate(samples))
         results: dict[int, list[int]] = {}
         n_req = len(queue)
         budgets = max_new_per_request or [self.max_new] * n_req
+        temps_l = temperature_per_request or [0.0] * n_req
+        tops_l = top_p_per_request or [1.0] * n_req
+        self._sampling = any(t > 0.0 for t in temps_l)
         queue.reverse()                              # pop() = FIFO
 
         def harvest(slot: int) -> None:
@@ -297,7 +366,7 @@ class ServingEngine:
         while len(results) < n_req:
             # harvest finished slots, then refill the free ones in batched
             # power-of-2 admission groups (one prefill call per group)
-            pending: list[tuple[int, int, Sample, int]] = []
+            pending: list[tuple[int, int, Sample, int, float, float]] = []
             for s in range(self.S):
                 st = self.slots[s]
                 if self.done[s] and st.req is not None:
@@ -306,7 +375,8 @@ class ServingEngine:
                         harvest(s)
                 if queue and self.slots[s].req is None:
                     req, sample = queue.pop()
-                    pending.append((s, req, sample, budgets[req]))
+                    pending.append((s, req, sample, budgets[req],
+                                    temps_l[req], tops_l[req]))
             while pending:
                 g = 1 << (len(pending).bit_length() - 1)   # largest 2^k <=
                 self._admit_group(pending[:g])
@@ -317,8 +387,9 @@ class ServingEngine:
             (self.cache, self.cur_lens, self.last_tok, self.done,
              out) = decode_chunk(
                 self.params, self.cfg.model, self.cache, self.cur_lens,
-                self.last_tok, self.done, k_steps=self.k_steps,
-                eos_id=self.tok.eos_id,
+                self.last_tok, self.done, self.slot_temps, self.slot_tops,
+                self._next_key(), k_steps=self.k_steps,
+                eos_id=self.tok.eos_id, sampling=self._sampling,
                 compute_dtype=self.cfg.runtime.compute_dtype)
             self.chunks_run += 1
             # the ONLY blocking point per chunk: admissions' first tokens,

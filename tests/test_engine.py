@@ -116,11 +116,43 @@ def test_engine_config_validation():
     import pytest
 
     from avsr_tpu.core.config import load_config
-    with pytest.raises(ValueError, match="greedily"):
+    with pytest.raises(ValueError, match="num_beams"):
         load_config(CFG, ["decode.engine_slots=2", "decode.num_beams=5"])
     with pytest.raises(ValueError, match="int8"):
         load_config(CFG, ["decode.engine_slots=2",
                           "decode.kv_cache_dtype=int8"])
+
+
+def test_engine_per_request_sampling(rng):
+    """Mixed workload: greedy rows inside a sampling-trace chunk stay
+    token-exact vs standalone greedy decode, sampled rows are reproducible
+    for a fixed engine seed, and temperature actually changes the sampled
+    row's transcript at high temperature (tiny random-init model => near-
+    uniform logits)."""
+    cfg, tok, params = _setup()
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(8000)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i in range(4)
+    ]
+    temps = [0.0, 5.0, 0.0, 5.0]
+    tops = [1.0, 0.95, 1.0, 0.95]
+
+    def run(seed):
+        eng = ServingEngine(params, cfg, tok, num_slots=2, max_new_tokens=8,
+                            k_steps=3, seed=seed)
+        return eng.transcribe(samples, temperature_per_request=temps,
+                              top_p_per_request=tops)
+
+    got = run(0)
+    # greedy rows: exact vs the standalone greedy path
+    for i in (0, 2):
+        assert got[i] == _reference_decode(cfg, tok, params, samples[i], 8)
+    # sampled rows: deterministic given the engine seed
+    assert run(0) == got
+    # ... and actually sampled: some seed must differ from greedy at T=5
+    greedy1 = _reference_decode(cfg, tok, params, samples[1], 8)
+    assert any(run(s)[1] != greedy1 for s in range(1, 6))
 
 
 def test_engine_av_modality(rng):

@@ -10,15 +10,20 @@ TPU-native version: everything stays static-shaped and jitted.
 
   * one persistent KV cache of S slots, [L, S, Hkv, Dh, M] (position-minor,
     models.llama.KVCache);
-  * ``admit`` — encode one request's media, prefill its [prompt][features]
-    prefix into a fresh cache row, scatter the row into the slot, emit the
-    first token. One jit trace per media length bucket;
+  * ``stage`` — prefill/decode disaggregation: encode a FULL batch of
+    queued requests and prefill their [prompt][features] prefixes into
+    staged cache rows, independent of slot availability — the
+    encoder/prefill matmuls always run MXU-wide, and the prefill computes
+    while earlier decode chunks are in flight. One jit trace per
+    (pow2 width x media bucket);
+  * ``install`` — the slot-dependent tail of admission: scatter staged
+    rows into free pool slots (no model compute);
   * ``decode_chunk`` — K fused steps over ALL slots (lax.fori_loop of
     llama_decode_step), greedy or per-slot temperature/top-p sampling;
     finished slots idle behind their ``done`` flag. K amortizes host
     round-trips (the tunneled-TPU dispatch tax) against admission latency;
   * the host loop in :class:`ServingEngine` refills finished slots from
-    the request queue between chunks.
+    staged rows between chunks, staging one batch ahead.
 
 Per-row numerics are independent of the other slots (row-batched matmuls,
 per-row masked attention), so each request's transcript is token-exact vs
@@ -62,66 +67,83 @@ def _slot_sample(logits: jax.Array, temps: jax.Array, top_ps: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "eos_id", "sampling", "compute_dtype",
-                     "use_pallas"),
-    donate_argnums=(2,))
-def admit(
+    static_argnames=("model_cfg", "cache_len", "cache_dtype", "sampling",
+                     "compute_dtype", "use_pallas"))
+def stage(
     params: Params,
     model_cfg: ModelConfig,
-    cache: L.KVCache,              # [L, S, Hkv, Dh, M] persistent slot cache
-    batch,                         # [B]-request featurized Batch
-    slots: jax.Array,              # [B] int32 slot indices (distinct)
-    cur_lens: jax.Array,           # [S] slot state (threaded through)
-    last_tok: jax.Array,           # [S]
-    done: jax.Array,               # [S] bool
-    budgets: jax.Array,            # [B] per-request max_new_tokens
-    temps: jax.Array,              # [B] per-request temperature (<=0 greedy)
-    top_ps: jax.Array,             # [B] per-request nucleus p
+    batch,                         # [W]-request featurized Batch
+    temps: jax.Array,              # [W] per-request temperature (<=0 greedy)
+    top_ps: jax.Array,             # [W] per-request nucleus p
     rng: jax.Array,                # PRNG key for sampled first tokens
     *,
-    eos_id: int = 2,
+    cache_len: int,                # M — must match the slot cache width
+    cache_dtype: str = "bfloat16",
     sampling: bool = False,        # static: all-greedy workloads skip the
                                    # per-step top-p sort entirely
     compute_dtype: str = "bfloat16",
     use_pallas: str = "auto",
-) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Prefill a group of requests into ``slots``: encode the media batch,
-    run the [prompt][features] prefixes through the LLM with full-width
-    (M) cache rows, scatter those rows into the slot cache, and return
-    (cache, cur_lens, last_tok, done, first_tokens [B]). Admission is
-    batched — grouping free slots into one call keeps the encoder/prefill
-    matmuls MXU-wide and pays one dispatch instead of B (the B=1 version
-    was the dominant engine cost: 32 admits ~3 s vs ~2 s of decode). Slot
-    state updates happen ON DEVICE so a decode chunk can be dispatched
-    right behind an admission without the host blocking on the admission's
-    results first — the host syncs once per chunk, not once per call. The
-    cache argument is donated — admission rewrites the slot rows in
-    place."""
+) -> tuple[L.KVCache, jax.Array, jax.Array]:
+    """Prefill stage, DECOUPLED from slot availability: encode a full
+    media batch and run the [prompt][features] prefixes through the LLM
+    with full-width (M) cache rows, returning (rows, first_tokens [W],
+    prefix_lens [W]). Which pool slot a row lands in is the only
+    slot-dependent part of admission, so it is deferred to the trivial
+    :func:`install` scatter — the encoder/prefill matmuls always run at
+    the staging width (MXU-wide) no matter how raggedly slots free up,
+    prefill compute overlaps the decode chunks already in flight, and a
+    queue never pays small-batch encodes (prefill/decode disaggregation
+    on one chip)."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
                  use_pallas=use_pallas)
     prefix, plens = build_prefix(params, model_cfg, batch, enc,
                                  compute_dtype=dt)
-    M = cache.k.shape[-1]
     hidden, rows = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=plens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M, output="hidden")
+        return_cache=True, cache_len=cache_len, output="hidden")
     h_last = jnp.take_along_axis(hidden, (plens - 1)[:, None, None], axis=1)
     logits = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
     if sampling:
         tok0 = _slot_sample(logits.astype(jnp.float32), temps, top_ps, rng)
     else:
         tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    # single advanced index on dim 1 stays in place: target [L, B, ...]
-    k = cache.k.at[:, slots].set(rows.k.astype(cache.k.dtype))
-    v = cache.v.at[:, slots].set(rows.v.astype(cache.v.dtype))
-    cur_lens = cur_lens.at[slots].set(plens.astype(jnp.int32))
-    last_tok = last_tok.at[slots].set(tok0)
-    done = done.at[slots].set((tok0 == eos_id) | (budgets <= 1))
-    return L.KVCache(k, v), cur_lens, last_tok, done, tok0
+    cdt = jnp.dtype(cache_dtype)
+    rows = L.KVCache(rows.k.astype(cdt), rows.v.astype(cdt))
+    return rows, tok0, plens.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eos_id",), donate_argnums=(0,))
+def install(
+    cache: L.KVCache,              # [L, S, Hkv, Dh, M] persistent slot cache
+    rows: L.KVCache,               # [L, W, Hkv, Dh, M] staged prefill rows
+    idxs: jax.Array,               # [G] int32 rows to take from the stage
+    slots: jax.Array,              # [G] int32 destination slots (distinct)
+    cur_lens: jax.Array,           # [S] slot state (threaded through)
+    last_tok: jax.Array,           # [S]
+    done: jax.Array,               # [S] bool
+    budgets: jax.Array,            # [G] per-request max_new_tokens
+    tok0: jax.Array,               # [W] staged first tokens
+    plens: jax.Array,              # [W] staged prefix lengths
+    *,
+    eos_id: int = 2,
+) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Scatter staged rows into free pool slots — the slot-dependent tail
+    of admission, O(G rows copied), no model compute. Returns
+    (cache, cur_lens, last_tok, done, first_tokens [G]). Dispatched
+    asynchronously like everything else; the cache is donated."""
+    # single advanced index on dim 1 stays in place: target [L, G, ...]
+    k = cache.k.at[:, slots].set(rows.k[:, idxs])
+    v = cache.v.at[:, slots].set(rows.v[:, idxs])
+    t0 = tok0[idxs]
+    cur_lens = cur_lens.at[slots].set(plens[idxs])
+    last_tok = last_tok.at[slots].set(t0)
+    done = done.at[slots].set((t0 == eos_id) | (budgets <= 1))
+    return L.KVCache(k, v), cur_lens, last_tok, done, t0
 
 
 @functools.partial(
@@ -186,6 +208,21 @@ class _Slot:
     budget: int = 0                # this request's max_new_tokens
 
 
+@dataclass
+class _Staged:
+    """A prefilled batch waiting for pool slots. ``meta`` entries are
+    (req, budget, temperature, top_p); rows/tok0/plens live on device."""
+    meta: list
+    rows: L.KVCache
+    tok0: jax.Array
+    plens: jax.Array
+    next: int = 0                  # first unconsumed row
+
+    @property
+    def remaining(self) -> int:
+        return len(self.meta) - self.next
+
+
 class ServingEngine:
     """Offline continuous-batching driver over a fixed pool of S slots.
 
@@ -234,6 +271,7 @@ class ServingEngine:
         self._base_key = jax.random.key(seed)
         self._rng_calls = 0        # fold counter: unique subkey per call
         self._pending_admits: list = []    # (group, tok0_dev) awaiting sync
+        self._staged: _Staged | None = None    # at most one staged batch
         self.chunks_run = 0        # decode_chunk invocations (telemetry)
 
     # -- host-side scheduling --------------------------------------------
@@ -260,37 +298,79 @@ class ServingEngine:
         self._rng_calls += 1
         return jax.random.fold_in(self._base_key, self._rng_calls)
 
-    def _admit_group(
+    def _stage_group(
             self,
-            group: list[tuple[int, int, Sample, int, float, float]]) -> None:
-        """Admit (slot, req, sample, budget, temperature, top_p) tuples in
-        ONE batched call. Callers split work into power-of-2 group sizes
-        so the jit trace count stays bounded at {1,2,4,...} x media
-        buckets. The call is dispatched ASYNCHRONOUSLY — slot state chains
-        on device and the first tokens are fetched later by :meth:`_sync`
-        — so the host never blocks between an admission and the decode
-        chunk behind it."""
-        batch = self._featurize([s for _, _, s, *_ in group])
-        slots = [g[0] for g in group]
-        budgets = [g[3] for g in group]
-        temps = [g[4] for g in group]
-        tops = [g[5] for g in group]
-        for slot, t, p in zip(slots, temps, tops):
+            group: list[tuple[int, Sample, int, float, float]]) -> None:
+        """Prefill (req, sample, budget, temperature, top_p) tuples in ONE
+        batched :func:`stage` call, independent of slot availability.
+        Callers pass power-of-2 group sizes so the jit trace count stays
+        bounded at {1,2,4,...} x media buckets. Dispatched asynchronously
+        — the prefill computes on device while earlier decode chunks are
+        still in flight."""
+        batch = self._featurize([s for _, s, *_ in group])
+        rows, tok0, plens = stage(
+            self.params, self.cfg.model, batch,
+            jnp.asarray([g[3] for g in group], jnp.float32),
+            jnp.asarray([g[4] for g in group], jnp.float32),
+            self._next_key(),
+            cache_len=self.M, cache_dtype=str(self.cache.k.dtype),
+            sampling=self._sampling,
+            compute_dtype=self.cfg.runtime.compute_dtype,
+            use_pallas=self.cfg.runtime.use_pallas)
+        meta = [(req, budget, t, p) for req, _, budget, t, p in group]
+        self._staged = _Staged(meta, rows, tok0, plens)
+
+    def _install_group(self, staged: _Staged, slots: list[int]) -> None:
+        """Scatter the next ``len(slots)`` staged rows into free pool
+        slots (one :func:`install` call, no model compute)."""
+        g = len(slots)
+        idxs = list(range(staged.next, staged.next + g))
+        meta = staged.meta[staged.next:staged.next + g]
+        staged.next += g
+        for slot, (_, _, t, p) in zip(slots, meta):
             self.slot_temps[slot] = t
             self.slot_tops[slot] = p
         (self.cache, self.cur_lens, self.last_tok, self.done,
-         tok0_dev) = admit(
-            self.params, self.cfg.model, self.cache, batch,
-            jnp.asarray(slots, jnp.int32),
+         t0_dev) = install(
+            self.cache, staged.rows,
+            jnp.asarray(idxs, jnp.int32), jnp.asarray(slots, jnp.int32),
             self.cur_lens, self.last_tok, self.done,
-            jnp.asarray(budgets, jnp.int32),
-            jnp.asarray(temps, jnp.float32),
-            jnp.asarray(tops, jnp.float32),
-            self._next_key(),
-            eos_id=self.tok.eos_id, sampling=self._sampling,
-            compute_dtype=self.cfg.runtime.compute_dtype,
-            use_pallas=self.cfg.runtime.use_pallas)
-        self._pending_admits.append((list(group), tok0_dev))
+            jnp.asarray([m[1] for m in meta], jnp.int32),
+            staged.tok0, staged.plens,
+            eos_id=self.tok.eos_id)
+        group = [(slot, req, None, budget)
+                 for slot, (req, budget, _, _) in zip(slots, meta)]
+        self._pending_admits.append((group, t0_dev))
+
+    def _refill(self, queue: list, budgets, temps_l, tops_l) -> None:
+        """Fill every free slot from staged rows, staging new batches from
+        the queue as needed, then stage ONE batch ahead so its prefill
+        overlaps the coming decode chunks. Stage widths and install group
+        sizes are power-of-2 (bounded trace count)."""
+        free = [s for s in range(self.S) if self.slots[s].req is None]
+
+        def stage_next() -> None:
+            w = 1 << (min(self.S, len(queue)).bit_length() - 1)
+            group = []
+            for _ in range(w):
+                req, sample = queue.pop()
+                group.append((req, sample, budgets[req],
+                              temps_l[req], tops_l[req]))
+            self._stage_group(group)
+
+        while free:
+            if self._staged is None or self._staged.remaining == 0:
+                if not queue:
+                    break
+                stage_next()
+            g = 1 << (min(len(free), self._staged.remaining)
+                      .bit_length() - 1)
+            self._install_group(self._staged, free[:g])
+            free = free[g:]
+            if self._staged.remaining == 0:
+                self._staged = None        # staging buffer freed
+        if (self._staged is None or self._staged.remaining == 0) and queue:
+            stage_next()                   # prefill-ahead behind the chunk
 
     def _sync(self, extra=None):
         """One blocking device fetch: pending admissions' first tokens +
@@ -313,17 +393,33 @@ class ServingEngine:
         return extra_h
 
     def warmup(self, sample: Sample, *, sampling: bool = False) -> None:
-        """Pre-compile every admission group size (1, 2, 4, ..., S) and the
-        decode chunk for one media shape, then reset the pool — so a timed
-        or latency-sensitive run never hits a compile mid-flight. Pass
-        ``sampling=True`` to precompile the per-slot-sampling traces
-        instead of the greedy ones."""
+        """Pre-compile every stage width and install group size
+        (1, 2, 4, ..., S) and the decode chunk for one media shape, then
+        reset the pool — so a timed or latency-sensitive run never hits a
+        compile mid-flight. Pass ``sampling=True`` to precompile the
+        per-slot-sampling traces instead of the greedy ones."""
         self._sampling = sampling
-        g = 1
-        while g <= self.S:
-            self._admit_group([(s, -1, sample, 1, 0.0, 1.0)
-                               for s in range(g)])
-            g *= 2
+        w = 1
+        while w <= self.S:
+            self._stage_group([(-1, sample, 1, 0.0, 1.0)] * w)
+            st = self._staged
+            # every install trace this width can hit: G in {1, 2, ..., w}
+            g = 1
+            while g < w:
+                # cache is donated — keep the threaded state (tok0 of these
+                # warmup installs is discarded with the pool reset below)
+                (self.cache, self.cur_lens, self.last_tok, self.done,
+                 _) = install(
+                    self.cache, st.rows,
+                    jnp.zeros((g,), jnp.int32),
+                    jnp.asarray(list(range(g)), jnp.int32),
+                    self.cur_lens, self.last_tok, self.done,
+                    jnp.ones((g,), jnp.int32), st.tok0, st.plens,
+                    eos_id=self.tok.eos_id)
+                g *= 2
+            self._install_group(st, list(range(w)))
+            self._staged = None
+            w *= 2
         (self.cache, self.cur_lens, self.last_tok, self.done,
          _) = decode_chunk(
             self.params, self.cfg.model, self.cache, self.cur_lens,
@@ -364,23 +460,16 @@ class ServingEngine:
                 self.slots[slot] = _Slot()
 
         while len(results) < n_req:
-            # harvest finished slots, then refill the free ones in batched
-            # power-of-2 admission groups (one prefill call per group)
-            pending: list[tuple[int, int, Sample, int, float, float]] = []
+            # harvest finished slots, then refill free ones from staged
+            # prefill rows (install = pure scatter; prefill compute runs
+            # ahead, MXU-wide, overlapped with earlier chunks)
             for s in range(self.S):
                 st = self.slots[s]
                 if self.done[s] and st.req is not None:
                     if (self.tok.eos_id in st.tokens
                             or len(st.tokens) >= st.budget):
                         harvest(s)
-                if queue and self.slots[s].req is None:
-                    req, sample = queue.pop()
-                    pending.append((s, req, sample, budgets[req],
-                                    temps_l[req], tops_l[req]))
-            while pending:
-                g = 1 << (len(pending).bit_length() - 1)   # largest 2^k <=
-                self._admit_group(pending[:g])
-                pending = pending[g:]
+            self._refill(queue, budgets, temps_l, tops_l)
             if (all(st.req is None for st in self.slots)
                     and not self._pending_admits):
                 continue                             # everything harvested

@@ -457,22 +457,33 @@ def bench_engine(cfg, params, batch) -> dict:
         return time.perf_counter() - t0
 
     chain(2)                     # absorb stragglers from earlier sections
-    t2, t6 = chain(2), chain(6)
-    static_dt = (t6 - t2) / 4 * (n_req // BATCH)
-    log(f"engine static baseline: 2-chain {t2:.2f}s, 6-chain {t6:.2f}s "
-        f"-> {(t6 - t2) / 4:.2f}s/batch")
+    # even a post-discard chain can absorb stray queued work on this link
+    # (observed 2x swings in the 2-chain); sample the slope twice, keep min
+    slopes = []
+    for _ in range(2):
+        t2, t6 = chain(2), chain(6)
+        slopes.append((t6 - t2) / 4)
+        log(f"engine static baseline: 2-chain {t2:.2f}s, 6-chain {t6:.2f}s "
+            f"-> {(t6 - t2) / 4:.2f}s/batch")
+    static_dt = min(slopes) * (n_req // BATCH)
 
     import dataclasses
     ecfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, modality="audio"))
     eng = ServingEngine(params, ecfg, tok, num_slots=BATCH,
                         max_new_tokens=100, k_steps=32)
-    eng.warmup(samples[0])   # compile every admit group size + the chunk
-    eng.chunks_run = 0
-    t0 = time.perf_counter()
-    res = eng.transcribe(samples, max_new_per_request=budgets)
-    eng_dt = time.perf_counter() - t0
-    assert len(res) == n_req
+    eng.warmup(samples[0])   # compile every stage/install size + the chunk
+    # two timed passes, keep the better — the first can absorb stray
+    # queued work on this link just like the static chains do
+    eng_dt = float("inf")
+    for _ in range(2):
+        eng.chunks_run = 0
+        t0 = time.perf_counter()
+        res = eng.transcribe(samples, max_new_per_request=budgets)
+        dt = time.perf_counter() - t0
+        assert len(res) == n_req
+        log(f"engine pass: {dt:.2f}s")
+        eng_dt = min(eng_dt, dt)
 
     # hardware-independent win: batch-wide decode-loop iterations run.
     # Static pays max_new per batch regardless of raggedness; the engine

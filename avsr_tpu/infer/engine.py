@@ -272,7 +272,12 @@ class ServingEngine:
         self._rng_calls = 0        # fold counter: unique subkey per call
         self._pending_admits: list = []    # (group, tok0_dev) awaiting sync
         self._staged: _Staged | None = None    # at most one staged batch
-        self.chunks_run = 0        # decode_chunk invocations (telemetry)
+        # telemetry
+        self.chunks_run = 0        # decode_chunk invocations
+        self.stages_run = 0        # stage (batched prefill) invocations
+        self.installs_run = 0      # install (scatter) invocations
+        self.requests_done = 0     # requests completed across transcribes
+        self.tokens_emitted = 0    # tokens returned (incl. first + EOS)
 
     # -- host-side scheduling --------------------------------------------
 
@@ -319,6 +324,7 @@ class ServingEngine:
             use_pallas=self.cfg.runtime.use_pallas)
         meta = [(req, budget, t, p) for req, _, budget, t, p in group]
         self._staged = _Staged(meta, rows, tok0, plens)
+        self.stages_run += 1
 
     def _install_group(self, staged: _Staged, slots: list[int]) -> None:
         """Scatter the next ``len(slots)`` staged rows into free pool
@@ -341,6 +347,7 @@ class ServingEngine:
         group = [(slot, req, None, budget)
                  for slot, (req, budget, _, _) in zip(slots, meta)]
         self._pending_admits.append((group, t0_dev))
+        self.installs_run += 1
 
     def _refill(self, queue: list, budgets, temps_l, tops_l) -> None:
         """Fill every free slot from staged rows, staging new batches from
@@ -430,6 +437,11 @@ class ServingEngine:
         self._sync()
         self.slots = [_Slot() for _ in range(self.S)]
         self.done = np.ones((self.S,), bool)
+        self.reset_stats()         # warmup work is not serving work
+
+    def reset_stats(self) -> None:
+        self.chunks_run = self.stages_run = self.installs_run = 0
+        self.requests_done = self.tokens_emitted = 0
 
     def transcribe(self, samples,
                    max_new_per_request: list[int] | None = None,
@@ -497,4 +509,25 @@ class ServingEngine:
                 if (len(st.tokens) >= st.budget
                         or st.tokens[-1] == self.tok.eos_id):
                     self.done[s] = True
+        self.requests_done += n_req
+        self.tokens_emitted += sum(len(results[i]) for i in range(n_req))
         return [results[i] for i in range(n_req)]
+
+    def stats(self) -> dict:
+        """Serving telemetry across this engine's lifetime. Chunk
+        utilization = useful tokens emitted by decode chunks / chunk-step
+        slot capacity — the fraction of batch-wide decode work that
+        produced a kept token (the rest is idle/finished-slot padding; the
+        whole point of continuous batching is keeping this high on ragged
+        workloads)."""
+        cap = self.chunks_run * self.k_steps * self.S
+        chunk_tokens = self.tokens_emitted - self.requests_done  # tok0s are
+        return {                                # prefill-stage outputs
+            "requests_done": self.requests_done,
+            "tokens_emitted": self.tokens_emitted,
+            "chunks_run": self.chunks_run,
+            "decode_steps": self.chunks_run * self.k_steps,
+            "stages_run": self.stages_run,
+            "installs_run": self.installs_run,
+            "chunk_utilization": round(chunk_tokens / cap, 4) if cap else 0.0,
+        }

@@ -477,7 +477,7 @@ def bench_engine(cfg, params, batch) -> dict:
     # queued work on this link just like the static chains do
     eng_dt = float("inf")
     for _ in range(2):
-        eng.chunks_run = 0
+        eng.reset_stats()
         t0 = time.perf_counter()
         res = eng.transcribe(samples, max_new_per_request=budgets)
         dt = time.perf_counter() - t0
@@ -492,6 +492,7 @@ def bench_engine(cfg, params, batch) -> dict:
     eng_steps = eng.chunks_run * eng.k_steps
     static_steps = (n_req // BATCH) * 100
     speedup = static_dt / eng_dt
+    log(f"engine stats: {eng.stats()}")
     log(f"engine: {n_req} ragged requests (mean budget "
         f"{np.mean(budgets):.0f} tok) in {eng_dt:.2f}s vs static batches "
         f"{static_dt:.2f}s -> {speedup:.2f}x wall; decode steps "

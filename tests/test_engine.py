@@ -155,6 +155,29 @@ def test_engine_per_request_sampling(rng):
     assert any(run(s)[1] != greedy1 for s in range(1, 6))
 
 
+def test_engine_stats_telemetry(rng):
+    """stats() accounting: every request completes, token counts match the
+    returned transcripts, chunk utilization is in (0, 1], and warmup work
+    is excluded."""
+    cfg, tok, params = _setup()
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(8000)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i in range(5)
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2, max_new_tokens=6,
+                        k_steps=3)
+    eng.warmup(samples[0])
+    assert eng.stats()["chunks_run"] == 0          # warmup excluded
+    got = eng.transcribe(samples)
+    st = eng.stats()
+    assert st["requests_done"] == 5
+    assert st["tokens_emitted"] == sum(len(g) for g in got)
+    assert st["stages_run"] >= 3                   # 5 reqs at width <= 2
+    assert st["installs_run"] >= st["stages_run"]
+    assert 0.0 < st["chunk_utilization"] <= 1.0
+
+
 def test_engine_av_modality(rng):
     """Engine admits audio+video requests too (encode handles modality from
     the config; slots are modality-agnostic rows)."""

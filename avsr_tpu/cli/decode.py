@@ -99,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"WER: {u_wer:.4f}", file=rf)
                     print("", file=rf)
         dt = time.perf_counter() - t0
+        log.info("engine stats: %s", eng.stats())
         return _summarize(acc, dt, wer_path)
 
     seen: set[str] = set()

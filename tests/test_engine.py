@@ -178,6 +178,33 @@ def test_engine_stats_telemetry(rng):
     assert 0.0 < st["chunk_utilization"] <= 1.0
 
 
+def test_engine_with_tp_sharded_params(rng):
+    """Distributed serving: the engine with megatron-TP/fsdp-sharded
+    params on the virtual mesh produces the same transcripts as with
+    unsharded params — NamedShardings propagate through stage/install/
+    decode_chunk while the slot pool stays replicated (what cli.decode
+    promises for decode.engine_slots under a mesh)."""
+    from avsr_tpu.core.config import MeshConfig
+    from avsr_tpu.mesh.sharding import build_mesh, shard_params
+
+    cfg, tok, params = _setup()
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(8000)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i in range(3)
+    ]
+
+    eng = ServingEngine(params, cfg, tok, num_slots=2, max_new_tokens=6,
+                        k_steps=3)
+    ref = eng.transcribe(samples)
+
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=2, sp=1, tp=2))
+    sharded = shard_params(params, mesh)
+    eng2 = ServingEngine(sharded, cfg, tok, num_slots=2, max_new_tokens=6,
+                         k_steps=3)
+    assert eng2.transcribe(samples) == ref
+
+
 def test_engine_av_modality(rng):
     """Engine admits audio+video requests too (encode handles modality from
     the config; slots are modality-agnostic rows)."""

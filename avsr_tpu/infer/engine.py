@@ -33,6 +33,7 @@ a standalone ``generate_tokens`` call — tested in tests/test_engine.py.
 from __future__ import annotations
 
 import functools
+from collections import deque
 from dataclasses import dataclass
 
 import jax
@@ -224,13 +225,17 @@ class _Staged:
 
 
 class ServingEngine:
-    """Offline continuous-batching driver over a fixed pool of S slots.
+    """Continuous-batching driver over a fixed pool of S slots.
 
-    ``transcribe(samples)`` returns each request's generated ids (EOS
-    included, as generate_tokens reports lengths). Requests are admitted
-    in order as slots free up; decode proceeds in K-token chunks across
-    whatever is resident — short utterances leave early, long ones keep
-    their slot, the batch never drains to refill.
+    Online interface: :meth:`submit` enqueues a request (with its own
+    budget/temperature/top_p) at any time — including while earlier
+    requests are mid-decode — and :meth:`step` advances the pool by one
+    schedule iteration (refill from staged prefills, one K-token decode
+    chunk, one sync), returning whichever requests finished. Offline
+    convenience: :meth:`transcribe` submits a whole list and steps until
+    done, returning generated ids in input order (EOS included, as
+    generate_tokens reports lengths). Short utterances leave early, long
+    ones keep their slot, the batch never drains to refill.
     """
 
     def __init__(self, params: Params, cfg: AVSRConfig, tok, *,
@@ -272,6 +277,12 @@ class ServingEngine:
         self._rng_calls = 0        # fold counter: unique subkey per call
         self._pending_admits: list = []    # (group, tok0_dev) awaiting sync
         self._staged: _Staged | None = None    # at most one staged batch
+        # online request queue: (req_id, sample, budget, temp, top_p),
+        # FIFO; req ids are monotonically increasing submit order
+        self._queue: deque = deque()
+        self._next_req = 0
+        self._outstanding: set[int] = set()
+        self._finished: dict[int, list[int]] = {}   # awaiting collection
         # telemetry
         self.chunks_run = 0        # decode_chunk invocations
         self.stages_run = 0        # stage (batched prefill) invocations
@@ -349,25 +360,21 @@ class ServingEngine:
         self._pending_admits.append((group, t0_dev))
         self.installs_run += 1
 
-    def _refill(self, queue: list, budgets, temps_l, tops_l) -> None:
+    def _refill(self) -> None:
         """Fill every free slot from staged rows, staging new batches from
-        the queue as needed, then stage ONE batch ahead so its prefill
-        overlaps the coming decode chunks. Stage widths and install group
-        sizes are power-of-2 (bounded trace count)."""
+        the request queue as needed, then stage ONE batch ahead so its
+        prefill overlaps the coming decode chunks. Stage widths and
+        install group sizes are power-of-2 (bounded trace count)."""
         free = [s for s in range(self.S) if self.slots[s].req is None]
+        q = self._queue
 
         def stage_next() -> None:
-            w = 1 << (min(self.S, len(queue)).bit_length() - 1)
-            group = []
-            for _ in range(w):
-                req, sample = queue.pop()
-                group.append((req, sample, budgets[req],
-                              temps_l[req], tops_l[req]))
-            self._stage_group(group)
+            w = 1 << (min(self.S, len(q)).bit_length() - 1)
+            self._stage_group([q.popleft() for _ in range(w)])
 
         while free:
             if self._staged is None or self._staged.remaining == 0:
-                if not queue:
+                if not q:
                     break
                 stage_next()
             g = 1 << (min(len(free), self._staged.remaining)
@@ -376,7 +383,7 @@ class ServingEngine:
             free = free[g:]
             if self._staged.remaining == 0:
                 self._staged = None        # staging buffer freed
-        if (self._staged is None or self._staged.remaining == 0) and queue:
+        if (self._staged is None or self._staged.remaining == 0) and q:
             stage_next()                   # prefill-ahead behind the chunk
 
     def _sync(self, extra=None):
@@ -443,6 +450,89 @@ class ServingEngine:
         self.chunks_run = self.stages_run = self.installs_run = 0
         self.requests_done = self.tokens_emitted = 0
 
+    # -- online API ------------------------------------------------------
+
+    def submit(self, sample: Sample, *, max_new: int | None = None,
+               temperature: float = 0.0, top_p: float = 1.0) -> int:
+        """Enqueue one request — at any time, including mid-decode — and
+        return its id. ``temperature <= 0`` decodes greedily; a sampled
+        submission switches the pool to the sampling trace (greedy rows
+        within it still take exact argmax, and the flag stays on until
+        the pool drains and an all-greedy workload resets it)."""
+        rid = self._next_req
+        self._next_req += 1
+        if temperature > 0.0:
+            self._sampling = True
+        self._queue.append((rid, sample, max_new or self.max_new,
+                            float(temperature), float(top_p)))
+        self._outstanding.add(rid)
+        return rid
+
+    def outstanding(self) -> int:
+        """Requests submitted but not yet finished (queued + staged +
+        resident)."""
+        return len(self._outstanding)
+
+    def step(self) -> dict[int, list[int]]:
+        """One schedule iteration: harvest slots finished by the previous
+        chunk, refill free ones from staged prefill rows (install = pure
+        scatter; prefill compute runs ahead, MXU-wide, overlapped with
+        earlier chunks), run one K-token decode chunk, sync. Returns the
+        requests that finished this step ({req_id: generated ids})."""
+        finished: dict[int, list[int]] = {}
+
+        def harvest(slot: int) -> None:
+            st = self.slots[slot]
+            ids = st.tokens[: st.budget]
+            finished[st.req] = ids
+            self._finished[st.req] = ids
+            self._outstanding.discard(st.req)
+            self.requests_done += 1
+            self.tokens_emitted += len(ids)
+            self.slots[slot] = _Slot()
+
+        for s in range(self.S):
+            st = self.slots[s]
+            if self.done[s] and st.req is not None:
+                if (self.tok.eos_id in st.tokens
+                        or len(st.tokens) >= st.budget):
+                    harvest(s)
+        self._refill()
+        if (all(st.req is None for st in self.slots)
+                and not self._pending_admits):
+            return finished                          # pool is idle
+        (self.cache, self.cur_lens, self.last_tok, self.done,
+         out) = decode_chunk(
+            self.params, self.cfg.model, self.cache, self.cur_lens,
+            self.last_tok, self.done, self.slot_temps, self.slot_tops,
+            self._next_key(), k_steps=self.k_steps,
+            eos_id=self.tok.eos_id, sampling=self._sampling,
+            compute_dtype=self.cfg.runtime.compute_dtype)
+        self.chunks_run += 1
+        # the ONLY blocking point per chunk: admissions' first tokens,
+        # slot state, and the chunk's tokens come back in one fetch
+        toks = self._sync(out)
+        for s, st in enumerate(self.slots):
+            if st.req is None:
+                continue
+            for t in toks[s]:
+                if len(st.tokens) >= st.budget:
+                    break
+                if st.tokens and st.tokens[-1] == self.tok.eos_id:
+                    break
+                st.tokens.append(int(t))
+            # budget exhausted: free the slot even without EOS
+            if (len(st.tokens) >= st.budget
+                    or st.tokens[-1] == self.tok.eos_id):
+                self.done[s] = True
+        return finished
+
+    def collect(self, req_id: int) -> list[int] | None:
+        """Pop a finished request's ids (None if not finished yet)."""
+        return self._finished.pop(req_id, None)
+
+    # -- offline convenience ---------------------------------------------
+
     def transcribe(self, samples,
                    max_new_per_request: list[int] | None = None,
                    temperature_per_request: list[float] | None = None,
@@ -456,62 +546,18 @@ class ServingEngine:
         give each request its own sampling knobs (temperature <= 0 =
         greedy); a workload with any sampled request uses the sampling
         decode trace, and greedy rows within it still take exact argmax."""
-        queue = list(enumerate(samples))
-        results: dict[int, list[int]] = {}
-        n_req = len(queue)
+        n_req = len(samples)
         budgets = max_new_per_request or [self.max_new] * n_req
         temps_l = temperature_per_request or [0.0] * n_req
         tops_l = top_p_per_request or [1.0] * n_req
-        self._sampling = any(t > 0.0 for t in temps_l)
-        queue.reverse()                              # pop() = FIFO
-
-        def harvest(slot: int) -> None:
-            st = self.slots[slot]
-            if st.req is not None:
-                results[st.req] = st.tokens[: st.budget]
-                self.slots[slot] = _Slot()
-
-        while len(results) < n_req:
-            # harvest finished slots, then refill free ones from staged
-            # prefill rows (install = pure scatter; prefill compute runs
-            # ahead, MXU-wide, overlapped with earlier chunks)
-            for s in range(self.S):
-                st = self.slots[s]
-                if self.done[s] and st.req is not None:
-                    if (self.tok.eos_id in st.tokens
-                            or len(st.tokens) >= st.budget):
-                        harvest(s)
-            self._refill(queue, budgets, temps_l, tops_l)
-            if (all(st.req is None for st in self.slots)
-                    and not self._pending_admits):
-                continue                             # everything harvested
-            (self.cache, self.cur_lens, self.last_tok, self.done,
-             out) = decode_chunk(
-                self.params, self.cfg.model, self.cache, self.cur_lens,
-                self.last_tok, self.done, self.slot_temps, self.slot_tops,
-                self._next_key(), k_steps=self.k_steps,
-                eos_id=self.tok.eos_id, sampling=self._sampling,
-                compute_dtype=self.cfg.runtime.compute_dtype)
-            self.chunks_run += 1
-            # the ONLY blocking point per chunk: admissions' first tokens,
-            # slot state, and the chunk's tokens come back in one fetch
-            toks = self._sync(out)
-            for s, st in enumerate(self.slots):
-                if st.req is None:
-                    continue
-                for t in toks[s]:
-                    if len(st.tokens) >= st.budget:
-                        break
-                    if st.tokens and st.tokens[-1] == self.tok.eos_id:
-                        break
-                    st.tokens.append(int(t))
-                # budget exhausted: free the slot even without EOS
-                if (len(st.tokens) >= st.budget
-                        or st.tokens[-1] == self.tok.eos_id):
-                    self.done[s] = True
-        self.requests_done += n_req
-        self.tokens_emitted += sum(len(results[i]) for i in range(n_req))
-        return [results[i] for i in range(n_req)]
+        if not self._outstanding:        # idle pool: trace flag resets to
+            self._sampling = False       # what this workload needs
+        ids = [self.submit(s, max_new=b, temperature=t, top_p=p)
+               for s, b, t, p in zip(samples, budgets, temps_l, tops_l)]
+        want = set(ids)
+        while want & self._outstanding:
+            self.step()
+        return [self._finished.pop(i) for i in ids]
 
     def stats(self) -> dict:
         """Serving telemetry across this engine's lifetime. Chunk

@@ -155,6 +155,32 @@ def test_engine_per_request_sampling(rng):
     assert any(run(s)[1] != greedy1 for s in range(1, 6))
 
 
+def test_engine_online_submit_step(rng):
+    """Online serving API: requests submitted MID-DECODE (after earlier
+    ones already ran chunks) still come back token-exact vs standalone
+    decode; step() returns finishes incrementally and collect() pops."""
+    cfg, tok, params = _setup()
+    mk = lambda i, n: Sample(
+        f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+        None, "", [tok.eos_id])
+    first = [mk(0, 8000), mk(1, 12000)]
+    late = [mk(2, 6400), mk(3, 16000), mk(4, 8000)]
+
+    eng = ServingEngine(params, cfg, tok, num_slots=2, max_new_tokens=7,
+                        k_steps=2)
+    ids = [eng.submit(s) for s in first]
+    eng.step()                                   # first chunk in flight
+    ids += [eng.submit(s) for s in late]         # arrive mid-decode
+    finished = {}
+    while eng.outstanding():
+        finished.update(eng.step())
+    assert set(finished) == set(ids)
+    for i, sample in zip(ids, first + late):
+        assert finished[i] == _reference_decode(cfg, tok, params, sample, 7)
+        assert eng.collect(i) == finished[i]
+        assert eng.collect(i) is None            # popped
+
+
 def test_engine_stats_telemetry(rng):
     """stats() accounting: every request completes, token counts match the
     returned transcripts, chunk utilization is in (0, 1], and warmup work

@@ -468,12 +468,6 @@ class AVSRConfig:
                 "decode.engine_slots (continuous batching) decodes slot by "
                 "slot (greedy or per-request sampling) — incompatible with "
                 "num_beams>1; use static batches for beam search")
-        if self.decode.engine_slots > 0 and self.decode.kv_cache_dtype == "int8":
-            raise ValueError(
-                "decode.engine_slots keeps a live float slot cache that is "
-                "rewritten on every admission; int8 kv_cache_dtype "
-                "quantizes once at prefill and is incompatible — use it "
-                "with static batches")
         if self.decode.stream_block_s > 0 and self.decode.kv_cache_dtype == "int8":
             raise ValueError(
                 "decode.stream_block_s (blockwise streaming) keeps a live "

@@ -68,8 +68,8 @@ def _slot_sample(logits: jax.Array, temps: jax.Array, top_ps: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "cache_len", "cache_dtype", "sampling",
-                     "compute_dtype", "use_pallas"))
+    static_argnames=("model_cfg", "cache_len", "cache_dtype", "quantize",
+                     "sampling", "compute_dtype", "use_pallas"))
 def stage(
     params: Params,
     model_cfg: ModelConfig,
@@ -80,6 +80,8 @@ def stage(
     *,
     cache_len: int,                # M — must match the slot cache width
     cache_dtype: str = "bfloat16",
+    quantize: bool = False,        # int8 slot cache: quantize staged rows
+                                   # with per-(layer, row, kv-head) scales
     sampling: bool = False,        # static: all-greedy workloads skip the
                                    # per-step top-p sort entirely
     compute_dtype: str = "bfloat16",
@@ -112,8 +114,14 @@ def stage(
         tok0 = _slot_sample(logits.astype(jnp.float32), temps, top_ps, rng)
     else:
         tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    cdt = jnp.dtype(cache_dtype)
-    rows = L.KVCache(rows.k.astype(cdt), rows.v.astype(cdt))
+    if quantize:
+        # identical per-row math to generate's post-prefill quantize_cache
+        # (scales are per-(l, row, h)), so int8 engine transcripts match
+        # the int8 static path token for token
+        rows = L.quantize_cache(rows)
+    else:
+        cdt = jnp.dtype(cache_dtype)
+        rows = L.KVCache(rows.k.astype(cdt), rows.v.astype(cdt))
     return rows, tok0, plens.astype(jnp.int32)
 
 
@@ -140,11 +148,15 @@ def install(
     # single advanced index on dim 1 stays in place: target [L, G, ...]
     k = cache.k.at[:, slots].set(rows.k[:, idxs])
     v = cache.v.at[:, slots].set(rows.v[:, idxs])
+    ks, vs = cache.k_scale, cache.v_scale
+    if rows.quantized:       # int8 slot cache: per-slot scales ride along
+        ks = ks.at[:, slots].set(rows.k_scale[:, idxs])
+        vs = vs.at[:, slots].set(rows.v_scale[:, idxs])
     t0 = tok0[idxs]
     cur_lens = cur_lens.at[slots].set(plens[idxs])
     last_tok = last_tok.at[slots].set(t0)
     done = done.at[slots].set((t0 == eos_id) | (budgets <= 1))
-    return L.KVCache(k, v), cur_lens, last_tok, done, t0
+    return L.KVCache(k, v, ks, vs), cur_lens, last_tok, done, t0
 
 
 @functools.partial(
@@ -256,9 +268,19 @@ class ServingEngine:
             prompt = len(tok.encode(cfg.model.prompt, add_bos=True))
             cache_len = prompt + cfg.data.audio_buckets[-1] + self.max_new
         self.M = -(-cache_len // 128) * 128
-        dt = jnp.dtype(cfg.runtime.compute_dtype)
         shape = (llm.n_layers, self.S, llm.n_kv_heads, hd, self.M)
-        self.cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        self._kv_int8 = cfg.decode.kv_cache_dtype == "int8"
+        if self._kv_int8:
+            # int8 slot cache halves the decode-loop HBM stream; staged
+            # rows quantize at install with per-slot scales (models.llama
+            # decode writes reuse them), matching the static int8 path
+            sshape = (llm.n_layers, self.S, llm.n_kv_heads, 1, 1)
+            self.cache = L.KVCache(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.bfloat16), jnp.ones(sshape, jnp.bfloat16))
+        else:
+            dt = jnp.dtype(cfg.runtime.compute_dtype)
+            self.cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
         # slot bookkeeping lives on HOST numpy: per-element .at[].set()
         # updates on device arrays cost one dispatch each (~100 tiny
         # dispatches per 32-request run on a high-latency link); shipping
@@ -329,8 +351,10 @@ class ServingEngine:
             jnp.asarray([g[3] for g in group], jnp.float32),
             jnp.asarray([g[4] for g in group], jnp.float32),
             self._next_key(),
-            cache_len=self.M, cache_dtype=str(self.cache.k.dtype),
-            sampling=self._sampling,
+            cache_len=self.M,
+            cache_dtype=(self.cfg.runtime.compute_dtype if self._kv_int8
+                         else str(self.cache.k.dtype)),
+            quantize=self._kv_int8, sampling=self._sampling,
             compute_dtype=self.cfg.runtime.compute_dtype,
             use_pallas=self.cfg.runtime.use_pallas)
         meta = [(req, budget, t, p) for req, _, budget, t, p in group]

@@ -118,9 +118,55 @@ def test_engine_config_validation():
     from avsr_tpu.core.config import load_config
     with pytest.raises(ValueError, match="num_beams"):
         load_config(CFG, ["decode.engine_slots=2", "decode.num_beams=5"])
-    with pytest.raises(ValueError, match="int8"):
-        load_config(CFG, ["decode.engine_slots=2",
-                          "decode.kv_cache_dtype=int8"])
+    # engine + int8 KV is a SUPPORTED combination (install-time row
+    # quantization) — must validate cleanly
+    cfg = load_config(CFG, ["decode.engine_slots=2",
+                            "decode.kv_cache_dtype=int8"])
+    assert cfg.decode.kv_cache_dtype == "int8"
+
+
+def test_engine_int8_kv_matches_static_int8(rng):
+    """decode.kv_cache_dtype=int8 with the engine: staged rows quantize at
+    install with per-slot scales — the same per-row math as generate's
+    post-prefill quantize_cache — so transcripts are token-exact vs the
+    standalone int8 static path."""
+    import dataclasses
+
+    from avsr_tpu.data.loader import (
+        audio_frontend_for,
+        collate,
+        featurize,
+        image_stats_for,
+    )
+
+    cfg, tok, params = _setup()
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, kv_cache_dtype="int8"))
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([8000, 12000, 6400])
+    ]
+
+    def ref_int8(sample, max_new):
+        prompt_ids = tok.encode(cfg.model.prompt, add_bos=True)
+        hb = collate([sample], cfg.data, prompt_ids, tok.pad_id)
+        batch = featurize(hb, cfg.runtime.compute_dtype,
+                          audio_frontend_for(cfg.model),
+                          image_stats_for(cfg.model))
+        out = generate_tokens(params, cfg.model, batch,
+                              max_new_tokens=max_new, eos_id=tok.eos_id,
+                              compute_dtype=cfg.runtime.compute_dtype,
+                              use_pallas=cfg.runtime.use_pallas,
+                              kv_cache_dtype="int8")
+        n = int(out.lengths[0])
+        return [int(t) for t in np.asarray(out.tokens)[0, :n]]
+
+    eng = ServingEngine(params, cfg, tok, num_slots=2, max_new_tokens=6,
+                        k_steps=3)
+    got = eng.transcribe(samples)
+    for i, sample in enumerate(samples):
+        assert got[i] == ref_int8(sample, 6), i
 
 
 def test_engine_per_request_sampling(rng):

@@ -36,6 +36,10 @@ CONNECTOR_TYPES = (
     # the reference's "multimodal_adapter" fusion type
     # (src/utils/config.py:56, :68-70 — declared, never implemented)
     "adapter",
+    # sparse mixture-of-experts projector (TPU-native extension: GShard-style
+    # capacity-based top-k routing, dense one-hot dispatch so every op is an
+    # MXU einsum; experts shard over the mesh "ep" axis)
+    "moe",
 )
 
 
@@ -257,6 +261,13 @@ class ModelConfig:
     perceiver_latents: int = 64           # ref advanced_connectors.py:433
     adapter_dim: int = 256                # ref src/utils/config.py:68
     num_adapter_layers: int = 2           # ref src/utils/config.py:70
+    # MoE connector (connector_type="moe"): GShard-style top-k routing with
+    # a static per-expert capacity; experts shard over mesh.ep.
+    moe_experts: int = 8
+    moe_topk: int = 2
+    moe_capacity_factor: float = 1.25     # capacity = ceil(topk*N/E * factor)
+    moe_aux_weight: float = 0.01          # load-balance loss weight
+    moe_z_weight: float = 1e-3            # router z-loss weight
 
     @property
     def audio_dim(self) -> int:
@@ -327,13 +338,18 @@ class MeshConfig:
     fsdp: int = 1                # parameter sharding axis (zero-style)
     tp: int = 1                  # tensor parallel over ICI
     sp: int = 1                  # sequence/context parallel (ring attention)
+    # Expert parallelism: the MoE connector's stacked expert weights shard
+    # over this axis; for every non-MoE op it behaves as an extra data axis
+    # (the batch shards over it), so the dispatch einsum becomes the GShard
+    # all-to-all under SPMD propagation.
+    ep: int = 1
     # GPipe pipeline parallelism over the LLM layer stack (ops.pipeline);
     # training-path only, mutually exclusive with sp for now.
     pp: int = 1
     # Multi-slice data parallel over DCN (slice-to-slice network): only the
     # dp gradient all-reduce crosses DCN; fsdp/sp/tp/pp traffic stays on ICI.
     dcn_dp: int = 1
-    axis_names: tuple[str, ...] = ("dcn", "dp", "fsdp", "sp", "tp", "pp")
+    axis_names: tuple[str, ...] = ("dcn", "dp", "fsdp", "ep", "sp", "tp", "pp")
     remat: bool = True           # jax.checkpoint on transformer blocks
     donate: bool = True
 
@@ -392,6 +408,13 @@ class DecodeConfig:
     # transcript lengths stop head-of-line blocking the batch. Greedy,
     # single-chip.
     engine_slots: int = 0
+    # Speculative decoding (infer.speculative): a quantized self-draft
+    # proposes spec_gamma tokens per full-model verify pass. Greedy-only
+    # (temperature must be 0, num_beams 1); output is token-identical to
+    # plain greedy — only the tokens/s changes.
+    speculative: bool = False
+    spec_gamma: int = 4
+    spec_draft_bits: int = 8            # 4 | 8 (weight-only self-draft)
 
 
 @dataclass(frozen=True)
@@ -419,12 +442,46 @@ class AVSRConfig:
             raise ValueError(
                 f"connector_type={self.model.connector_type!r} fuses audio+video and "
                 f"requires modality='both' (got {self.model.modality!r})")
+        if self.model.connector_type == "moe":
+            if self.model.moe_topk < 1 or self.model.moe_topk > self.model.moe_experts:
+                raise ValueError(
+                    f"moe_topk must be in [1, moe_experts={self.model.moe_experts}], "
+                    f"got {self.model.moe_topk}")
+            if self.model.moe_capacity_factor <= 0:
+                raise ValueError("moe_capacity_factor must be > 0")
+        if self.mesh.ep > 1:
+            if self.model.connector_type != "moe":
+                raise ValueError(
+                    "mesh.ep > 1 requires connector_type='moe' (the ep axis "
+                    "shards MoE experts; with any other connector it would "
+                    "silently act as extra data parallelism)")
+            if self.model.moe_experts % self.mesh.ep != 0:
+                raise ValueError(
+                    f"moe_experts={self.model.moe_experts} must divide evenly "
+                    f"over mesh.ep={self.mesh.ep}")
         if self.model.use_4bit and self.model.use_8bit:
             raise ValueError("use_4bit and use_8bit are mutually exclusive")
         if self.decode.lm_head_bits not in (0, 4, 8):
             raise ValueError("decode.lm_head_bits must be 0, 4 or 8")
         if self.decode.kv_cache_dtype not in ("bfloat16", "int8"):
             raise ValueError("decode.kv_cache_dtype must be bfloat16|int8")
+        if self.decode.speculative:
+            if self.decode.num_beams > 1 or self.decode.temperature > 0.0:
+                raise ValueError(
+                    "decode.speculative is greedy-only: requires "
+                    "num_beams=1 and temperature=0")
+            if self.decode.spec_draft_bits not in (4, 8):
+                raise ValueError("decode.spec_draft_bits must be 4 or 8")
+            if self.decode.spec_gamma < 1:
+                raise ValueError("decode.spec_gamma must be >= 1")
+            if self.decode.kv_cache_dtype != "bfloat16":
+                raise ValueError(
+                    "decode.speculative needs kv_cache_dtype=bfloat16 "
+                    "(the verify pass extends a bf16 cache in place)")
+            if self.decode.engine_slots:
+                raise ValueError(
+                    "decode.speculative and engine_slots are mutually "
+                    "exclusive (the engine has its own decode loop)")
         if self.model.audio_encoder not in ("whisper", "hubert", "wav2vec2"):
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "

@@ -4,7 +4,7 @@ The reference is strictly single-device (SURVEY.md §2.4: no DDP/FSDP/TP
 anywhere; train.py:149 picks one GPU). Here parallelism is first-class and
 declarative:
 
-  * mesh axes ``(dcn, dp, fsdp, sp, tp, pp)`` (MeshConfig; dp inferred
+  * mesh axes ``(dcn, dp, fsdp, ep, sp, tp, pp)`` (MeshConfig; dp inferred
     from the device count by default);
   * **dp** — batch data parallel: the microbatch axis is sharded, gradients
     are averaged by pjit-inserted all-reduces;
@@ -19,6 +19,9 @@ declarative:
   * **pp** — GPipe pipeline parallelism over the LLM layer stack
     (ops.pipeline): stages hold layer slices, microbatches stream between
     neighbors with ppermute;
+  * **ep** — expert parallelism for the MoE connector: stacked expert
+    weights shard over ep; the batch also shards over ep, so the dense
+    GShard dispatch/combine einsums lower to all-to-alls under SPMD;
   * **dcn** — multi-slice data parallel over the inter-slice network.
 
 Everything is expressed as PartitionSpec rules over parameter *paths*; pjit
@@ -46,8 +49,8 @@ log = logging.getLogger("avsr.mesh")
 # ---------------------------------------------------------------------------
 
 def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
-    """Axes ("dcn", "dp", "fsdp", "sp", "tp", "pp"). With ``dcn_dp > 1`` the
-    outermost axis spans TPU slices (multi-slice data parallel): device
+    """Axes ("dcn", "dp", "fsdp", "ep", "sp", "tp", "pp"). With ``dcn_dp > 1``
+    the outermost axis spans TPU slices (multi-slice data parallel): device
     order comes from ``mesh_utils.create_hybrid_device_mesh`` so that only
     the dcn gradient all-reduce rides the slow DCN links, every other
     collective stays on intra-slice ICI. On hosts without slice topology
@@ -55,14 +58,14 @@ def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     fsdp, tp, sp = max(cfg.fsdp, 1), max(cfg.tp, 1), max(cfg.sp, 1)
-    pp = max(cfg.pp, 1)
+    pp, ep = max(cfg.pp, 1), max(cfg.ep, 1)
     dcn = max(cfg.dcn_dp, 1)
-    dp = cfg.dp if cfg.dp > 0 else n // (dcn * fsdp * sp * tp * pp)
-    if dcn * dp * fsdp * sp * tp * pp != n:
+    dp = cfg.dp if cfg.dp > 0 else n // (dcn * fsdp * ep * sp * tp * pp)
+    if dcn * dp * fsdp * ep * sp * tp * pp != n:
         raise ValueError(
-            f"mesh {dcn}x{dp}x{fsdp}x{sp}x{tp}x{pp} != {n} devices "
+            f"mesh {dcn}x{dp}x{fsdp}x{ep}x{sp}x{tp}x{pp} != {n} devices "
             "(set mesh.dp=-1 to infer)")
-    shape = (dp, fsdp, sp, tp, pp)
+    shape = (dp, fsdp, ep, sp, tp, pp)
     if dcn > 1:
         try:
             from jax.experimental import mesh_utils
@@ -74,9 +77,9 @@ def build_mesh(cfg: MeshConfig, devices=None) -> Mesh:
             arr = np.asarray(devices).reshape((dcn,) + shape)
     else:
         arr = np.asarray(devices).reshape((1,) + shape)
-    mesh = Mesh(arr, axis_names=("dcn", "dp", "fsdp", "sp", "tp", "pp"))
-    log.info("mesh: dcn=%d dp=%d fsdp=%d sp=%d tp=%d pp=%d over %d devices",
-             dcn, dp, fsdp, sp, tp, pp, n)
+    mesh = Mesh(arr, axis_names=("dcn", "dp", "fsdp", "ep", "sp", "tp", "pp"))
+    log.info("mesh: dcn=%d dp=%d fsdp=%d ep=%d sp=%d tp=%d pp=%d over %d "
+             "devices", dcn, dp, fsdp, ep, sp, tp, pp, n)
     return mesh
 
 
@@ -96,6 +99,12 @@ _PARAM_RULES: list[tuple[str, P]] = [
     (r"\bembed$",                           P("tp", "fsdp")),   # vocab-sharded
     (r"\blm_head/(w|qw|qw4h)$",              P("fsdp", "tp")),
     (r"\blm_head/scale$",                   P("tp")),
+    # MoE connector: stacked expert weights [E, d, h]/[E, h, d] shard E over
+    # ep (fsdp takes the wide hidden dim); the router stays replicated so
+    # every token scores every expert locally.
+    (r"\bexperts/w1$",                      P("ep", None, "fsdp")),
+    (r"\bexperts/w2$",                      P("ep", "fsdp", None)),
+    (r"\bexperts/b[12]$",                   P("ep", None)),
     (r"\bconv[12]/w$",                      P(None, None, None)),
     (r"\bpatch/w$",                         P(None, "tp")),
     (r"\b(inp|out|mid|res|proj_a|proj_v)/w$", P(None, None)),
@@ -162,12 +171,13 @@ def shard_state(state, mesh: Mesh):
 
 def batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
     """Shard [accum, micro, ...] batch leaves: micro axis over the data
-    axes (dcn, dp, fsdp) — each slice gets its own shard; gradients are
-    all-reduced over dcn by pjit."""
+    axes (dcn, dp, fsdp, ep) — each slice gets its own shard; gradients are
+    all-reduced over dcn by pjit. ep counts as a data axis for every dense
+    op; only the MoE dispatch einsum exchanges tokens across it."""
     def put(x):
         if not hasattr(x, "ndim") or x.ndim < 2:
             return jax.device_put(x, NamedSharding(mesh, P()))
-        spec = P(None, ("dcn", "dp", "fsdp"))
+        spec = P(None, ("dcn", "dp", "fsdp", "ep"))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def shard(batch):
@@ -184,7 +194,7 @@ def infer_batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
     case logs a loud warning instead of silently degrading (round-1 judge
     weak #3: a batch-size typo must not quietly cost the whole mesh)."""
     ways = 1
-    for ax in ("dcn", "dp", "fsdp"):
+    for ax in ("dcn", "dp", "fsdp", "ep"):
         ways *= dict(mesh.shape).get(ax, 1)
 
     def put(x):
@@ -197,7 +207,7 @@ def infer_batch_sharder(mesh: Mesh) -> Callable[[Any], Any]:
                     "multiple of %d.", tuple(x.shape), ways, ways)
             return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(
-            x, NamedSharding(mesh, P(("dcn", "dp", "fsdp"))))
+            x, NamedSharding(mesh, P(("dcn", "dp", "fsdp", "ep"))))
 
     def shard(batch):
         return jax.tree_util.tree_map(put, batch)
@@ -219,6 +229,7 @@ def shard_train_step(cfg: AVSRConfig, tx, mesh: Mesh):
     # threaded into the steps so the sp axis can run ring attention
     # (ops.ring_attention) inside the forward.
     shape = dict(mesh.shape)
-    need = shape.get("sp", 1) > 1 or shape.get("pp", 1) > 1
+    need = (shape.get("sp", 1) > 1 or shape.get("pp", 1) > 1
+            or shape.get("ep", 1) > 1)
     step_mesh = mesh if need else None
     return make_train_step(cfg, tx, step_mesh), make_eval_step(cfg, step_mesh)

@@ -61,6 +61,9 @@ class Batch(NamedTuple):
 class EncodeOut(NamedTuple):
     features: jax.Array                   # [B, Tf, d_llm]
     lengths: jax.Array                    # [B]
+    # Auxiliary scalar losses surfaced by the connector (the MoE connector's
+    # load-balance / z losses); empty for every dense connector.
+    aux: dict = {}
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +181,13 @@ def encode(
     conn = get_connector(cfg.connector_type)
     audio_feat = audio_lens = video_feat = video_lens = None
 
+    def conn_out(ret):
+        """Connector applies return (y, lens) or (y, lens, aux_losses)."""
+        if len(ret) == 3:
+            return ret
+        y, lens = ret
+        return y, lens, {}
+
     if cfg.modality in ("audio", "both"):
         if cfg.audio_encoder == "whisper":
             feats, alens = whisper_encoder_apply(
@@ -233,33 +243,37 @@ def encode(
                       if batch.frame_lens is not None
                       else jnp.full((vfeats.shape[0],), vfeats.shape[1], jnp.int32))
 
+    ckw = dict(use_pallas=use_pallas, model_cfg=cfg, mesh=mesh)
     if conn.dual:
-        out, lens = conn.apply(params["connector"], audio_feat, video_feat,
-                               audio_lens, video_lens, use_pallas=use_pallas)
-        return _cap_seq(EncodeOut(out, lens), cfg.max_seq_len)
+        out, lens, aux = conn_out(conn.apply(
+            params["connector"], audio_feat, video_feat,
+            audio_lens, video_lens, **ckw))
+        return _cap_seq(EncodeOut(out, lens, aux), cfg.max_seq_len)
 
     if cfg.modality == "audio":
-        out, lens = conn.apply(params["audio_connector"], audio_feat,
-                               audio_lens, use_pallas=use_pallas)
-        return _cap_seq(EncodeOut(out, lens), cfg.max_seq_len)
+        out, lens, aux = conn_out(conn.apply(
+            params["audio_connector"], audio_feat, audio_lens, **ckw))
+        return _cap_seq(EncodeOut(out, lens, aux), cfg.max_seq_len)
     if cfg.modality == "video":
-        out, lens = conn.apply(params["video_connector"], video_feat,
-                               video_lens, use_pallas=use_pallas)
-        return _cap_seq(EncodeOut(out, lens), cfg.max_seq_len)
+        out, lens, aux = conn_out(conn.apply(
+            params["video_connector"], video_feat, video_lens, **ckw))
+        return _cap_seq(EncodeOut(out, lens, aux), cfg.max_seq_len)
 
     # modality == "both", single-input connectors
-    a_out, a_lens2 = conn.apply(params["audio_connector"], audio_feat,
-                                audio_lens, use_pallas=use_pallas)
-    v_out, v_lens2 = conn.apply(params["video_connector"], video_feat,
-                                video_lens, use_pallas=use_pallas)
+    a_out, a_lens2, a_aux = conn_out(conn.apply(
+        params["audio_connector"], audio_feat, audio_lens, **ckw))
+    v_out, v_lens2, v_aux = conn_out(conn.apply(
+        params["video_connector"], video_feat, video_lens, **ckw))
+    # two single-input connectors -> average their aux losses
+    aux = {k: 0.5 * (a_aux[k] + v_aux[k]) for k in a_aux}
     if cfg.fusion_mode == "concat_seq":
         packed, total, _ = pack_segments([(a_out, a_lens2), (v_out, v_lens2)])
-        return _cap_seq(EncodeOut(packed, total), cfg.max_seq_len)
+        return _cap_seq(EncodeOut(packed, total, aux), cfg.max_seq_len)
     # weighted_sum (ref :424-435): align video onto the audio time grid, then
     # fusion_scale * audio + (1 - fusion_scale) * video.
     v_up = _upsample_to(v_out, v_lens2, a_out.shape[1], a_lens2)
     fused = cfg.fusion_scale * a_out + (1.0 - cfg.fusion_scale) * v_up
-    return _cap_seq(EncodeOut(fused, a_lens2), cfg.max_seq_len)
+    return _cap_seq(EncodeOut(fused, a_lens2, aux), cfg.max_seq_len)
 
 
 def _cap_seq(enc: EncodeOut, max_seq_len: int) -> EncodeOut:
@@ -270,7 +284,7 @@ def _cap_seq(enc: EncodeOut, max_seq_len: int) -> EncodeOut:
     if enc.features.shape[1] <= max_seq_len:
         return enc
     return EncodeOut(enc.features[:, :max_seq_len],
-                     jnp.minimum(enc.lengths, max_seq_len))
+                     jnp.minimum(enc.lengths, max_seq_len), enc.aux)
 
 
 # ---------------------------------------------------------------------------
@@ -356,8 +370,18 @@ def forward(
 
     correct = (jnp.argmax(logits, axis=-1) == targets)
     acc = jnp.sum(correct * mask) / n_tokens
-    return loss, {"loss": loss, "accuracy": acc, "label_tokens": n_tokens,
-                  "feat_len_mean": jnp.mean(enc.lengths.astype(jnp.float32))}
+    metrics = {"loss": loss, "accuracy": acc, "label_tokens": n_tokens,
+               "feat_len_mean": jnp.mean(enc.lengths.astype(jnp.float32))}
+    # MoE router auxiliaries: weighted into the optimized loss so the
+    # router learns balanced dispatch (metrics keep the raw values).
+    if "moe_lb" in enc.aux:
+        aux_loss = (cfg.moe_aux_weight * enc.aux["moe_lb"]
+                    + cfg.moe_z_weight * enc.aux["moe_z"])
+        loss = loss + aux_loss.astype(loss.dtype)
+        metrics["moe_lb"] = enc.aux["moe_lb"]
+        metrics["moe_z"] = enc.aux["moe_z"]
+        metrics["loss"] = loss
+    return loss, metrics
 
 
 # ---------------------------------------------------------------------------

@@ -415,6 +415,136 @@ def adapter_apply(p: Params, audio: jax.Array, video: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# moe (single-input): sparse mixture-of-experts projector — TPU-native
+# extension beyond the reference's 8 connector types. GShard-style top-k
+# routing with a *static* per-expert capacity so every step of the dispatch
+# is a dense one-hot einsum the MXU can tile: no scatter, no dynamic shapes,
+# no host round-trips. Expert weights are stacked [E, ...] and shard over
+# the mesh "ep" axis (mesh/sharding.py rules); with the batch also sharded
+# over ep, XLA's SPMD partitioner lowers the dispatch/combine einsums to the
+# classic all-to-all exchange.
+# ---------------------------------------------------------------------------
+
+_MOE_LAYERS = 2
+
+
+def _moe_capacity(n_tokens: int, n_experts: int, topk: int,
+                  factor: float) -> int:
+    """Static per-expert slot count, rounded up to a lane-friendly multiple
+    of 8. Computed from trace-time shapes — jit-safe."""
+    import math
+
+    c = int(math.ceil(topk * n_tokens * factor / n_experts))
+    return max(8, (c + 7) // 8 * 8)
+
+
+def moe_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    E = cfg.moe_experts
+    hid = d_out * cfg.connector_hidden_mult
+    keys = jax.random.split(key, _MOE_LAYERS + 1)
+    blocks = []
+    for i in range(_MOE_LAYERS):
+        kr, k1, k2 = jax.random.split(keys[i], 3)
+        blocks.append({
+            "ln": norm_init(d_out, dtype=dtype),
+            "router": {"w": normal_init(kr, (d_out, E), std=d_out ** -0.5,
+                                        dtype=dtype)},
+            "experts": {
+                "w1": normal_init(k1, (E, d_out, hid), std=d_out ** -0.5,
+                                  dtype=dtype),
+                "b1": jnp.zeros((E, hid), dtype),
+                "w2": normal_init(k2, (E, hid, d_out), std=hid ** -0.5,
+                                  dtype=dtype),
+                "b2": jnp.zeros((E, d_out), dtype),
+            },
+        })
+    return {"inp": dense_init(keys[-1], d_in, d_out, dtype=dtype),
+            "blocks": blocks}
+
+
+def _moe_block(blk: Params, x: jax.Array, valid: jax.Array, topk: int,
+               cap_factor: float, mesh) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One residual MoE-FFN over [B, T, d]. Returns (y, lb_loss, z_loss).
+
+    Dense dispatch: tokens flatten to [N, d]; top-k expert choices become a
+    [N, E, C] one-hot dispatch tensor (slot-major cumsum priority, so every
+    token's 1st choice claims capacity before any token's 2nd). Tokens past
+    capacity are dropped — the residual connection carries them unchanged,
+    the standard GShard overflow semantics."""
+    B, T, d = x.shape
+    E = blk["experts"]["w1"].shape[0]
+    N = B * T
+    C = _moe_capacity(N, E, topk, cap_factor)
+    xf = x.reshape(N, d)
+    vf = valid.reshape(N).astype(jnp.float32)                    # [N]
+
+    # Router in fp32: tiny matmul, and exp/softmax stability matters more
+    # than MXU width here.
+    logits = xf.astype(jnp.float32) @ blk["router"]["w"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                      # [N, E]
+    gate_v, gate_i = jax.lax.top_k(probs, topk)                  # [N, k]
+    gate_v = gate_v / jnp.maximum(gate_v.sum(-1, keepdims=True), 1e-9)
+    gate_v = gate_v * vf[:, None]                                # pad -> 0
+
+    # slot-major flatten: slot 0 of every token precedes any slot 1
+    se = jax.nn.one_hot(gate_i, E, dtype=jnp.float32) * vf[:, None, None]
+    se_f = se.transpose(1, 0, 2).reshape(topk * N, E)            # [kN, E]
+    pos_e = jnp.cumsum(se_f, axis=0) - se_f                      # [kN, E]
+    pos = jnp.sum(pos_e * se_f, axis=-1)                         # [kN]
+    in_cap = (pos < C).astype(jnp.float32)
+    slot = jnp.where(pos < C, pos, 0).astype(jnp.int32)
+    oh_c = jax.nn.one_hot(slot, C, dtype=jnp.float32) * in_cap[:, None]
+    disp_f = se_f[:, :, None] * oh_c[:, None, :]                 # [kN, E, C]
+    gate_f = gate_v.T.reshape(topk * N)
+    comb_f = disp_f * gate_f[:, None, None]
+    dispatch = disp_f.reshape(topk, N, E, C).sum(0)              # [N, E, C]
+    combine = comb_f.reshape(topk, N, E, C).sum(0)               # [N, E, C]
+
+    w1, b1 = blk["experts"]["w1"], blk["experts"]["b1"]
+    w2, b2 = blk["experts"]["w2"], blk["experts"]["b2"]
+    cdt = x.dtype
+    xs = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xf)     # [E, C, d]
+    if mesh is not None and dict(mesh.shape).get("ep", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        xs = jax.lax.with_sharding_constraint(
+            xs, NamedSharding(mesh, P("ep", None, None)))
+    h = gelu(jnp.einsum("ecd,edf->ecf", xs, w1.astype(cdt))
+             + b1[:, None, :].astype(cdt))
+    ys = (jnp.einsum("ecf,efd->ecd", h, w2.astype(cdt))
+          + b2[:, None, :].astype(cdt))
+    y = jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys).reshape(B, T, d)
+
+    # Switch-style load-balance loss on valid tokens: E * sum_e f_e * P_e
+    # (== 1.0 at perfectly uniform routing), plus router z-loss.
+    nvalid = jnp.maximum(vf.sum(), 1.0)
+    f_e = jnp.sum(se[:, 0, :], axis=0) / nvalid                  # top-1 frac
+    p_e = jnp.sum(probs * vf[:, None], axis=0) / nvalid
+    lb = E * jnp.sum(f_e * p_e)
+    z = jnp.sum(jax.nn.logsumexp(logits, axis=-1) ** 2 * vf) / nvalid
+    return y, lb, z
+
+
+def moe_apply(p: Params, x: jax.Array, lengths=None, *,
+              model_cfg: ModelConfig | None = None, mesh=None, **_):
+    if model_cfg is None:
+        raise ValueError("moe connector needs model_cfg threaded into apply")
+    lens = _ident_lens(x, lengths)
+    h = dense(p["inp"], x)
+    valid = jnp.arange(h.shape[1])[None, :] < lens[:, None]
+    lb = jnp.zeros((), jnp.float32)
+    z = jnp.zeros((), jnp.float32)
+    for blk in p["blocks"]:
+        y, blb, bz = _moe_block(blk, layer_norm(blk["ln"], h), valid,
+                                model_cfg.moe_topk,
+                                model_cfg.moe_capacity_factor, mesh)
+        h = h + y
+        lb = lb + blb
+        z = z + bz
+    n = float(len(p["blocks"]))
+    return h, lens, {"moe_lb": lb / n, "moe_z": z / n}
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -433,6 +563,7 @@ def _register():
         ConnectorDef(perceiver_init, perceiver_apply, dual=True))
     CONNECTORS.register("adapter")(
         ConnectorDef(adapter_init, adapter_apply, dual=True))
+    CONNECTORS.register("moe")(ConnectorDef(moe_init, moe_apply))
 
 
 _register()

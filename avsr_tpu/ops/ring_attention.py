@@ -66,7 +66,7 @@ def ring_attention(
     causal: bool = False,
     kv_lens: jax.Array | None = None,
     sm_scale: float | None = None,
-    batch_axes: tuple[str, ...] = ("dcn", "dp", "fsdp"),
+    batch_axes: tuple[str, ...] = ("dcn", "dp", "fsdp", "ep"),
 ) -> jax.Array:
     """Exact attention with the sequence axis sharded over ``axis``.
 

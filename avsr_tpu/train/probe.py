@@ -67,7 +67,8 @@ def find_optimal_batch_size(cfg: AVSRConfig, params, *,
     ways = 1
     if mesh is not None:
         shape = dict(mesh.shape)
-        ways = shape.get("dcn", 1) * shape.get("dp", 1) * shape.get("fsdp", 1)
+        ways = (shape.get("dcn", 1) * shape.get("dp", 1)
+                * shape.get("fsdp", 1) * shape.get("ep", 1))
     def _fits(b: int) -> bool:
         # all probe buffers are frame-local: they free when this returns
         try:

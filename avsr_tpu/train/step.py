@@ -68,20 +68,28 @@ def make_train_step(
 
         grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
 
+        # Extra per-microbatch scalars to surface (MoE router auxiliaries) —
+        # a static, config-determined key set so the scan carry is fixed.
+        extra_keys = (("moe_lb", "moe_z")
+                      if cfg.model.connector_type == "moe" else ())
+
         def micro(carry, inp):
-            grads_sum, loss_sum, acc_sum = carry
+            grads_sum, loss_sum, acc_sum, extra_sum = carry
             mb, mrng, w = inp
             (loss, metrics), grads = grad_fn(train_p, mb, mrng)
             grads_sum = jax.tree_util.tree_map(
                 lambda a, g: a + w * g, grads_sum, grads)
+            extra_sum = {k: extra_sum[k] + w * metrics[k]
+                         for k in extra_keys}
             return (grads_sum, loss_sum + w * loss,
-                    acc_sum + w * metrics["accuracy"]), None
+                    acc_sum + w * metrics["accuracy"], extra_sum), None
 
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), train_p)
         rngs = jax.random.split(rng, accum)
-        (grads, loss, acc), _ = jax.lax.scan(
-            micro, (zero_grads, jnp.zeros(()), jnp.zeros(())),
+        (grads, loss, acc, extras), _ = jax.lax.scan(
+            micro, (zero_grads, jnp.zeros(()), jnp.zeros(()),
+                    {k: jnp.zeros(()) for k in extra_keys}),
             (batch, rngs, weights))
 
         grad_norm = optax.global_norm(grads)
@@ -105,6 +113,7 @@ def make_train_step(
             "accuracy": acc,
             "grad_norm": grad_norm,
             "skipped": (~finite).astype(jnp.float32),
+            **extras,
         }
         return new_state, metrics
 

@@ -10,7 +10,8 @@ from avsr_tpu.core.config import AVSRConfig, load_config, save_config, to_dict
 def test_defaults_load_and_validate():
     cfg = load_config()
     assert cfg.model.modality == "both"
-    assert cfg.mesh.axis_names == ("dcn", "dp", "fsdp", "sp", "tp", "pp")
+    assert cfg.mesh.axis_names == ("dcn", "dp", "fsdp", "ep", "sp", "tp",
+                                   "pp")
 
 
 def test_cli_overrides_win_over_yaml(tmp_path):

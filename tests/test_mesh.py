@@ -34,7 +34,8 @@ pytestmark = pytest.mark.skipif(
 
 def test_build_mesh_infers_dp():
     mesh = build_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
-    assert dict(mesh.shape) == {"dcn": 1, "dp": 2, "fsdp": 2, "sp": 1, "tp": 2, "pp": 1}
+    assert dict(mesh.shape) == {"dcn": 1, "dp": 2, "fsdp": 2, "ep": 1,
+                                "sp": 1, "tp": 2, "pp": 1}
     with pytest.raises(ValueError):
         build_mesh(MeshConfig(dp=3, fsdp=2, tp=2))
 
@@ -100,8 +101,8 @@ def test_build_mesh_dcn_axis():
     from jax.sharding import PartitionSpec as P
 
     mesh = build_mesh(MeshConfig(dp=2, fsdp=1, sp=1, tp=2, dcn_dp=2))
-    assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "fsdp": 1, "sp": 1,
-                                "tp": 2, "pp": 1}
+    assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "fsdp": 1, "ep": 1,
+                                "sp": 1, "tp": 2, "pp": 1}
     # a dcn+dp-sharded reduction still matches the unsharded value
     from avsr_tpu.mesh.sharding import batch_sharder
     x = jnp.arange(8 * 3, dtype=jnp.float32).reshape(1, 8, 3)

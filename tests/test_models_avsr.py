@@ -99,7 +99,7 @@ def test_forward_modalities(rng, modality):
 
 @pytest.mark.parametrize("conn", ["simple", "deep", "conv", "attention",
                                   "adaptive", "cross_modal", "qformer",
-                                  "perceiver", "adapter"])
+                                  "perceiver", "adapter", "moe"])
 def test_forward_all_connectors(rng, conn):
     cfg = tiny_model_cfg(connector_type=conn)
     params = init_avsr_model(jax.random.key(0), cfg)

@@ -102,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
         log.info("engine stats: %s", eng.stats())
         return _summarize(acc, dt, wer_path)
 
+    draft_params = None
+    if cfg.decode.speculative:
+        from avsr_tpu.infer.speculative import make_draft_params
+        draft_params = make_draft_params(
+            params, cfg.model, bits=cfg.decode.spec_draft_bits)
+        log.info("speculative decode: int%d self-draft, gamma=%d",
+                 cfg.decode.spec_draft_bits, cfg.decode.spec_gamma)
+
     seen: set[str] = set()
     with open(results_path, "w") as rf:
         for hb, batch in loader:
@@ -111,7 +119,8 @@ def main(argv: list[str] | None = None) -> int:
             out = generate(params, cfg.model, batch, cfg.decode,
                            eos_id=tok.eos_id, rng=sub,
                            compute_dtype=cfg.runtime.compute_dtype,
-                           use_pallas=cfg.runtime.use_pallas, mesh=mesh)
+                           use_pallas=cfg.runtime.use_pallas, mesh=mesh,
+                           draft_params=draft_params)
             tokens = np.asarray(out.tokens)
             lens = np.asarray(out.lengths)
             for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):

@@ -397,8 +397,21 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
              decode_cfg: DecodeConfig, *, eos_id: int,
              rng: jax.Array | None = None,
              compute_dtype: str = "float32",
-             use_pallas: str = "auto", mesh=None) -> GenOut:
-    """Config-driven dispatch (ref decode.py protocol: greedy default)."""
+             use_pallas: str = "auto", mesh=None,
+             draft_params=None) -> GenOut:
+    """Config-driven dispatch (ref decode.py protocol: greedy default).
+
+    ``draft_params`` activates speculative decoding when
+    ``decode_cfg.speculative`` is set (the caller builds the draft once
+    via infer.speculative.make_draft_params and reuses it per batch)."""
+    if decode_cfg.speculative and draft_params is not None:
+        from avsr_tpu.infer.speculative import speculative_generate
+        return speculative_generate(
+            params, draft_params, model_cfg, batch,
+            gamma=decode_cfg.spec_gamma,
+            max_new_tokens=decode_cfg.max_new_tokens,
+            eos_id=eos_id, compute_dtype=compute_dtype,
+            use_pallas=use_pallas, mesh=mesh)
     if decode_cfg.num_beams > 1:
         return beam_search(
             params, model_cfg, batch,

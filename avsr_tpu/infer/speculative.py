@@ -1,0 +1,228 @@
+"""Lossless speculative decoding: quantized-draft propose, full-model verify.
+
+Serving extension beyond the reference (its decode is strictly one token per
+LLM pass — clip_whisper_model.py:1240-1348 via HF generate). TPU decode at
+small batch is HBM-bandwidth-bound: each step streams every weight byte for
+one token. Speculative decoding converts bandwidth into accepted tokens:
+
+  * a cheap DRAFT model proposes ``gamma`` tokens autoregressively — here
+    the draft is by default the *same* LLM with int8/int4 weight-only
+    quantization (ops.quant), so it streams 2-4x fewer bytes per step and
+    needs no separate training;
+  * the full-precision TARGET verifies all gamma proposals in ONE chunked
+    prefill pass (models.llama.llama_prefill_continue) — gamma+1 positions
+    amortize the full weight read, and the MXU sees a [B, gamma+1] matmul
+    instead of gamma single-row ones;
+  * the longest prefix of proposals matching the target's greedy argmax is
+    accepted, plus the target's own next token (bonus). Output is therefore
+    token-for-token IDENTICAL to plain greedy decoding — the draft only
+    changes speed, never text.
+
+Cache rewind is free by construction: both caches are position-indexed and
+``_gqa_prefill_attention`` masks strictly by base+causal position, so the
+columns written for rejected proposals are dead until overwritten by the
+next iteration's writes at the same positions.
+
+All shapes static; the whole loop is one ``lax.while_loop`` under jit with
+per-sample raggedness (each batch row accepts a different prefix length).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.core.config import ModelConfig
+from avsr_tpu.models import llama as L
+from avsr_tpu.models.avsr import Batch, build_prefix, encode
+from avsr_tpu.models.layers import Params
+
+from avsr_tpu.infer.generate import GenOut
+
+
+def make_draft_params(params: Params, model_cfg: ModelConfig,
+                      bits: int = 8) -> Params:
+    """Build the default self-draft: the same LLM, weight-only quantized.
+
+    int8 halves (int4 quarters) the bytes each draft step streams from HBM;
+    with the verify pass guaranteeing exactness, draft quality only moves
+    the acceptance rate. LoRA deltas are merged first so the draft sees the
+    adapted weights. Encoders/connector are shared with the target (the
+    draft is only consulted for LLM token steps)."""
+    from avsr_tpu.ops.quant import quantize_llm
+
+    llm = params["llm"]
+    if model_cfg.lora.use_lora:
+        llm = L.merge_lora(llm, model_cfg.lora)
+    out = dict(params)
+    out["llm"] = quantize_llm(llm, bits)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "gamma", "max_new_tokens", "eos_id",
+                     "compute_dtype", "use_pallas", "mesh", "draft_lora",
+                     "return_stats"))
+def speculative_generate(
+    params: Params,
+    draft_params: Params,
+    model_cfg: ModelConfig,
+    batch: Batch,
+    *,
+    gamma: int = 4,
+    max_new_tokens: int = 100,
+    eos_id: int = 2,
+    compute_dtype: str = "float32",
+    use_pallas: str = "auto",
+    mesh=None,
+    draft_lora: bool = False,
+    return_stats: bool = False,
+) -> GenOut:
+    """Greedy generation, token-identical to ``generate_tokens`` at
+    temperature 0, in ~1/(accepted+1) as many target passes.
+
+    ``draft_params`` may be ANY params tree exposing the same llm schema
+    (make_draft_params builds the quantized self-draft); correctness never
+    depends on it. ``draft_lora`` applies the LoRA config to the draft's
+    projections too (off for the default draft, which merges LoRA)."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    lora = model_cfg.lora if model_cfg.lora.use_lora else None
+    dlora = lora if draft_lora else None
+    G = gamma
+
+    # ---- target prefill (identical to generate_tokens) -------------------
+    enc = encode(params, model_cfg, batch, compute_dtype=dt,
+                 use_pallas=use_pallas, mesh=mesh)
+    prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
+                                       compute_dtype=dt)
+    B, Tpre = prefix.shape[:2]
+    M = -(-(Tpre + max_new_tokens + G + 2) // 128) * 128
+
+    hidden, t_cache = L.llama_apply(
+        params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
+        lora=lora, compute_dtype=dt, use_pallas=use_pallas,
+        return_cache=True, cache_len=M, output="hidden", mesh=mesh)
+    h_last = jnp.take_along_axis(
+        hidden, (prefix_lens - 1)[:, None, None], axis=1)
+    last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
+
+    # ---- draft prefill: own cache, SAME prefix embeddings ----------------
+    # (the encoders are shared with the target; and correctness never
+    # depends on what the draft conditions on — only the verify pass
+    # decides tokens — so one encode pass serves both models)
+    _, d_cache = L.llama_apply(
+        draft_params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
+        lora=dlora, compute_dtype=dt, use_pallas=use_pallas,
+        return_cache=True, cache_len=M, output="hidden", mesh=mesh)
+
+    P = prefix_lens.astype(jnp.int32)                 # [B] prefix length
+    e0 = jnp.argmax(last, axis=-1).astype(jnp.int32)  # first emitted token
+
+    Tbuf = max_new_tokens + G + 1
+    tokens0 = jnp.full((B, Tbuf), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(e0)
+    out_pos0 = jnp.ones((B,), jnp.int32)
+    done0 = (e0 == eos_id) | (max_new_tokens <= 1)
+    # draft-cache gap: emitted tokens the draft hasn't consumed yet (1 or 2,
+    # always the stream tail) — starts at 1 (just e0)
+    gap0 = jnp.ones((B,), jnp.int32)
+
+    b_idx = jnp.arange(B)
+
+    def cond(carry):
+        _, _, _, done, _, _, _ = carry
+        return ~jnp.all(done)
+
+    def body(carry):
+        tokens, out_pos, gap, done, t_cache, d_cache, iters = carry
+        n = out_pos                                   # emitted so far
+
+        # -- draft phase: catch up the <=2 pending tail tokens in one tiny
+        # chunked prefill, then G-1 single decode steps ---------------------
+        tail_idx = jnp.stack([jnp.maximum(n - 2, 0), n - 1], axis=1)  # [B,2]
+        tail_tok = jnp.take_along_axis(tokens, tail_idx, axis=1)      # [B,2]
+        # gap==1: left-align the single pending token
+        tail_tok = jnp.where(gap[:, None] == 1,
+                             tail_tok[:, ::-1], tail_tok)
+        d_base = P + n - gap
+        emb = L.embed_tokens(draft_params["llm"], tail_tok, dt)
+        dh, d_cache = L.llama_prefill_continue(
+            draft_params["llm"], cfg, x=emb, cache=d_cache,
+            base_lens=d_base, tail_lens=gap, lora=dlora, compute_dtype=dt)
+        dh_last = jnp.take_along_axis(dh, (gap - 1)[:, None, None], axis=1)
+        dlog = L.compute_logits(draft_params["llm"], cfg, dh_last)[:, 0]
+
+        def draft_step(carry, j):
+            dlog, d_cache = carry
+            tok = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
+            demb = L.embed_tokens(draft_params["llm"], tok[:, None], dt)
+            dlog2, d_cache = L.llama_decode_step(
+                draft_params["llm"], cfg, x=demb, cache=d_cache,
+                cur_lens=P + n + j, lora=dlora, compute_dtype=dt)
+            return (dlog2, d_cache), tok
+
+        (_, d_cache), drafts = jax.lax.scan(
+            draft_step, (dlog, d_cache), jnp.arange(G))
+        drafts = drafts.T                              # [B, G]
+
+        # -- verify: one target pass over [e_{n-1}, d_1..d_G] ---------------
+        ver_tok = jnp.concatenate(
+            [jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1), drafts],
+            axis=1)                                    # [B, G+1]
+        vemb = L.embed_tokens(params["llm"], ver_tok, dt)
+        vh, t_cache = L.llama_prefill_continue(
+            params["llm"], cfg, x=vemb, cache=t_cache,
+            base_lens=P + n - 1, tail_lens=jnp.full((B,), G + 1, jnp.int32),
+            lora=lora, compute_dtype=dt)
+        vlog = L.compute_logits(params["llm"], cfg, vh)   # [B, G+1, V]
+        a = jnp.argmax(vlog, axis=-1).astype(jnp.int32)   # [B, G+1]
+
+        # -- accept the longest matching prefix + the bonus token -----------
+        match = (drafts == a[:, :G])                      # [B, G]
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        j = jnp.arange(G + 1)[None, :]
+        cand_ok = j <= m[:, None]                         # accepted window
+        # stop emission after the first EOS inside the window
+        eos_before = jnp.cumsum(
+            ((a == eos_id) & cand_ok).astype(jnp.int32), axis=1) \
+            - ((a == eos_id) & cand_ok).astype(jnp.int32)
+        emit = cand_ok & (eos_before == 0) & ~done[:, None] \
+            & ((n[:, None] + j) < max_new_tokens)
+        n_emit = jnp.sum(emit.astype(jnp.int32), axis=1)  # [B]
+
+        idx = jnp.clip(n[:, None] + j, 0, Tbuf - 1)
+        vals = jnp.where(emit, a,
+                         jnp.take_along_axis(tokens, idx, axis=1))
+        tokens = tokens.at[b_idx[:, None], idx].set(vals)
+
+        emitted_eos = jnp.any(emit & (a == eos_id), axis=1)
+        out_pos = out_pos + n_emit
+        done = done | emitted_eos | (out_pos >= max_new_tokens) \
+            | (n_emit == 0)
+        # Draft-cache gap for the next catch-up: the draft consumed
+        # e_{n-1} and d_1..d_{G-1}, so of the newly emitted tokens it
+        # lacks only the last one (mismatch correction) — except on a
+        # full accept (n_emit == G+1), where a_{G-1}=d_G was never fed
+        # either and two tokens are pending.
+        gap = jnp.where(done, gap, jnp.where(n_emit == G + 1, 2, 1))
+        return tokens, out_pos, gap, done, t_cache, d_cache, iters + 1
+
+    carry = (tokens0, out_pos0, gap0, done0, t_cache, d_cache,
+             jnp.zeros((), jnp.int32))
+    tokens, out_pos, _, _, _, _, iters = jax.lax.while_loop(cond, body, carry)
+
+    lengths = jnp.minimum(out_pos, max_new_tokens)
+    out = GenOut(tokens[:, :max_new_tokens], lengths.astype(jnp.int32))
+    if return_stats:
+        # tokens per verify pass (the speculation win): emitted tokens
+        # beyond the prefill freebie, divided by target passes
+        emitted = jnp.sum(lengths.astype(jnp.float32)) - B
+        stats = {"verify_passes": iters,
+                 "tokens_per_pass": emitted / jnp.maximum(
+                     iters.astype(jnp.float32) * B, 1.0)}
+        return out, stats
+    return out

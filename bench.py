@@ -107,6 +107,8 @@ def main() -> int:
     qdec = bench_decode_quantized(cfg, state.params, batch)
     beam = bench_beam(cfg, state.params, batch,
                       dec.get("decode_new_tokens_per_sec"))
+    spec = bench_speculative(cfg, state.params, batch,
+                             dec.get("decode_new_tokens_per_sec"))
     eng = bench_engine(cfg, state.params, batch)
     stream = bench_streaming(state.params)
     pipe = bench_pipeline(cfg, state, step_fn, utts_per_sec)
@@ -116,7 +118,7 @@ def main() -> int:
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
-        **mfu, **dec, **qdec, **beam, **eng, **stream, **pipe,
+        **mfu, **dec, **qdec, **beam, **spec, **eng, **stream, **pipe,
     }))
     return 0
 
@@ -397,6 +399,62 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
         log(f"beam W={W}: {beam_ms_tok:.3f} ms/sample-token "
             f"({ratio:.2f}x greedy)")
         res["beam_w5_vs_greedy_cost_per_token"] = round(ratio, 3)
+    return res
+
+
+def bench_speculative(cfg, params, batch, greedy_toks_per_sec) -> dict:
+    """Speculative decoding (infer.speculative): int8 self-draft proposes
+    gamma=4, the bf16 target verifies in one chunked-prefill pass. Output
+    is token-identical to greedy by construction (tests/test_speculative);
+    the bench reports throughput and the measured tokens-per-verify-pass.
+    NOTE the acceptance rate on this RANDOM-INIT model is a floor, not a
+    ceiling: random logits have near-zero argmax margins, so int8 noise
+    flips proposals far more often than on trained weights."""
+    import dataclasses
+
+    from avsr_tpu.infer.speculative import (
+        make_draft_params,
+        speculative_generate,
+    )
+
+    max_new, gamma = 100, 4
+    draft = jax.jit(
+        lambda p: make_draft_params(p, cfg.model, bits=8))(params)
+    jax.block_until_ready(draft["llm"])
+
+    def run(b, stats=False):
+        return speculative_generate(
+            params, draft, cfg.model, b, gamma=gamma,
+            max_new_tokens=max_new, eos_id=-1, compute_dtype="bfloat16",
+            use_pallas=cfg.runtime.use_pallas, return_stats=stats)
+
+    t0 = time.perf_counter()
+    out, stats = run(batch, stats=True)
+    jax.block_until_ready(out.tokens)
+    tpp = float(stats["tokens_per_pass"])
+    log(f"speculative compile+first batch: {time.perf_counter() - t0:.1f}s "
+        f"(verify passes {int(stats['verify_passes'])}, "
+        f"{tpp:.2f} tok/pass of max {gamma + 1})")
+
+    def chain(n_batches: int) -> float:
+        prev = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            b = batch._replace(prompt_tokens=batch.prompt_tokens + prev * 0)
+            o = run(b)
+            prev = o.tokens[0, 0]
+        assert int(prev) >= 0
+        return time.perf_counter() - t0
+
+    chain(1)                              # absorb stragglers
+    t2, t6 = chain(2), chain(6)
+    toks = BATCH * 4 * max_new / (t6 - t2)
+    log(f"speculative: 2-chain {t2:.2f}s, 6-chain {t6:.2f}s -> "
+        f"{toks:.0f} new tok/s (int8 draft, gamma={gamma}, batch {BATCH})")
+    res = {"spec_new_tokens_per_sec": round(toks, 1),
+           "spec_tokens_per_pass": round(tpp, 3)}
+    if greedy_toks_per_sec:
+        res["spec_vs_greedy_speedup"] = round(toks / greedy_toks_per_sec, 3)
     return res
 
 

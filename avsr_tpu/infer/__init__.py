@@ -1,4 +1,5 @@
 from avsr_tpu.infer.engine import ServingEngine  # noqa: F401
+from avsr_tpu.infer.server import AVSRServer  # noqa: F401
 from avsr_tpu.infer.generate import GenOut, beam_search, generate, generate_tokens  # noqa: F401
 from avsr_tpu.infer.speculative import (  # noqa: F401
     make_draft_params,

@@ -1,0 +1,261 @@
+"""HTTP serving daemon over the continuous-batching engine.
+
+The reference ships batch scripts only (decode.py / transcribe_*.py — no
+online serving of any kind). This module turns :class:`ServingEngine` into
+a long-running JSON-over-HTTP service with stdlib ``http.server`` (zero new
+dependencies):
+
+  * every HTTP handler thread enqueues its request and blocks on an event;
+  * ONE scheduler thread owns the engine (it is deliberately not
+    thread-safe — slot bookkeeping is host numpy): it drains the queue via
+    ``engine.submit`` and advances the pool with ``engine.step``;
+  * concurrent requests therefore share the slot pool automatically —
+    continuous batching across independent HTTP clients, with per-request
+    sampling knobs and budgets.
+
+Endpoints:
+  POST /v1/transcribe   {"audio": [f32...]} | {"audio_b64": <wav bytes>} |
+                        {"audio_path": "..."}  (+ optional "temperature",
+                        "top_p", "max_new_tokens")
+                        -> {"req_id", "text", "tokens", "n_tokens"}
+  GET  /v1/health       -> {"ok", "outstanding", "model", "stats"}
+  GET  /v1/stats        -> engine.stats()
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import queue
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from avsr_tpu.core.config import AVSRConfig
+from avsr_tpu.data.dataset import Sample
+
+log = logging.getLogger("avsr.server")
+
+
+@dataclass
+class _Pending:
+    sample: Sample
+    max_new: int | None
+    temperature: float
+    top_p: float
+    event: threading.Event = field(default_factory=threading.Event)
+    req_id: int | None = None
+    tokens: list[int] | None = None
+    error: str | None = None
+
+
+class AVSRServer:
+    """Own an engine + scheduler thread + HTTP listener.
+
+    ``start()`` returns once the socket is bound (port 0 picks a free
+    one — read ``self.port``); ``stop()`` shuts both threads down. The
+    constructor does NOT warm the pool; pass ``warmup_sample`` to
+    precompile every stage/install width before the first request.
+    """
+
+    def __init__(self, params, cfg: AVSRConfig, tok, *,
+                 host: str = "127.0.0.1", port: int = 8017,
+                 num_slots: int | None = None,
+                 warmup_sample: Sample | None = None,
+                 request_timeout_s: float = 300.0):
+        from avsr_tpu.infer.engine import ServingEngine
+
+        if cfg.model.modality != "audio":
+            raise ValueError(
+                "the HTTP server currently serves model.modality='audio' "
+                f"(got {cfg.model.modality!r}); use cli.decode for AV "
+                "batch work")
+        self.cfg = cfg
+        self.tok = tok
+        self.engine = ServingEngine(
+            params, cfg, tok,
+            num_slots=num_slots or max(cfg.decode.engine_slots, 4),
+            seed=cfg.training.seed)
+        if warmup_sample is not None:
+            t0 = time.perf_counter()
+            self.engine.warmup(warmup_sample)
+            log.info("engine warmup: %.1fs", time.perf_counter() - t0)
+        self.host, self.port = host, port
+        self.request_timeout_s = request_timeout_s
+        self._inq: queue.Queue[_Pending] = queue.Queue()
+        self._inflight: dict[int, _Pending] = {}
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._httpd: ThreadingHTTPServer | None = None
+        self.started_at = time.time()
+
+    # -- scheduler (sole owner of the engine) ------------------------------
+
+    def _scheduler(self) -> None:
+        eng = self.engine
+        while not self._stop.is_set():
+            # admit everything queued; block briefly only when idle
+            block = not eng.outstanding()
+            while True:
+                try:
+                    p = self._inq.get(timeout=0.05 if block else 0)
+                except queue.Empty:
+                    break
+                try:
+                    rid = eng.submit(p.sample, max_new=p.max_new,
+                                     temperature=p.temperature,
+                                     top_p=p.top_p)
+                    p.req_id = rid
+                    self._inflight[rid] = p
+                except Exception as e:  # bad media, OOM-sized input, ...
+                    p.error = f"{type(e).__name__}: {e}"
+                    p.event.set()
+                block = False
+            if eng.outstanding():
+                try:
+                    finished = eng.step()
+                except Exception as e:
+                    # a failed step poisons every inflight request; fail
+                    # them all loudly rather than hanging their handlers
+                    log.exception("engine.step failed")
+                    for p in self._inflight.values():
+                        p.error = f"engine.step: {type(e).__name__}: {e}"
+                        p.event.set()
+                    self._inflight.clear()
+                    continue
+                for rid, ids in finished.items():
+                    p = self._inflight.pop(rid, None)
+                    if p is not None:
+                        p.tokens = list(map(int, ids))
+                        p.event.set()
+
+    # -- request decoding --------------------------------------------------
+
+    def _sample_from_json(self, body: dict) -> Sample:
+        from avsr_tpu.data.audio_io import load_audio
+
+        max_samples = self.cfg.data.max_audio_length
+        if "audio" in body:
+            audio = np.asarray(body["audio"], np.float32)
+            if audio.ndim != 1:
+                raise ValueError("'audio' must be a flat float list")
+            audio = audio[:max_samples]
+        elif "audio_b64" in body:
+            wav = base64.b64decode(body["audio_b64"])
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                f.write(wav)
+                f.flush()
+                audio = load_audio(f.name, max_samples=max_samples)
+        elif "audio_path" in body:
+            path = Path(body["audio_path"])
+            if not path.is_file():
+                raise ValueError(f"audio_path not found: {path}")
+            audio = load_audio(path, max_samples=max_samples)
+        else:
+            raise ValueError(
+                "need one of 'audio', 'audio_b64', 'audio_path'")
+        rid = f"http/{int(time.time() * 1e3) % 10 ** 9}"
+        return Sample(rid, audio, None, "", [self.tok.eos_id])
+
+    def handle_transcribe(self, body: dict) -> tuple[int, dict]:
+        try:
+            sample = self._sample_from_json(body)
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        p = _Pending(
+            sample=sample,
+            max_new=(int(body["max_new_tokens"])
+                     if "max_new_tokens" in body else None),
+            temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)))
+        self._inq.put(p)
+        if not p.event.wait(self.request_timeout_s):
+            return 504, {"error": "timed out", "req_id": p.req_id}
+        if p.error:
+            return 500, {"error": p.error}
+        text = self.tok.decode(p.tokens)
+        return 200, {"req_id": p.req_id, "text": text,
+                     "tokens": p.tokens, "n_tokens": len(p.tokens)}
+
+    def handle_health(self) -> tuple[int, dict]:
+        return 200, {"ok": True,
+                     "outstanding": self.engine.outstanding(),
+                     "uptime_s": round(time.time() - self.started_at, 1),
+                     "model": {"modality": self.cfg.model.modality,
+                               "connector": self.cfg.model.connector_type,
+                               "slots": self.engine.S},
+                     "stats": self.engine.stats()}
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> None:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _reply(self, code: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path == "/v1/health":
+                    self._reply(*server.handle_health())
+                elif self.path == "/v1/stats":
+                    self._reply(200, server.engine.stats())
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):  # noqa: N802
+                if self.path != "/v1/transcribe":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": f"bad JSON: {e}"})
+                    return
+                self._reply(*server.handle_transcribe(body))
+
+            def log_message(self, fmt, *args):
+                log.debug("http: " + fmt, *args)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]   # resolve port 0
+        t_sched = threading.Thread(target=self._scheduler,
+                                   name="avsr-scheduler", daemon=True)
+        t_http = threading.Thread(target=self._httpd.serve_forever,
+                                  name="avsr-http", daemon=True)
+        t_sched.start()
+        t_http.start()
+        self._threads = [t_sched, t_http]
+        log.info("serving on http://%s:%d (slots=%d)",
+                 self.host, self.port, self.engine.S)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def serve_forever(self) -> None:
+        """Block until interrupted (the CLI entry point's main loop)."""
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            log.info("shutting down")
+            self.stop()

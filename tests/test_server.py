@@ -1,0 +1,126 @@
+"""HTTP serving daemon (infer.server + cli.serve).
+
+Contract: real HTTP round-trips against an in-process AVSRServer — health,
+transcription (deterministic under greedy), concurrent clients sharing the
+slot pool, input validation, and token-exactness vs standalone
+generate_tokens (the engine contract surfaced through the HTTP layer).
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from avsr_tpu.core.config import load_config
+from avsr_tpu.data.dataset import Sample
+from avsr_tpu.data.tokenizer import load_tokenizer
+from avsr_tpu.infer.server import AVSRServer
+from avsr_tpu.models.avsr import init_avsr_model
+
+from test_engine import _reference_decode
+
+CFG = "avsr_tpu/configs/tiny_cpu.yaml"
+MAX_NEW = 6
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = load_config(CFG)
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    srv = AVSRServer(params, cfg, tok, port=0, num_slots=2,
+                     request_timeout_s=600.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, payload: dict, timeout=600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/transcribe",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _get(srv, path: str):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _audio(rng, n=4800):
+    return (0.3 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_health(server):
+    h = _get(server, "/v1/health")
+    assert h["ok"] is True
+    assert h["model"]["modality"] == "audio"
+    assert h["model"]["slots"] == 2
+
+
+def test_transcribe_deterministic_and_token_exact(server, rng):
+    audio = _audio(rng)
+    body = {"audio": audio.tolist(), "max_new_tokens": MAX_NEW}
+    r1 = _post(server, body)
+    r2 = _post(server, body)
+    assert r1["tokens"] == r2["tokens"]          # greedy => deterministic
+    assert r1["n_tokens"] == len(r1["tokens"]) > 0
+    assert isinstance(r1["text"], str)
+    # the engine contract, surfaced through HTTP: token-exact vs the
+    # standalone generate path
+    sample = Sample("ref", audio, None, "", [server.tok.eos_id])
+    ref = _reference_decode(server.cfg, server.tok, server.engine.params,
+                            sample, MAX_NEW)
+    assert r1["tokens"] == ref
+
+
+def test_concurrent_clients_share_pool(server, rng):
+    """4 clients, 2 slots: all succeed; the pool served them together."""
+    audios = [_audio(rng, n) for n in (4800, 8000, 6400, 4800)]
+    results = [None] * 4
+    errors = []
+
+    def client(i):
+        try:
+            results[i] = _post(server, {"audio": audios[i].tolist(),
+                                        "max_new_tokens": MAX_NEW})
+        except Exception as e:       # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    before = server.engine.requests_done
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors
+    assert all(r is not None and r["n_tokens"] > 0 for r in results)
+    assert server.engine.requests_done - before >= 4
+    # identical audio (0 and 3) must produce identical greedy tokens even
+    # when decoded in different slot mixes
+    assert results[0]["tokens"] == results[3]["tokens"]
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"max_new_tokens": 4})     # no audio at all
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"audio_path": "/nonexistent/x.wav"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/v1/nope")
+    assert e.value.code == 404
+
+
+def test_stats_endpoint(server):
+    s = _get(server, "/v1/stats")
+    assert s.get("requests_done", 0) >= 1

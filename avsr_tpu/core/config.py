@@ -409,9 +409,10 @@ class DecodeConfig:
     # single-chip.
     engine_slots: int = 0
     # Speculative decoding (infer.speculative): a quantized self-draft
-    # proposes spec_gamma tokens per full-model verify pass. Greedy-only
-    # (temperature must be 0, num_beams 1); output is token-identical to
-    # plain greedy — only the tokens/s changes.
+    # proposes spec_gamma tokens per full-model verify pass. temperature=0
+    # is token-identical to greedy; temperature>0 runs speculative
+    # SAMPLING (rejection scheme) — exactly target-distributed. Only the
+    # tokens/s changes, never the text distribution.
     speculative: bool = False
     spec_gamma: int = 4
     spec_draft_bits: int = 8            # 4 | 8 (weight-only self-draft)
@@ -466,10 +467,10 @@ class AVSRConfig:
         if self.decode.kv_cache_dtype not in ("bfloat16", "int8"):
             raise ValueError("decode.kv_cache_dtype must be bfloat16|int8")
         if self.decode.speculative:
-            if self.decode.num_beams > 1 or self.decode.temperature > 0.0:
+            if self.decode.num_beams > 1:
                 raise ValueError(
-                    "decode.speculative is greedy-only: requires "
-                    "num_beams=1 and temperature=0")
+                    "decode.speculative requires num_beams=1 (greedy or "
+                    "sampled; beam search has its own decode loop)")
             if self.decode.spec_draft_bits not in (4, 8):
                 raise ValueError("decode.spec_draft_bits must be 4 or 8")
             if self.decode.spec_gamma < 1:

@@ -410,7 +410,8 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
             params, draft_params, model_cfg, batch,
             gamma=decode_cfg.spec_gamma,
             max_new_tokens=decode_cfg.max_new_tokens,
-            eos_id=eos_id, compute_dtype=compute_dtype,
+            temperature=decode_cfg.temperature, top_p=decode_cfg.top_p,
+            rng=rng, eos_id=eos_id, compute_dtype=compute_dtype,
             use_pallas=use_pallas, mesh=mesh)
     if decode_cfg.num_beams > 1:
         return beam_search(

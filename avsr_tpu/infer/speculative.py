@@ -39,7 +39,50 @@ from avsr_tpu.models import llama as L
 from avsr_tpu.models.avsr import Batch, build_prefix, encode
 from avsr_tpu.models.layers import Params
 
-from avsr_tpu.infer.generate import GenOut
+from avsr_tpu.infer.generate import GenOut, _top_p_filter
+
+
+def _dist(logits: jax.Array, temperature: float, top_p: float) -> jax.Array:
+    """Sampling distribution: temperature + nucleus filter, renormalized
+    (matches generate._sample_or_greedy's categorical exactly)."""
+    z = logits.astype(jnp.float32) / temperature
+    if top_p < 1.0:
+        z = _top_p_filter(z, top_p)
+    return jax.nn.softmax(z, axis=-1)
+
+
+def _rejection_step(drafts: jax.Array, q: jax.Array, p: jax.Array,
+                    key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """One speculative-sampling accept/replace decision (Leviathan et al.).
+
+    drafts [B, G] ~ q; q [B, G, V] the draft's sampling distributions;
+    p [B, G+1, V] the target's. Returns (m [B] leading accepts,
+    cand [B, G+1]) where cand[:, :m] = accepted drafts, cand[:, m] = the
+    replacement (residual-sampled on rejection, p-sampled bonus on full
+    accept — uniformly max(p-q,0)-normalized with q padded to zero at the
+    bonus slot, where the residual reduces to p). The emitted stream is
+    EXACTLY target-distributed for any q: P(out=x) = q(x)min(1,p/q)
+    + P(reject)·resid(x) = p(x)."""
+    B, G = drafts.shape
+    ku, kr = jax.random.split(key)
+    qd = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
+    pd = jnp.take_along_axis(p[:, :G], drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(ku, (B, G))
+    accept = u * qd < pd                      # u < min(1, p/q), div-free
+    m = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+
+    q_pad = jnp.concatenate([q, jnp.zeros_like(p[:, :1])], axis=1)
+    p_m = jnp.take_along_axis(p, m[:, None, None], axis=1)[:, 0]
+    q_m = jnp.take_along_axis(q_pad, m[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_m - q_m, 0.0)
+    rs = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(rs > 1e-9, resid / rs, p_m)   # p==q: sample p
+    r = jax.random.categorical(kr, jnp.log(resid + 1e-30)).astype(jnp.int32)
+
+    j = jnp.arange(G + 1)[None, :]
+    pad = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)
+    cand = jnp.where(j == m[:, None], r[:, None], pad)
+    return m, cand
 
 
 def make_draft_params(params: Params, model_cfg: ModelConfig,
@@ -65,7 +108,7 @@ def make_draft_params(params: Params, model_cfg: ModelConfig,
     jax.jit,
     static_argnames=("model_cfg", "gamma", "max_new_tokens", "eos_id",
                      "compute_dtype", "use_pallas", "mesh", "draft_lora",
-                     "return_stats"))
+                     "return_stats", "temperature", "top_p"))
 def speculative_generate(
     params: Params,
     draft_params: Params,
@@ -80,9 +123,16 @@ def speculative_generate(
     mesh=None,
     draft_lora: bool = False,
     return_stats: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    rng: jax.Array | None = None,
 ) -> GenOut:
-    """Greedy generation, token-identical to ``generate_tokens`` at
-    temperature 0, in ~1/(accepted+1) as many target passes.
+    """Speculative generation in ~1/(accepted+1) as many target passes.
+
+    ``temperature == 0``: greedy — token-identical to ``generate_tokens``.
+    ``temperature > 0``: speculative SAMPLING (rejection scheme,
+    ``_rejection_step``) — the emitted stream is distributed exactly as
+    target sampling with the same temperature/top_p, for ANY draft.
 
     ``draft_params`` may be ANY params tree exposing the same llm schema
     (make_draft_params builds the quantized self-draft); correctness never
@@ -120,7 +170,15 @@ def speculative_generate(
         return_cache=True, cache_len=M, output="hidden", mesh=mesh)
 
     P = prefix_lens.astype(jnp.int32)                 # [B] prefix length
-    e0 = jnp.argmax(last, axis=-1).astype(jnp.int32)  # first emitted token
+    sampling = temperature > 0.0
+    key0 = rng if rng is not None else jax.random.key(0)
+    if sampling:
+        key0, k_e0 = jax.random.split(key0)
+        e0 = jax.random.categorical(
+            k_e0, jnp.log(_dist(last, temperature, top_p) + 1e-30)
+        ).astype(jnp.int32)
+    else:
+        e0 = jnp.argmax(last, axis=-1).astype(jnp.int32)  # first token
 
     Tbuf = max_new_tokens + G + 1
     tokens0 = jnp.full((B, Tbuf), eos_id, jnp.int32)
@@ -134,11 +192,12 @@ def speculative_generate(
     b_idx = jnp.arange(B)
 
     def cond(carry):
-        _, _, _, done, _, _, _ = carry
+        _, _, _, done, _, _, _, _ = carry
         return ~jnp.all(done)
 
     def body(carry):
-        tokens, out_pos, gap, done, t_cache, d_cache, iters = carry
+        tokens, out_pos, gap, done, t_cache, d_cache, iters, key = carry
+        key, k_draft, k_acc = jax.random.split(key, 3)
         n = out_pos                                   # emitted so far
 
         # -- draft phase: catch up the <=2 pending tail tokens in one tiny
@@ -158,16 +217,24 @@ def speculative_generate(
 
         def draft_step(carry, j):
             dlog, d_cache = carry
-            tok = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
+            if sampling:
+                q = _dist(dlog, temperature, top_p)
+                tok = jax.random.categorical(
+                    jax.random.fold_in(k_draft, j),
+                    jnp.log(q + 1e-30)).astype(jnp.int32)
+            else:
+                q = jnp.zeros((dlog.shape[0], 1), jnp.float32)  # unused
+                tok = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
             demb = L.embed_tokens(draft_params["llm"], tok[:, None], dt)
             dlog2, d_cache = L.llama_decode_step(
                 draft_params["llm"], cfg, x=demb, cache=d_cache,
                 cur_lens=P + n + j, lora=dlora, compute_dtype=dt)
-            return (dlog2, d_cache), tok
+            return (dlog2, d_cache), (tok, q)
 
-        (_, d_cache), drafts = jax.lax.scan(
+        (_, d_cache), (drafts, qprobs) = jax.lax.scan(
             draft_step, (dlog, d_cache), jnp.arange(G))
         drafts = drafts.T                              # [B, G]
+        qprobs = qprobs.transpose(1, 0, 2)             # [B, G, Vq]
 
         # -- verify: one target pass over [e_{n-1}, d_1..d_G] ---------------
         ver_tok = jnp.concatenate(
@@ -179,11 +246,16 @@ def speculative_generate(
             base_lens=P + n - 1, tail_lens=jnp.full((B,), G + 1, jnp.int32),
             lora=lora, compute_dtype=dt)
         vlog = L.compute_logits(params["llm"], cfg, vh)   # [B, G+1, V]
-        a = jnp.argmax(vlog, axis=-1).astype(jnp.int32)   # [B, G+1]
 
-        # -- accept the longest matching prefix + the bonus token -----------
-        match = (drafts == a[:, :G])                      # [B, G]
-        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        # -- accept the longest valid prefix + one more token ---------------
+        if sampling:
+            p = _dist(vlog, temperature, top_p)
+            m, a = _rejection_step(drafts, qprobs, p, k_acc)
+        else:
+            a = jnp.argmax(vlog, axis=-1).astype(jnp.int32)   # [B, G+1]
+            match = (drafts == a[:, :G])                      # [B, G]
+            m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                        axis=1)
         j = jnp.arange(G + 1)[None, :]
         cand_ok = j <= m[:, None]                         # accepted window
         # stop emission after the first EOS inside the window
@@ -209,11 +281,13 @@ def speculative_generate(
         # full accept (n_emit == G+1), where a_{G-1}=d_G was never fed
         # either and two tokens are pending.
         gap = jnp.where(done, gap, jnp.where(n_emit == G + 1, 2, 1))
-        return tokens, out_pos, gap, done, t_cache, d_cache, iters + 1
+        return (tokens, out_pos, gap, done, t_cache, d_cache, iters + 1,
+                key)
 
     carry = (tokens0, out_pos0, gap0, done0, t_cache, d_cache,
-             jnp.zeros((), jnp.int32))
-    tokens, out_pos, _, _, _, _, iters = jax.lax.while_loop(cond, body, carry)
+             jnp.zeros((), jnp.int32), key0)
+    (tokens, out_pos, _, _, _, _, iters, _) = jax.lax.while_loop(
+        cond, body, carry)
 
     lengths = jnp.minimum(out_pos, max_new_tokens)
     out = GenOut(tokens[:, :max_new_tokens], lengths.astype(jnp.int32))

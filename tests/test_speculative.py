@@ -83,6 +83,64 @@ def test_spec_max_new_one(rng):
     assert np.asarray(spec.lengths).max() <= 1
 
 
+def test_rejection_step_is_exactly_target_distributed():
+    """The speculative-sampling guarantee, tested statistically on the
+    accept/replace kernel itself: for a FIXED arbitrary (p, q) pair over a
+    small vocab, the first emitted token's empirical distribution must
+    match p — the draft distribution q must leave no fingerprint."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsr_tpu.infer.speculative import _rejection_step
+
+    V, G, N = 12, 3, 30_000
+    kp, kq = jax.random.split(jax.random.key(7))
+    p1 = jax.nn.softmax(2.0 * jax.random.normal(kp, (V,)))
+    q1 = jax.nn.softmax(2.0 * jax.random.normal(kq, (V,)))
+    # same marginal at every position (only position 0's output is read)
+    p = jnp.broadcast_to(p1, (1, G + 1, V))
+    q = jnp.broadcast_to(q1, (1, G, V))
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        drafts = jax.random.categorical(
+            kd, jnp.broadcast_to(jnp.log(q1), (1, G, V)).reshape(G, V)
+        ).astype(jnp.int32)[None]                    # [1, G] ~ q
+        m, cand = _rejection_step(drafts, q, p, ka)
+        return cand[0, 0]                            # first emitted token
+
+    toks = jax.vmap(one)(jax.random.split(jax.random.key(123), N))
+    emp = np.bincount(np.asarray(toks), minlength=V) / N
+    l1 = float(np.abs(emp - np.asarray(p1)).sum())
+    assert l1 < 0.03, (l1, emp, np.asarray(p1))
+    # and it must NOT match q (sanity that the test can fail)
+    assert float(np.abs(emp - np.asarray(q1)).sum()) > 0.05
+
+
+def test_spec_sampled_runs_and_is_reproducible(rng):
+    """temperature>0 end-to-end: valid tokens, same rng => same stream,
+    different rng => (almost surely) different stream."""
+    import jax
+
+    cfg = tiny_model_cfg(modality="audio")
+    params = init_avsr_model(jax.random.key(0), cfg)
+    draft = init_avsr_model(jax.random.key(99), cfg)
+    batch = tiny_batch(rng, "audio")
+
+    def run(seed):
+        return speculative_generate(
+            params, draft, cfg, batch, gamma=3, max_new_tokens=10,
+            eos_id=2, use_pallas="never", temperature=0.8, top_p=0.9,
+            rng=jax.random.key(seed))
+
+    a, b, c = run(1), run(1), run(2)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    assert (np.asarray(a.tokens) != np.asarray(c.tokens)).any()
+    V = cfg.llm.vocab_size
+    assert (np.asarray(a.tokens) >= 0).all()
+    assert (np.asarray(a.tokens) < V).all()
+
+
 def test_spec_av_modality(rng):
     """Both modalities through the fused prefix path."""
     cfg = tiny_model_cfg()

@@ -104,11 +104,39 @@ def make_draft_params(params: Params, model_cfg: ModelConfig,
     return out
 
 
+def make_layerskip_draft(params: Params, model_cfg: ModelConfig,
+                         n_layers: int) -> tuple[Params, ModelConfig]:
+    """Zero-memory self-draft: the target's FIRST ``n_layers`` transformer
+    blocks + its own final norm and lm head (LayerSkip-style early exit).
+
+    The returned tree shares every buffer with the target — no extra HBM —
+    and costs ~n_layers/L of a target step per proposal. Pass the returned
+    (draft_params, draft_cfg) pair to :func:`speculative_generate`; the
+    draft shares the target's prefix (same d_model), so no second encoder
+    pass either. Acceptance depends on how predictable the model's late
+    layers are — worth it when the early exit is well-calibrated (e.g.
+    after LayerSkip-style training); exactness never depends on it."""
+    import dataclasses
+
+    L_full = model_cfg.llm.n_layers
+    if not (1 <= n_layers < L_full):
+        raise ValueError(f"n_layers must be in [1, {L_full - 1}]")
+    out = dict(params)
+    llm = dict(params["llm"])
+    llm["layers"] = list(params["llm"]["layers"])[:n_layers]
+    out["llm"] = llm
+    dcfg = dataclasses.replace(
+        model_cfg, llm=dataclasses.replace(model_cfg.llm,
+                                           n_layers=n_layers))
+    return out, dcfg
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model_cfg", "gamma", "max_new_tokens", "eos_id",
                      "compute_dtype", "use_pallas", "mesh", "draft_lora",
-                     "return_stats", "temperature", "top_p"))
+                     "return_stats", "temperature", "top_p",
+                     "draft_model_cfg", "draft_shares_prefix"))
 def speculative_generate(
     params: Params,
     draft_params: Params,
@@ -126,6 +154,8 @@ def speculative_generate(
     temperature: float = 0.0,
     top_p: float = 1.0,
     rng: jax.Array | None = None,
+    draft_model_cfg: ModelConfig | None = None,
+    draft_shares_prefix: bool | None = None,
 ) -> GenOut:
     """Speculative generation in ~1/(accepted+1) as many target passes.
 
@@ -134,14 +164,32 @@ def speculative_generate(
     ``_rejection_step``) — the emitted stream is distributed exactly as
     target sampling with the same temperature/top_p, for ANY draft.
 
-    ``draft_params`` may be ANY params tree exposing the same llm schema
-    (make_draft_params builds the quantized self-draft); correctness never
-    depends on it. ``draft_lora`` applies the LoRA config to the draft's
-    projections too (off for the default draft, which merges LoRA)."""
+    ``draft_params`` may be ANY params tree (make_draft_params builds the
+    quantized self-draft, make_layerskip_draft the early-exit one, or pass
+    a genuinely smaller model); correctness never depends on it. A draft
+    with its own architecture passes ``draft_model_cfg``; when its d_model
+    matches the target's (quantized/layer-skip drafts), the target's
+    prefix embeddings are reused (``draft_shares_prefix``, default: share
+    unless draft_model_cfg is given a different d_model). ``draft_lora``
+    applies the LoRA config to the draft's projections too (off for the
+    default draft, which merges LoRA)."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
+    dcfg = draft_model_cfg or model_cfg
+    dllm = dcfg.llm
+    if dllm.vocab_size != cfg.vocab_size:
+        raise ValueError(
+            "draft and target must share a vocabulary "
+            f"(draft {dllm.vocab_size} vs target {cfg.vocab_size})")
+    if draft_shares_prefix is None:
+        draft_shares_prefix = dllm.d_model == cfg.d_model
+    if draft_shares_prefix and dllm.d_model != cfg.d_model:
+        raise ValueError(
+            "draft_shares_prefix requires matching d_model "
+            f"({dllm.d_model} vs {cfg.d_model})")
     lora = model_cfg.lora if model_cfg.lora.use_lora else None
-    dlora = lora if draft_lora else None
+    dlora = (dcfg.lora if dcfg.lora.use_lora else None) if draft_lora \
+        else None
     G = gamma
 
     # ---- target prefill (identical to generate_tokens) -------------------
@@ -160,16 +208,27 @@ def speculative_generate(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)
     last = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
 
-    # ---- draft prefill: own cache, SAME prefix embeddings ----------------
-    # (the encoders are shared with the target; and correctness never
-    # depends on what the draft conditions on — only the verify pass
-    # decides tokens — so one encode pass serves both models)
+    # ---- draft prefill -----------------------------------------------
+    # Shared-d_model drafts consume the target's prefix embeddings (one
+    # encode pass serves both — correctness never depends on what the
+    # draft conditions on; only the verify pass decides tokens). A draft
+    # with its own architecture runs its own encode/prefix and keeps its
+    # own position offsets.
+    if draft_shares_prefix:
+        d_prefix, d_plens, M_d = prefix, prefix_lens, M
+    else:
+        d_enc = encode(draft_params, dcfg, batch, compute_dtype=dt,
+                       use_pallas=use_pallas, mesh=mesh)
+        d_prefix, d_plens = build_prefix(draft_params, dcfg, batch, d_enc,
+                                         compute_dtype=dt)
+        M_d = -(-(d_prefix.shape[1] + max_new_tokens + G + 2) // 128) * 128
     _, d_cache = L.llama_apply(
-        draft_params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
+        draft_params["llm"], dllm, inputs_embeds=d_prefix, lengths=d_plens,
         lora=dlora, compute_dtype=dt, use_pallas=use_pallas,
-        return_cache=True, cache_len=M, output="hidden", mesh=mesh)
+        return_cache=True, cache_len=M_d, output="hidden", mesh=mesh)
 
-    P = prefix_lens.astype(jnp.int32)                 # [B] prefix length
+    P = prefix_lens.astype(jnp.int32)                 # [B] target prefix
+    Pd = d_plens.astype(jnp.int32)                    # [B] draft prefix
     sampling = temperature > 0.0
     key0 = rng if rng is not None else jax.random.key(0)
     if sampling:
@@ -200,20 +259,28 @@ def speculative_generate(
         key, k_draft, k_acc = jax.random.split(key, 3)
         n = out_pos                                   # emitted so far
 
-        # -- draft phase: catch up the <=2 pending tail tokens in one tiny
-        # chunked prefill, then G-1 single decode steps ---------------------
-        tail_idx = jnp.stack([jnp.maximum(n - 2, 0), n - 1], axis=1)  # [B,2]
-        tail_tok = jnp.take_along_axis(tokens, tail_idx, axis=1)      # [B,2]
-        # gap==1: left-align the single pending token
-        tail_tok = jnp.where(gap[:, None] == 1,
-                             tail_tok[:, ::-1], tail_tok)
-        d_base = P + n - gap
-        emb = L.embed_tokens(draft_params["llm"], tail_tok, dt)
-        dh, d_cache = L.llama_prefill_continue(
-            draft_params["llm"], cfg, x=emb, cache=d_cache,
-            base_lens=d_base, tail_lens=gap, lora=dlora, compute_dtype=dt)
-        dh_last = jnp.take_along_axis(dh, (gap - 1)[:, None, None], axis=1)
-        dlog = L.compute_logits(draft_params["llm"], cfg, dh_last)[:, 0]
+        # -- draft phase: catch up the <=2 pending tail tokens with two
+        # single-token decode steps (NOT a chunked prefill: decode steps
+        # keep the quantized draft on the fused qmatmul kernel path, while
+        # a T=2 prefill over int8 weights falls back to XLA's
+        # dequant-matmul, which rematerializes the full fp weight set
+        # every iteration — measured ~6x greedy-step cost per spec
+        # iteration before this). gap==1 makes step A identical to step B
+        # (same token, same position): an idempotent KV rewrite.
+        e_prev = jnp.take_along_axis(tokens, (n - 1)[:, None], axis=1)
+        e_prev2 = jnp.take_along_axis(
+            tokens, jnp.maximum(n - 2, 0)[:, None], axis=1)
+        tokA = jnp.where(gap[:, None] == 2, e_prev2, e_prev)     # [B, 1]
+        posA = jnp.where(gap == 2, Pd + n - 2, Pd + n - 1)
+        _, d_cache = L.llama_decode_step(
+            draft_params["llm"], dllm,
+            x=L.embed_tokens(draft_params["llm"], tokA, dt),
+            cache=d_cache, cur_lens=posA, lora=dlora, compute_dtype=dt)
+        dlog, d_cache = L.llama_decode_step(
+            draft_params["llm"], dllm,
+            x=L.embed_tokens(draft_params["llm"], e_prev, dt),
+            cache=d_cache, cur_lens=Pd + n - 1, lora=dlora,
+            compute_dtype=dt)
 
         def draft_step(carry, j):
             dlog, d_cache = carry
@@ -227,8 +294,8 @@ def speculative_generate(
                 tok = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
             demb = L.embed_tokens(draft_params["llm"], tok[:, None], dt)
             dlog2, d_cache = L.llama_decode_step(
-                draft_params["llm"], cfg, x=demb, cache=d_cache,
-                cur_lens=P + n + j, lora=dlora, compute_dtype=dt)
+                draft_params["llm"], dllm, x=demb, cache=d_cache,
+                cur_lens=Pd + n + j, lora=dlora, compute_dtype=dt)
             return (dlog2, d_cache), (tok, q)
 
         (_, d_cache), (drafts, qprobs) = jax.lax.scan(

@@ -141,6 +141,53 @@ def test_spec_sampled_runs_and_is_reproducible(rng):
     assert (np.asarray(a.tokens) < V).all()
 
 
+def test_spec_layerskip_draft_lossless(rng):
+    """Early-exit self-draft (first k layers + shared head): zero extra
+    memory, shares the target prefix, and stays token-exact vs greedy."""
+    from avsr_tpu.infer.speculative import make_layerskip_draft
+
+    cfg = tiny_model_cfg(
+        modality="audio",
+        llm=dataclasses.replace(tiny_model_cfg().llm, n_layers=2))
+    params = init_avsr_model(jax.random.key(0), cfg)
+    draft, dcfg = make_layerskip_draft(params, cfg, 1)
+    assert dcfg.llm.n_layers == 1
+    # shared buffers: the draft's layer 0 IS the target's layer 0
+    assert draft["llm"]["layers"][0] is params["llm"]["layers"][0]
+
+    batch = tiny_batch(rng, "audio")
+    ref = generate_tokens(params, cfg, batch, max_new_tokens=12,
+                          temperature=0.0, eos_id=2, use_pallas="never")
+    spec = speculative_generate(params, draft, cfg, batch,
+                                gamma=3, max_new_tokens=12, eos_id=2,
+                                use_pallas="never", draft_model_cfg=dcfg)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(spec.tokens))
+
+
+def test_spec_separate_small_draft_lossless(rng):
+    """A genuinely different draft architecture (own d_model, own
+    encoders, own prefix/positions) — still token-exact vs greedy."""
+    cfg = tiny_model_cfg(modality="audio")
+    dcfg = tiny_model_cfg(
+        modality="audio",
+        llm=dataclasses.replace(tiny_model_cfg().llm, d_model=16,
+                                n_heads=2, n_kv_heads=1, ffn_dim=32),
+        whisper=dataclasses.replace(tiny_model_cfg().whisper, d_model=16,
+                                    n_heads=2))
+    params = init_avsr_model(jax.random.key(0), cfg)
+    draft = init_avsr_model(jax.random.key(5), dcfg)
+
+    batch = tiny_batch(rng, "audio")
+    ref = generate_tokens(params, cfg, batch, max_new_tokens=10,
+                          temperature=0.0, eos_id=2, use_pallas="never")
+    spec = speculative_generate(params, draft, cfg, batch,
+                                gamma=3, max_new_tokens=10, eos_id=2,
+                                use_pallas="never", draft_model_cfg=dcfg)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(spec.tokens))
+
+
 def test_spec_av_modality(rng):
     """Both modalities through the fused prefix path."""
     cfg = tiny_model_cfg()

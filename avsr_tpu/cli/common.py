@@ -132,21 +132,26 @@ def validate_modality_media(cfg, parser, *, have_audio: bool,
 
 
 def load_decode_params(cfg: AVSRConfig, checkpoint: str | None,
-                       mesh=None) -> Any:
+                       mesh=None, return_raw: bool = False) -> Any:
     """Inference params: load/quantize, then the serving layout transform
     (fused q|k|v + gate|up, optional lm-head quantization —
     infer.generate.prepare_params_for_decode). With a device mesh the
     fused ops.qmatmul kernel is disabled up front: a pallas custom-call
     has no GSPMD partitioning rule, so XLA would all-gather the sharded
-    quantized weights every decode step."""
+    quantized weights every decode step. ``return_raw`` also returns the
+    pre-transform tree (speculative decode builds its self-draft from it:
+    the draft quantization only recognizes raw projection keys)."""
     from avsr_tpu.infer.generate import prepare_params_for_decode
 
     if mesh is not None:
         from avsr_tpu.ops.qmatmul import set_force_xla
         set_force_xla(True)
-    return prepare_params_for_decode(
-        init_or_load_params(cfg, checkpoint), cfg.model,
-        lm_head_bits=cfg.decode.lm_head_bits)
+    raw = init_or_load_params(cfg, checkpoint)
+    prepared = prepare_params_for_decode(
+        raw, cfg.model, lm_head_bits=cfg.decode.lm_head_bits)
+    if return_raw:
+        return prepared, raw
+    return prepared
 
 
 def _restore(checkpoint: str, params_like, cfg: AVSRConfig):

@@ -43,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     tok, ds, loader = build_data(cfg, args.split, shuffle=False,
                                  batch_size=cfg.decode.batch_size)
     mesh, _ = maybe_mesh(cfg)
-    params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
+    params, raw_params = load_decode_params(cfg, args.checkpoint,
+                                            mesh=mesh, return_raw=True)
     shard_batch = None
     if mesh is not None:
         # multi-chip decoding: params shard by the mesh rules (tp/fsdp),
@@ -106,9 +107,10 @@ def main(argv: list[str] | None = None) -> int:
     if cfg.decode.speculative:
         from avsr_tpu.infer.speculative import make_draft_params
         draft_params = make_draft_params(
-            params, cfg.model, bits=cfg.decode.spec_draft_bits)
+            raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
         log.info("speculative decode: int%d self-draft, gamma=%d",
                  cfg.decode.spec_draft_bits, cfg.decode.spec_gamma)
+    del raw_params
 
     seen: set[str] = set()
     with open(results_path, "w") as rf:

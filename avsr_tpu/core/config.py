@@ -471,6 +471,12 @@ class AVSRConfig:
                 raise ValueError(
                     "decode.speculative requires num_beams=1 (greedy or "
                     "sampled; beam search has its own decode loop)")
+            if self.model.use_4bit or self.model.use_8bit:
+                raise ValueError(
+                    "decode.speculative with a quantized target has no "
+                    "cheaper self-draft to build (spec_draft_bits IS the "
+                    "quantization); serve the bf16 target speculatively "
+                    "or the quantized target directly")
             if self.decode.spec_draft_bits not in (4, 8):
                 raise ValueError("decode.spec_draft_bits must be 4 or 8")
             if self.decode.spec_gamma < 1:

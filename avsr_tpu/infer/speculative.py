@@ -87,20 +87,35 @@ def _rejection_step(drafts: jax.Array, q: jax.Array, p: jax.Array,
 
 def make_draft_params(params: Params, model_cfg: ModelConfig,
                       bits: int = 8) -> Params:
-    """Build the default self-draft: the same LLM, weight-only quantized.
+    """Build the default self-draft: the same LLM, weight-only quantized
+    and laid out for decode (merge LoRA -> quantize -> fuse q|k|v and
+    gate|up), so every draft step runs 4 fused ops.qmatmul launches.
 
-    int8 halves (int4 quarters) the bytes each draft step streams from HBM;
-    with the verify pass guaranteeing exactness, draft quality only moves
-    the acceptance rate. LoRA deltas are merged first so the draft sees the
-    adapted weights. Encoders/connector are shared with the target (the
-    draft is only consulted for LLM token steps)."""
-    from avsr_tpu.ops.quant import quantize_llm
+    int8 halves (int4 quarters) the bytes each draft step streams from
+    HBM; with the verify pass guaranteeing exactness, draft quality only
+    moves the acceptance rate. Takes the RAW (unfused, unquantized)
+    params tree — quantize_llm only recognizes raw projection keys, so a
+    fused or already-quantized input would silently produce a full-cost
+    bf16 clone; reject it loudly instead."""
+    from avsr_tpu.ops.quant import is_quantized, quantize_llm
 
     llm = params["llm"]
+    layer0 = llm["layers"][0]
+    if "qkv" in layer0 or "gateup" in layer0:
+        raise ValueError(
+            "make_draft_params needs the raw params tree, not the fused "
+            "decode layout (build the draft before "
+            "prepare_params_for_decode)")
+    if any(is_quantized(v) for v in layer0.values()):
+        raise ValueError(
+            "make_draft_params needs unquantized params (the target is "
+            "already quantized; there is no cheaper self-draft to build "
+            "— pass a layer-skip or separate draft instead)")
     if model_cfg.lora.use_lora:
         llm = L.merge_lora(llm, model_cfg.lora)
     out = dict(params)
-    out["llm"] = quantize_llm(llm, bits)
+    out["llm"] = L.fuse_decode_layout(quantize_llm(llm, bits),
+                                      model_cfg.llm)
     return out
 
 

@@ -114,8 +114,11 @@ def make_draft_params(params: Params, model_cfg: ModelConfig,
     if model_cfg.lora.use_lora:
         llm = L.merge_lora(llm, model_cfg.lora)
     out = dict(params)
-    out["llm"] = L.fuse_decode_layout(quantize_llm(llm, bits),
-                                      model_cfg.llm)
+    # lm_head_bits=bits: the hidden->vocab read is the single largest
+    # per-step HBM stream (525 MB bf16 at a 128k vocab) — the draft pays
+    # it every proposal, so it quantizes along with the projections
+    out["llm"] = L.fuse_decode_layout(
+        quantize_llm(llm, bits, lm_head_bits=bits), model_cfg.llm)
     return out
 
 

@@ -202,6 +202,15 @@ class LLMConfig:
     rms_eps: float = 1e-5
     tie_embeddings: bool = True
     max_seq_len: int = 2048
+    # Sparse MoE FFN layers (TPU-native scaling extension; 0 = dense
+    # Llama). Every ``moe_every``-th block replaces its SwiGLU MLP with
+    # ``moe_experts`` SwiGLU experts behind a capacity-routed top-k
+    # router (ops.moe); expert weights shard over mesh.ep. Parameter
+    # count scales ~E x in the MoE layers at ~topk x the FLOPs/token.
+    moe_experts: int = 0
+    moe_topk: int = 2
+    moe_every: int = 1           # 1 = every layer; 2 = every 2nd, ...
+    moe_capacity_factor: float = 1.25
 
 
 @dataclass(frozen=True)
@@ -450,15 +459,33 @@ class AVSRConfig:
                     f"got {self.model.moe_topk}")
             if self.model.moe_capacity_factor <= 0:
                 raise ValueError("moe_capacity_factor must be > 0")
-        if self.mesh.ep > 1:
-            if self.model.connector_type != "moe":
+        llm = self.model.llm
+        if llm.moe_experts:
+            if llm.moe_topk < 1 or llm.moe_topk > llm.moe_experts:
                 raise ValueError(
-                    "mesh.ep > 1 requires connector_type='moe' (the ep axis "
-                    "shards MoE experts; with any other connector it would "
-                    "silently act as extra data parallelism)")
-            if self.model.moe_experts % self.mesh.ep != 0:
+                    f"llm.moe_topk must be in [1, moe_experts="
+                    f"{llm.moe_experts}], got {llm.moe_topk}")
+            if llm.moe_every < 1:
+                raise ValueError("llm.moe_every must be >= 1")
+            if self.mesh.pp > 1:
+                raise ValueError(
+                    "llm.moe_experts with mesh.pp > 1 is unsupported (the "
+                    "GPipe stage scan does not thread MoE aux losses)")
+        if self.mesh.ep > 1:
+            conn_moe = self.model.connector_type == "moe"
+            llm_moe = llm.moe_experts > 0
+            if not (conn_moe or llm_moe):
+                raise ValueError(
+                    "mesh.ep > 1 requires MoE somewhere (connector_type="
+                    "'moe' or llm.moe_experts > 0); with dense models it "
+                    "would silently act as extra data parallelism)")
+            if conn_moe and self.model.moe_experts % self.mesh.ep != 0:
                 raise ValueError(
                     f"moe_experts={self.model.moe_experts} must divide evenly "
+                    f"over mesh.ep={self.mesh.ep}")
+            if llm_moe and llm.moe_experts % self.mesh.ep != 0:
+                raise ValueError(
+                    f"llm.moe_experts={llm.moe_experts} must divide evenly "
                     f"over mesh.ep={self.mesh.ep}")
         if self.model.use_4bit and self.model.use_8bit:
             raise ValueError("use_4bit and use_8bit are mutually exclusive")

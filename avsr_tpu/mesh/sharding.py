@@ -99,12 +99,15 @@ _PARAM_RULES: list[tuple[str, P]] = [
     (r"\bembed$",                           P("tp", "fsdp")),   # vocab-sharded
     (r"\blm_head/(w|qw|qw4h)$",              P("fsdp", "tp")),
     (r"\blm_head/scale$",                   P("tp")),
-    # MoE connector: stacked expert weights [E, d, h]/[E, h, d] shard E over
-    # ep (fsdp takes the wide hidden dim); the router stays replicated so
-    # every token scores every expert locally.
+    # MoE (connector and LLM FFN): stacked expert weights [E, d, f]/[E, f, d]
+    # shard E over ep; tp takes the wide ffn dim in the LLM experts (megatron
+    # column/row inside each expert), fsdp the other. Routers stay
+    # replicated so every token scores every expert locally.
     (r"\bexperts/w1$",                      P("ep", None, "fsdp")),
     (r"\bexperts/w2$",                      P("ep", "fsdp", None)),
     (r"\bexperts/b[12]$",                   P("ep", None)),
+    (r"\bexperts/w_(gate|up)$",             P("ep", "fsdp", "tp")),
+    (r"\bexperts/w_down$",                  P("ep", "tp", "fsdp")),
     (r"\bconv[12]/w$",                      P(None, None, None)),
     (r"\bpatch/w$",                         P(None, "tp")),
     (r"\b(inp|out|mid|res|proj_a|proj_v)/w$", P(None, None)),

@@ -344,11 +344,17 @@ def forward(
     Ttot = packed.shape[1]
     label_start = seg_start[:, 2]                       # [B]
 
-    hidden, _ = llama_mod.llama_apply(
-        params["llm"], cfg.llm, inputs_embeds=packed, lengths=total,
+    llm_aux = None
+    llm_kw = dict(
+        inputs_embeds=packed, lengths=total,
         lora=cfg.lora if cfg.lora.use_lora else None,
         compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
         dropout_rng=dropout_rng, output="hidden", mesh=mesh)
+    if cfg.llm.moe_experts > 0:
+        hidden, _, llm_aux = llama_mod.llama_apply(
+            params["llm"], cfg.llm, return_aux=True, **llm_kw)
+    else:
+        hidden, _ = llama_mod.llama_apply(params["llm"], cfg.llm, **llm_kw)
 
     # CE only where it matters: label token i (packed position
     # label_start+i) is predicted from hidden at label_start+i-1. Gather
@@ -372,14 +378,19 @@ def forward(
     acc = jnp.sum(correct * mask) / n_tokens
     metrics = {"loss": loss, "accuracy": acc, "label_tokens": n_tokens,
                "feat_len_mean": jnp.mean(enc.lengths.astype(jnp.float32))}
-    # MoE router auxiliaries: weighted into the optimized loss so the
-    # router learns balanced dispatch (metrics keep the raw values).
-    if "moe_lb" in enc.aux:
-        aux_loss = (cfg.moe_aux_weight * enc.aux["moe_lb"]
-                    + cfg.moe_z_weight * enc.aux["moe_z"])
+    # MoE router auxiliaries (connector and/or LLM MoE layers): weighted
+    # into the optimized loss so the routers learn balanced dispatch
+    # (metrics keep the raw summed values).
+    moe_lb = enc.aux.get("moe_lb")
+    moe_z = enc.aux.get("moe_z")
+    if llm_aux is not None:
+        moe_lb = llm_aux["moe_lb"] + (0.0 if moe_lb is None else moe_lb)
+        moe_z = llm_aux["moe_z"] + (0.0 if moe_z is None else moe_z)
+    if moe_lb is not None:
+        aux_loss = cfg.moe_aux_weight * moe_lb + cfg.moe_z_weight * moe_z
         loss = loss + aux_loss.astype(loss.dtype)
-        metrics["moe_lb"] = enc.aux["moe_lb"]
-        metrics["moe_z"] = enc.aux["moe_z"]
+        metrics["moe_lb"] = moe_lb
+        metrics["moe_z"] = moe_z
         metrics["loss"] = loss
     return loss, metrics
 

@@ -428,16 +428,6 @@ def adapter_apply(p: Params, audio: jax.Array, video: jax.Array,
 _MOE_LAYERS = 2
 
 
-def _moe_capacity(n_tokens: int, n_experts: int, topk: int,
-                  factor: float) -> int:
-    """Static per-expert slot count, rounded up to a lane-friendly multiple
-    of 8. Computed from trace-time shapes — jit-safe."""
-    import math
-
-    c = int(math.ceil(topk * n_tokens * factor / n_experts))
-    return max(8, (c + 7) // 8 * 8)
-
-
 def moe_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     E = cfg.moe_experts
     hid = d_out * cfg.connector_hidden_mult
@@ -466,61 +456,33 @@ def _moe_block(blk: Params, x: jax.Array, valid: jax.Array, topk: int,
                cap_factor: float, mesh) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One residual MoE-FFN over [B, T, d]. Returns (y, lb_loss, z_loss).
 
-    Dense dispatch: tokens flatten to [N, d]; top-k expert choices become a
-    [N, E, C] one-hot dispatch tensor (slot-major cumsum priority, so every
-    token's 1st choice claims capacity before any token's 2nd). Tokens past
-    capacity are dropped — the residual connection carries them unchanged,
-    the standard GShard overflow semantics."""
+    Routing (slot-major capacity dispatch, aux losses) lives in
+    ops.moe.route — shared with the LLM's MoE FFN layers; this block
+    supplies the gelu two-matrix expert."""
+    from avsr_tpu.ops import moe
+
     B, T, d = x.shape
     E = blk["experts"]["w1"].shape[0]
     N = B * T
-    C = _moe_capacity(N, E, topk, cap_factor)
+    C = moe.capacity(N, E, topk, cap_factor)
     xf = x.reshape(N, d)
     vf = valid.reshape(N).astype(jnp.float32)                    # [N]
 
     # Router in fp32: tiny matmul, and exp/softmax stability matters more
     # than MXU width here.
     logits = xf.astype(jnp.float32) @ blk["router"]["w"].astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)                      # [N, E]
-    gate_v, gate_i = jax.lax.top_k(probs, topk)                  # [N, k]
-    gate_v = gate_v / jnp.maximum(gate_v.sum(-1, keepdims=True), 1e-9)
-    gate_v = gate_v * vf[:, None]                                # pad -> 0
-
-    # slot-major flatten: slot 0 of every token precedes any slot 1
-    se = jax.nn.one_hot(gate_i, E, dtype=jnp.float32) * vf[:, None, None]
-    se_f = se.transpose(1, 0, 2).reshape(topk * N, E)            # [kN, E]
-    pos_e = jnp.cumsum(se_f, axis=0) - se_f                      # [kN, E]
-    pos = jnp.sum(pos_e * se_f, axis=-1)                         # [kN]
-    in_cap = (pos < C).astype(jnp.float32)
-    slot = jnp.where(pos < C, pos, 0).astype(jnp.int32)
-    oh_c = jax.nn.one_hot(slot, C, dtype=jnp.float32) * in_cap[:, None]
-    disp_f = se_f[:, :, None] * oh_c[:, None, :]                 # [kN, E, C]
-    gate_f = gate_v.T.reshape(topk * N)
-    comb_f = disp_f * gate_f[:, None, None]
-    dispatch = disp_f.reshape(topk, N, E, C).sum(0)              # [N, E, C]
-    combine = comb_f.reshape(topk, N, E, C).sum(0)               # [N, E, C]
+    dispatch, combine, lb, z = moe.route(logits, vf, topk, C)
 
     w1, b1 = blk["experts"]["w1"], blk["experts"]["b1"]
     w2, b2 = blk["experts"]["w2"], blk["experts"]["b2"]
     cdt = x.dtype
     xs = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xf)     # [E, C, d]
-    if mesh is not None and dict(mesh.shape).get("ep", 1) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        xs = jax.lax.with_sharding_constraint(
-            xs, NamedSharding(mesh, P("ep", None, None)))
+    xs = moe.constrain_ep(xs, mesh)
     h = gelu(jnp.einsum("ecd,edf->ecf", xs, w1.astype(cdt))
              + b1[:, None, :].astype(cdt))
     ys = (jnp.einsum("ecf,efd->ecd", h, w2.astype(cdt))
           + b2[:, None, :].astype(cdt))
     y = jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys).reshape(B, T, d)
-
-    # Switch-style load-balance loss on valid tokens: E * sum_e f_e * P_e
-    # (== 1.0 at perfectly uniform routing), plus router z-loss.
-    nvalid = jnp.maximum(vf.sum(), 1.0)
-    f_e = jnp.sum(se[:, 0, :], axis=0) / nvalid                  # top-1 frac
-    p_e = jnp.sum(probs * vf[:, None], axis=0) / nvalid
-    lb = E * jnp.sum(f_e * p_e)
-    z = jnp.sum(jax.nn.logsumexp(logits, axis=-1) ** 2 * vf) / nvalid
     return y, lb, z
 
 

@@ -92,6 +92,12 @@ def proj(p: Params, x: jax.Array, *, dtype: jnp.dtype | None = None,
 # Init
 # ---------------------------------------------------------------------------
 
+def is_moe_layer(cfg: LLMConfig, i: int) -> bool:
+    """Block ``i`` carries a sparse MoE FFN: llm.moe_experts > 0 and the
+    block index hits the ``moe_every`` interleave (1 = every block)."""
+    return cfg.moe_experts > 0 and (i + 1) % cfg.moe_every == 0
+
+
 def init_llama(key: jax.Array, cfg: LLMConfig,
                dtype: jnp.dtype = jnp.float32) -> Params:
     d = cfg.d_model
@@ -104,18 +110,32 @@ def init_llama(key: jax.Array, cfg: LLMConfig,
 
     layers = []
     for i in range(cfg.n_layers):
-        ks = jax.random.split(keys[i], 7)
-        layers.append({
+        ks = jax.random.split(keys[i], 8)
+        layer = {
             "ln_attn": {"scale": jnp.ones((d,), dtype)},
             "q": lin(ks[0], d, d),
             "k": lin(ks[1], d, kvd),
             "v": lin(ks[2], d, kvd),
             "o": lin(ks[3], d, d),
             "ln_mlp": {"scale": jnp.ones((d,), dtype)},
-            "gate": lin(ks[4], d, cfg.ffn_dim),
-            "up": lin(ks[5], d, cfg.ffn_dim),
-            "down": lin(ks[6], cfg.ffn_dim, d),
-        })
+        }
+        if is_moe_layer(cfg, i):
+            E, f = cfg.moe_experts, cfg.ffn_dim
+            layer["router"] = {"w": normal_init(ks[7], (d, E),
+                                                std=d ** -0.5, dtype=dtype)}
+            layer["experts"] = {
+                "w_gate": normal_init(ks[4], (E, d, f), std=0.02,
+                                      dtype=dtype),
+                "w_up": normal_init(ks[5], (E, d, f), std=0.02,
+                                    dtype=dtype),
+                "w_down": normal_init(ks[6], (E, f, d), std=0.02,
+                                      dtype=dtype),
+            }
+        else:
+            layer["gate"] = lin(ks[4], d, cfg.ffn_dim)
+            layer["up"] = lin(ks[5], d, cfg.ffn_dim)
+            layer["down"] = lin(ks[6], cfg.ffn_dim, d)
+        layers.append(layer)
     params: Params = {
         "embed": normal_init(keys[-3], (cfg.vocab_size, d), std=0.02, dtype=dtype),
         "layers": layers,
@@ -229,8 +249,8 @@ def fuse_decode_layout(params: Params, cfg: LLMConfig) -> Params:
                 fl["qkv"] = qkv
                 for k in ("q", "k", "v"):
                     del fl[k]
-        if "gateup" not in fl:
-            gu = _fuse_group([layer["gate"], layer["up"]])
+        if "gateup" not in fl and "gate" in fl:   # MoE layers have no
+            gu = _fuse_group([layer["gate"], layer["up"]])   # dense mlp
             if gu is not None:
                 fl["gateup"] = gu
                 for k in ("gate", "up"):
@@ -270,6 +290,60 @@ def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float,
         gate = proj(layer["gate"], h, lora_scale=ls, use_kernel=use_kernel)
         up = proj(layer["up"], h, lora_scale=ls, use_kernel=use_kernel)
     return jax.nn.silu(gate) * up
+
+
+def _moe_mlp(layer: Params, h: jax.Array, cfg: LLMConfig,
+             valid: jax.Array | None = None, mesh=None
+             ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sparse SwiGLU MoE FFN over [B, T, d] (ops.moe capacity routing).
+
+    Returns (y, lb_loss, z_loss); ``valid`` [B, T] masks right-padding
+    out of routing and the aux losses (decode callers pass None — every
+    row is a live token there)."""
+    from avsr_tpu.ops import moe
+
+    B, T, d = h.shape
+    E = layer["experts"]["w_gate"].shape[0]
+    N = B * T
+    C = moe.capacity(N, E, cfg.moe_topk, cfg.moe_capacity_factor)
+    hf = h.reshape(N, d)
+    vf = (valid.reshape(N).astype(jnp.float32) if valid is not None
+          else jnp.ones((N,), jnp.float32))
+
+    logits = hf.astype(jnp.float32) @ layer["router"]["w"].astype(jnp.float32)
+    dispatch, combine, lb, z = moe.route(logits, vf, cfg.moe_topk, C)
+
+    cdt = h.dtype
+    wg = layer["experts"]["w_gate"].astype(cdt)
+    wu = layer["experts"]["w_up"].astype(cdt)
+    wd = layer["experts"]["w_down"].astype(cdt)
+    xs = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), hf)     # [E, C, d]
+    xs = moe.constrain_ep(xs, mesh)
+    act = (jax.nn.silu(jnp.einsum("ecd,edf->ecf", xs, wg))
+           * jnp.einsum("ecd,edf->ecf", xs, wu))                 # [E, C, f]
+    ys = jnp.einsum("ecf,efd->ecd", act, wd)                     # [E, C, d]
+    y = jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys)
+    return y.reshape(B, T, d), lb, z
+
+
+def _ffn(layer: Params, x: jax.Array, cfg: LLMConfig, ls: float,
+         lengths: jax.Array | None = None, mesh=None,
+         use_kernel: bool | None = None
+         ) -> tuple[jax.Array, jax.Array | None]:
+    """Post-attention FFN residual: dense SwiGLU or sparse MoE depending
+    on the layer's params. Returns (x + ffn(ln(x)), aux) where aux is
+    (lb, z) for MoE layers, None for dense ones."""
+    h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
+    if "experts" in layer:
+        valid = None
+        if lengths is not None:
+            T = x.shape[1]
+            valid = jnp.arange(T)[None, :] < lengths[:, None]
+        y, lb, zl = _moe_mlp(layer, h, cfg, valid, mesh)
+        return x + y, (lb, zl)
+    return x + proj(layer["down"],
+                    _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
+                    lora_scale=ls, use_kernel=use_kernel), None
 
 
 # ---------------------------------------------------------------------------
@@ -357,10 +431,8 @@ def _block(params_i, x, cos, sin, cfg, lengths, ls, use_pallas, dropout_rng,
     x = x + proj(params_i["o"], attn, lora_scale=ls, dropout_rng=rngs[3],
                  lora_dropout=lora_dropout)
 
-    h = rms_norm(params_i["ln_mlp"], x, eps=cfg.rms_eps)
-    x = x + proj(params_i["down"], _proj_mlp(params_i, h, cfg, ls),
-                 lora_scale=ls)
-    return x, (k, v)
+    x, aux = _ffn(params_i, x, cfg, ls, lengths=lengths, mesh=mesh)
+    return x, (k, v), aux
 
 
 def llama_apply(
@@ -379,6 +451,7 @@ def llama_apply(
     cache_len: int | None = None,
     output: str = "logits",          # "logits" | "hidden"
     mesh=None,
+    return_aux: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """Full causal forward over embeddings. Returns (logits [B,T,V], cache?).
 
@@ -402,6 +475,9 @@ def llama_apply(
 
     pp = dict(mesh.shape).get("pp", 1) if mesh is not None else 1
     kvs = []
+    lb_sum = jnp.zeros((), jnp.float32)
+    z_sum = jnp.zeros((), jnp.float32)
+    n_moe = 0
     if pp > 1 and not return_cache:
         if dropout_rng is not None and ldrop > 0.0:
             _warn_pp_dropout()
@@ -415,8 +491,10 @@ def llama_apply(
 
         def stage_fn(lp_stack, x_mb, cos_mb, sin_mb, len_mb):
             def body(xx, lp):
-                y, _ = _block(lp, xx, cos_mb, sin_mb, cfg, len_mb, ls,
-                              use_pallas, None, 0.0, None)
+                # MoE aux is not threaded through the stage scan —
+                # llm.moe_experts + pp>1 is a config validation error
+                y, _, _ = _block(lp, xx, cos_mb, sin_mb, cfg, len_mb, ls,
+                                 use_pallas, None, 0.0, None)
                 return y, None
             if remat:
                 out, _ = jax.lax.scan(
@@ -440,12 +518,20 @@ def llama_apply(
 
             if remat:
                 run = jax.checkpoint(run)
-            x, kv = run(layer, x, rng_i)
+            x, kv, aux_i = run(layer, x, rng_i)
+            if aux_i is not None:
+                lb_sum = lb_sum + aux_i[0]
+                z_sum = z_sum + aux_i[1]
+                n_moe += 1
             if return_cache:
                 kvs.append(kv)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     out = x if output == "hidden" else compute_logits(params, cfg, x)
+    aux = None
+    if return_aux:
+        n = max(n_moe, 1)
+        aux = {"moe_lb": lb_sum / n, "moe_z": z_sum / n}
 
     cache = None
     if return_cache:
@@ -458,6 +544,8 @@ def llama_apply(
             k = jnp.pad(k, ((0, 0),) * 4 + ((0, pad),))
             v = jnp.pad(v, ((0, 0),) * 4 + ((0, pad),))
         cache = KVCache(k.astype(compute_dtype), v.astype(compute_dtype))
+    if return_aux:
+        return out, cache, aux
     return out, cache
 
 
@@ -619,10 +707,7 @@ def llama_decode_step(
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, d)
         x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
-        h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
-        x = x + proj(layer["down"],
-                     _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
-                     lora_scale=ls, use_kernel=use_kernel)
+        x, _ = _ffn(layer, x, cfg, ls, use_kernel=use_kernel)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     logits = compute_logits(params, cfg, x, use_kernel=use_kernel)[:, 0]
@@ -716,10 +801,8 @@ def llama_prefill_continue(
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, d)
         x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
-        h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
-        x = x + proj(layer["down"],
-                     _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
-                     lora_scale=ls, use_kernel=use_kernel)
+        x, _ = _ffn(layer, x, cfg, ls, lengths=tail_lens,
+                    use_kernel=use_kernel)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     return x, KVCache(k_all, v_all, cache.k_scale, cache.v_scale)
@@ -851,10 +934,7 @@ def llama_decode_step_split(
         attn = attn.transpose(0, 2, 1, 3).reshape(BW, 1, d)
         x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
-        h = rms_norm(layer["ln_mlp"], x, eps=cfg.rms_eps)
-        x = x + proj(layer["down"],
-                     _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
-                     lora_scale=ls, use_kernel=use_kernel)
+        x, _ = _ffn(layer, x, cfg, ls, use_kernel=use_kernel)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     logits = compute_logits(params, cfg, x, use_kernel=use_kernel)[:, 0]

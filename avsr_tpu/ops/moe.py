@@ -1,0 +1,81 @@
+"""Shared mixture-of-experts routing: GShard capacity dispatch as einsums.
+
+Used by both the MoE connector (models/connectors.py, gelu experts) and
+the MoE LLM FFN layers (models/llama.py, SwiGLU experts). The design rule
+is TPU-first: top-k routing with a STATIC per-expert capacity, so the
+whole dispatch is dense one-hot algebra — every op an MXU-tileable einsum,
+no scatters, no dynamic shapes, no host sync. Tokens past capacity drop to
+the residual path (standard GShard overflow semantics).
+
+Expert weights are stacked [E, ...] and shard over the mesh "ep" axis
+(mesh/sharding.py rules); with the batch also sharded over ep, XLA's SPMD
+partitioner lowers the dispatch/combine einsums to the classic all-to-all
+exchange.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def capacity(n_tokens: int, n_experts: int, topk: int,
+             factor: float) -> int:
+    """Static per-expert slot count, rounded up to a lane-friendly
+    multiple of 8. Computed from trace-time shapes — jit-safe."""
+    c = int(math.ceil(topk * n_tokens * factor / n_experts))
+    return max(8, (c + 7) // 8 * 8)
+
+
+def route(logits: jax.Array, valid: jax.Array, topk: int, C: int
+          ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Capacity-routed top-k dispatch from router logits.
+
+    logits [N, E] (fp32), valid [N] float (0 masks padding out of routing
+    and the aux losses). Returns
+      dispatch [N, E, C]  one-hot token->slot assignment
+      combine  [N, E, C]  dispatch * renormalized gate weight
+      lb                  Switch load-balance loss (1.0 at uniform)
+      z                   router z-loss
+    Priority is slot-major: every token's 1st choice claims capacity
+    before any token's 2nd choice.
+    """
+    N, E = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)                      # [N, E]
+    gate_v, gate_i = jax.lax.top_k(probs, topk)                  # [N, k]
+    gate_v = gate_v / jnp.maximum(gate_v.sum(-1, keepdims=True), 1e-9)
+    gate_v = gate_v * valid[:, None]                             # pad -> 0
+
+    se = jax.nn.one_hot(gate_i, E, dtype=jnp.float32) * valid[:, None, None]
+    se_f = se.transpose(1, 0, 2).reshape(topk * N, E)            # [kN, E]
+    pos_e = jnp.cumsum(se_f, axis=0) - se_f                      # [kN, E]
+    pos = jnp.sum(pos_e * se_f, axis=-1)                         # [kN]
+    in_cap = (pos < C).astype(jnp.float32)
+    slot = jnp.where(pos < C, pos, 0).astype(jnp.int32)
+    oh_c = jax.nn.one_hot(slot, C, dtype=jnp.float32) * in_cap[:, None]
+    disp_f = se_f[:, :, None] * oh_c[:, None, :]                 # [kN, E, C]
+    gate_f = gate_v.T.reshape(topk * N)
+    comb_f = disp_f * gate_f[:, None, None]
+    dispatch = disp_f.reshape(topk, N, E, C).sum(0)              # [N, E, C]
+    combine = comb_f.reshape(topk, N, E, C).sum(0)               # [N, E, C]
+
+    # Switch-style load-balance loss on valid tokens: E * sum_e f_e * P_e
+    # (== 1.0 at perfectly uniform routing), plus router z-loss.
+    nvalid = jnp.maximum(valid.sum(), 1.0)
+    f_e = jnp.sum(se[:, 0, :], axis=0) / nvalid                  # top-1 frac
+    p_e = jnp.sum(probs * valid[:, None], axis=0) / nvalid
+    lb = E * jnp.sum(f_e * p_e)
+    z = jnp.sum(jax.nn.logsumexp(logits, axis=-1) ** 2 * valid) / nvalid
+    return dispatch, combine, lb, z
+
+
+def constrain_ep(x: jax.Array, mesh) -> jax.Array:
+    """Pin the expert-stacked activation [E, C, d] to the ep axis so the
+    partitioner keeps expert compute local and exchanges tokens instead."""
+    if mesh is not None and dict(mesh.shape).get("ep", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("ep", None, None)))
+    return x

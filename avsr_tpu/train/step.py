@@ -71,7 +71,8 @@ def make_train_step(
         # Extra per-microbatch scalars to surface (MoE router auxiliaries) —
         # a static, config-determined key set so the scan carry is fixed.
         extra_keys = (("moe_lb", "moe_z")
-                      if cfg.model.connector_type == "moe" else ())
+                      if (cfg.model.connector_type == "moe"
+                          or cfg.model.llm.moe_experts > 0) else ())
 
         def micro(carry, inp):
             grads_sum, loss_sum, acc_sum, extra_sum = carry

@@ -43,8 +43,21 @@ def main(argv: list[str] | None = None) -> int:
     tok, ds, loader = build_data(cfg, args.split, shuffle=False,
                                  batch_size=cfg.decode.batch_size)
     mesh, _ = maybe_mesh(cfg)
-    params, raw_params = load_decode_params(cfg, args.checkpoint,
-                                            mesh=mesh, return_raw=True)
+    # return_raw only when the self-draft needs the pre-transform tree —
+    # otherwise a full duplicate of the weights would stay resident for
+    # the whole run (multi-GB at flagship scale)
+    draft_params = None
+    if cfg.decode.speculative:
+        from avsr_tpu.infer.speculative import make_draft_params
+        params, raw_params = load_decode_params(
+            cfg, args.checkpoint, mesh=mesh, return_raw=True)
+        draft_params = make_draft_params(
+            raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
+        del raw_params
+        log.info("speculative decode: int%d self-draft, gamma=%d",
+                 cfg.decode.spec_draft_bits, cfg.decode.spec_gamma)
+    else:
+        params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
     shard_batch = None
     if mesh is not None:
         # multi-chip decoding: params shard by the mesh rules (tp/fsdp),
@@ -102,15 +115,6 @@ def main(argv: list[str] | None = None) -> int:
         dt = time.perf_counter() - t0
         log.info("engine stats: %s", eng.stats())
         return _summarize(acc, dt, wer_path)
-
-    draft_params = None
-    if cfg.decode.speculative:
-        from avsr_tpu.infer.speculative import make_draft_params
-        draft_params = make_draft_params(
-            raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
-        log.info("speculative decode: int%d self-draft, gamma=%d",
-                 cfg.decode.spec_draft_bits, cfg.decode.spec_gamma)
-    del raw_params
 
     seen: set[str] = set()
     with open(results_path, "w") as rf:

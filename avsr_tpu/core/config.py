@@ -465,8 +465,11 @@ class AVSRConfig:
                 raise ValueError(
                     f"llm.moe_topk must be in [1, moe_experts="
                     f"{llm.moe_experts}], got {llm.moe_topk}")
-            if llm.moe_every < 1:
-                raise ValueError("llm.moe_every must be >= 1")
+            if llm.moe_every < 1 or llm.moe_every > llm.n_layers:
+                raise ValueError(
+                    f"llm.moe_every must be in [1, n_layers="
+                    f"{llm.n_layers}] (larger would create zero MoE "
+                    f"layers), got {llm.moe_every}")
             if self.mesh.pp > 1:
                 raise ValueError(
                     "llm.moe_experts with mesh.pp > 1 is unsupported (the "

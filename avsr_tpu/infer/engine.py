@@ -470,6 +470,22 @@ class ServingEngine:
         self.done = np.ones((self.S,), bool)
         self.reset_stats()         # warmup work is not serving work
 
+    def reset(self) -> None:
+        """Hard-reset the pool after a fault: drop every queued, staged,
+        and resident request (their ids simply never finish — the caller
+        is responsible for failing them out, e.g. infer.server does), and
+        return every slot to idle so scheduling can resume. Device
+        buffers (cache) are kept — stale columns are masked/overwritten
+        by design."""
+        self.slots = [_Slot() for _ in range(self.S)]
+        self.done = np.ones((self.S,), bool)
+        self.cur_lens = np.zeros((self.S,), np.int32)
+        self.last_tok = np.full((self.S,), self.tok.eos_id, np.int32)
+        self._pending_admits = []
+        self._staged = None
+        self._queue.clear()
+        self._outstanding.clear()
+
     def reset_stats(self) -> None:
         self.chunks_run = self.stages_run = self.installs_run = 0
         self.requests_done = self.tokens_emitted = 0

@@ -80,7 +80,7 @@ class AVSRServer:
         self.tok = tok
         self.engine = ServingEngine(
             params, cfg, tok,
-            num_slots=num_slots or max(cfg.decode.engine_slots, 4),
+            num_slots=num_slots or cfg.decode.engine_slots or 4,
             seed=cfg.training.seed)
         if warmup_sample is not None:
             t0 = time.perf_counter()
@@ -121,13 +121,18 @@ class AVSRServer:
                 try:
                     finished = eng.step()
                 except Exception as e:
-                    # a failed step poisons every inflight request; fail
-                    # them all loudly rather than hanging their handlers
-                    log.exception("engine.step failed")
+                    # A failed step poisons every inflight request: fail
+                    # them all loudly AND reset the engine's pool state —
+                    # otherwise eng.outstanding() keeps reporting the
+                    # stuck requests and this loop hot-spins on the
+                    # poisoned engine forever.
+                    log.exception("engine.step failed — resetting pool")
                     for p in self._inflight.values():
                         p.error = f"engine.step: {type(e).__name__}: {e}"
                         p.event.set()
                     self._inflight.clear()
+                    eng.reset()
+                    time.sleep(0.2)      # backoff if the fault persists
                     continue
                 for rid, ids in finished.items():
                     p = self._inflight.pop(rid, None)
@@ -166,14 +171,19 @@ class AVSRServer:
     def handle_transcribe(self, body: dict) -> tuple[int, dict]:
         try:
             sample = self._sample_from_json(body)
-        except ValueError as e:
+            p = _Pending(
+                sample=sample,
+                max_new=(int(body["max_new_tokens"])
+                         if "max_new_tokens" in body else None),
+                temperature=float(body.get("temperature", 0.0)),
+                top_p=float(body.get("top_p", 1.0)))
+        except (ValueError, TypeError) as e:
+            # bad field types/values (audio shape, non-numeric knobs, ...)
             return 400, {"error": str(e)}
-        p = _Pending(
-            sample=sample,
-            max_new=(int(body["max_new_tokens"])
-                     if "max_new_tokens" in body else None),
-            temperature=float(body.get("temperature", 0.0)),
-            top_p=float(body.get("top_p", 1.0)))
+        except Exception as e:
+            # undecodable media and friends (load_audio raises OSError &
+            # co.) — still the client's input, still a clean JSON error
+            return 400, {"error": f"{type(e).__name__}: {e}"}
         self._inq.put(p)
         if not p.event.wait(self.request_timeout_s):
             return 504, {"error": "timed out", "req_id": p.req_id}

@@ -62,8 +62,10 @@ class EncodeOut(NamedTuple):
     features: jax.Array                   # [B, Tf, d_llm]
     lengths: jax.Array                    # [B]
     # Auxiliary scalar losses surfaced by the connector (the MoE connector's
-    # load-balance / z losses); empty for every dense connector.
-    aux: dict = {}
+    # load-balance / z losses); None for every dense connector. (None, not
+    # a `{}` default: a class-level mutable default would alias one dict
+    # across every default-constructed instance.)
+    aux: dict | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -381,8 +383,9 @@ def forward(
     # MoE router auxiliaries (connector and/or LLM MoE layers): weighted
     # into the optimized loss so the routers learn balanced dispatch
     # (metrics keep the raw summed values).
-    moe_lb = enc.aux.get("moe_lb")
-    moe_z = enc.aux.get("moe_z")
+    enc_aux = enc.aux or {}
+    moe_lb = enc_aux.get("moe_lb")
+    moe_z = enc_aux.get("moe_z")
     if llm_aux is not None:
         moe_lb = llm_aux["moe_lb"] + (0.0 if moe_lb is None else moe_lb)
         moe_z = llm_aux["moe_z"] + (0.0 if moe_z is None else moe_z)

@@ -476,14 +476,15 @@ def _moe_block(blk: Params, x: jax.Array, valid: jax.Array, topk: int,
     w1, b1 = blk["experts"]["w1"], blk["experts"]["b1"]
     w2, b2 = blk["experts"]["w2"], blk["experts"]["b2"]
     cdt = x.dtype
-    xs = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xf)     # [E, C, d]
-    xs = moe.constrain_ep(xs, mesh)
-    h = gelu(jnp.einsum("ecd,edf->ecf", xs, w1.astype(cdt))
-             + b1[:, None, :].astype(cdt))
-    ys = (jnp.einsum("ecf,efd->ecd", h, w2.astype(cdt))
-          + b2[:, None, :].astype(cdt))
-    y = jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys).reshape(B, T, d)
-    return y, lb, z
+
+    def experts(xs):                                             # [E, C, d]
+        h = gelu(jnp.einsum("ecd,edf->ecf", xs, w1.astype(cdt))
+                 + b1[:, None, :].astype(cdt))
+        return (jnp.einsum("ecf,efd->ecd", h, w2.astype(cdt))
+                + b2[:, None, :].astype(cdt))
+
+    y = moe.dispatch_apply(dispatch, combine, xf, experts, mesh)
+    return y.reshape(B, T, d), lb, z
 
 
 def moe_apply(p: Params, x: jax.Array, lengths=None, *,

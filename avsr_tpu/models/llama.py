@@ -293,19 +293,24 @@ def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float,
 
 
 def _moe_mlp(layer: Params, h: jax.Array, cfg: LLMConfig,
-             valid: jax.Array | None = None, mesh=None
+             valid: jax.Array | None = None, mesh=None,
+             dropless: bool = False
              ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Sparse SwiGLU MoE FFN over [B, T, d] (ops.moe capacity routing).
+    """Sparse SwiGLU MoE FFN over [B, T, d] (ops.moe routing).
 
     Returns (y, lb_loss, z_loss); ``valid`` [B, T] masks right-padding
     out of routing and the aux losses (decode callers pass None — every
-    row is a live token there)."""
+    row is a live token there). ``dropless`` (inference paths) sizes the
+    capacity at topk*N so routing is composition-independent — the
+    token-exactness contracts across decode/prefill/verify paths depend
+    on it; training uses the bounded capacity_factor."""
     from avsr_tpu.ops import moe
 
     B, T, d = h.shape
     E = layer["experts"]["w_gate"].shape[0]
     N = B * T
-    C = moe.capacity(N, E, cfg.moe_topk, cfg.moe_capacity_factor)
+    C = (moe.dropless_capacity(N, cfg.moe_topk) if dropless
+         else moe.capacity(N, E, cfg.moe_topk, cfg.moe_capacity_factor))
     hf = h.reshape(N, d)
     vf = (valid.reshape(N).astype(jnp.float32) if valid is not None
           else jnp.ones((N,), jnp.float32))
@@ -317,18 +322,19 @@ def _moe_mlp(layer: Params, h: jax.Array, cfg: LLMConfig,
     wg = layer["experts"]["w_gate"].astype(cdt)
     wu = layer["experts"]["w_up"].astype(cdt)
     wd = layer["experts"]["w_down"].astype(cdt)
-    xs = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), hf)     # [E, C, d]
-    xs = moe.constrain_ep(xs, mesh)
-    act = (jax.nn.silu(jnp.einsum("ecd,edf->ecf", xs, wg))
-           * jnp.einsum("ecd,edf->ecf", xs, wu))                 # [E, C, f]
-    ys = jnp.einsum("ecf,efd->ecd", act, wd)                     # [E, C, d]
-    y = jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys)
+
+    def experts(xs):                                             # [E, C, d]
+        act = (jax.nn.silu(jnp.einsum("ecd,edf->ecf", xs, wg))
+               * jnp.einsum("ecd,edf->ecf", xs, wu))             # [E, C, f]
+        return jnp.einsum("ecf,efd->ecd", act, wd)               # [E, C, d]
+
+    y = moe.dispatch_apply(dispatch, combine, hf, experts, mesh)
     return y.reshape(B, T, d), lb, z
 
 
 def _ffn(layer: Params, x: jax.Array, cfg: LLMConfig, ls: float,
          lengths: jax.Array | None = None, mesh=None,
-         use_kernel: bool | None = None
+         use_kernel: bool | None = None, dropless: bool = False
          ) -> tuple[jax.Array, jax.Array | None]:
     """Post-attention FFN residual: dense SwiGLU or sparse MoE depending
     on the layer's params. Returns (x + ffn(ln(x)), aux) where aux is
@@ -339,7 +345,8 @@ def _ffn(layer: Params, x: jax.Array, cfg: LLMConfig, ls: float,
         if lengths is not None:
             T = x.shape[1]
             valid = jnp.arange(T)[None, :] < lengths[:, None]
-        y, lb, zl = _moe_mlp(layer, h, cfg, valid, mesh)
+        y, lb, zl = _moe_mlp(layer, h, cfg, valid, mesh,
+                             dropless=dropless)
         return x + y, (lb, zl)
     return x + proj(layer["down"],
                     _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
@@ -707,7 +714,7 @@ def llama_decode_step(
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, d)
         x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
-        x, _ = _ffn(layer, x, cfg, ls, use_kernel=use_kernel)
+        x, _ = _ffn(layer, x, cfg, ls, use_kernel=use_kernel, dropless=True)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     logits = compute_logits(params, cfg, x, use_kernel=use_kernel)[:, 0]
@@ -802,7 +809,7 @@ def llama_prefill_continue(
         x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
         x, _ = _ffn(layer, x, cfg, ls, lengths=tail_lens,
-                    use_kernel=use_kernel)
+                    use_kernel=use_kernel, dropless=True)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     return x, KVCache(k_all, v_all, cache.k_scale, cache.v_scale)
@@ -934,7 +941,7 @@ def llama_decode_step_split(
         attn = attn.transpose(0, 2, 1, 3).reshape(BW, 1, d)
         x = x + proj(layer["o"], attn, lora_scale=ls, use_kernel=use_kernel)
 
-        x, _ = _ffn(layer, x, cfg, ls, use_kernel=use_kernel)
+        x, _ = _ffn(layer, x, cfg, ls, use_kernel=use_kernel, dropless=True)
 
     x = rms_norm(params["ln_f"], x, eps=cfg.rms_eps)
     logits = compute_logits(params, cfg, x, use_kernel=use_kernel)[:, 0]

@@ -29,6 +29,34 @@ def capacity(n_tokens: int, n_experts: int, topk: int,
     return max(8, (c + 7) // 8 * 8)
 
 
+def dropless_capacity(n_tokens: int, topk: int) -> int:
+    """C >= topk*N: no token can overflow any expert, so routing becomes
+    composition-independent — a token's output depends only on its own
+    hidden state, never on what else shares the call. Inference paths use
+    this (N is small there: a decode step routes B tokens, a speculative
+    verify B*(gamma+1)), which is what makes the framework's
+    token-exactness contracts (decode==prefill, speculative==greedy,
+    engine==generate_tokens) hold unconditionally for MoE models.
+    Training keeps the bounded ``capacity`` above (standard GShard
+    efficiency trade)."""
+    return max(8, (topk * n_tokens + 7) // 8 * 8)
+
+
+def dispatch_apply(dispatch: jax.Array, combine: jax.Array,
+                   xf: jax.Array, expert_fn, mesh=None) -> jax.Array:
+    """Shared dispatch->experts->combine scaffolding.
+
+    dispatch/combine [N, E, C] from :func:`route`; xf [N, d];
+    ``expert_fn([E, C, d]) -> [E, C, d']`` supplies the expert math
+    (gelu 2-matrix for the connector, SwiGLU for the LLM). Returns
+    [N, d']."""
+    cdt = xf.dtype
+    xs = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xf)
+    xs = constrain_ep(xs, mesh)
+    ys = expert_fn(xs)
+    return jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys)
+
+
 def route(logits: jax.Array, valid: jax.Array, topk: int, C: int
           ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Capacity-routed top-k dispatch from router logits.

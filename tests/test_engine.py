@@ -297,3 +297,30 @@ def test_engine_av_modality(rng):
     got = eng.transcribe(samples)
     for i, sample in enumerate(samples):
         assert got[i] == _reference_decode(cfg, tok, params, sample, 5)
+
+
+def test_engine_reset_recovers(rng):
+    """reset() is the server's fault-recovery hatch: mid-flight work is
+    abandoned (ids never finish), every slot returns to idle, and the
+    pool then serves fresh requests token-exact — stale cache columns
+    must not leak into post-reset decodes."""
+    cfg, tok, params = _setup()
+    max_new = 6
+    samples = [
+        Sample(f"r{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 8000, 6400])
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=2)
+    ids = [eng.submit(s) for s in samples]
+    eng.step()                                   # work genuinely in flight
+    assert eng.outstanding() > 0
+    eng.reset()
+    assert eng.outstanding() == 0
+    assert eng.done.all()
+    assert all(eng.collect(i) is None for i in ids)   # abandoned, not stale
+    got = eng.transcribe(samples)                     # pool fully usable
+    for i, sample in enumerate(samples):
+        assert got[i] == _reference_decode(cfg, tok, params, sample,
+                                           max_new), i

@@ -217,3 +217,28 @@ def test_moe_llm_ep_train_step_matches_single_device(rng):
     a = np.asarray(s1.params["llm"]["layers"][0]["experts"]["w_gate"])
     b = np.asarray(s2.params["llm"]["layers"][0]["experts"]["w_gate"])
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_moe_dropless_composition_independent(rng):
+    """The dropless inference capacity (C >= topk*N) makes a token's MoE
+    output independent of what else shares the call — the property every
+    engine/speculative/prefill-continue exactness contract rests on.
+    moe_capacity_factor=0.25 makes the bounded training capacity
+    guaranteed-overflowing at this size (64 assignments over 4 experts vs
+    C=8 per expert), so the dropless path is exercised distinctly."""
+    cfg = dataclasses.replace(MOE_LLM, moe_capacity_factor=0.25)
+    params = L.init_llama(jax.random.key(1), cfg)
+    layer = next(l for l in params["layers"] if "experts" in l)
+    h = jnp.asarray(rng.standard_normal((4, 8, cfg.d_model)),
+                    jnp.float32)
+
+    solo, _, _ = L._moe_mlp(layer, h[:1], cfg, dropless=True)
+    batched, _, _ = L._moe_mlp(layer, h, cfg, dropless=True)
+    np.testing.assert_allclose(np.asarray(batched[:1]), np.asarray(solo),
+                               atol=1e-6, rtol=1e-6)
+    # teeth: the bounded training capacity DOES drop tokens under this
+    # configuration — if it ever stops dropping, the dropless assertion
+    # above is vacuous and this test must tighten the squeeze
+    capped, _, _ = L._moe_mlp(layer, h, cfg, dropless=False)
+    assert not np.allclose(np.asarray(capped), np.asarray(batched),
+                           atol=1e-5)

@@ -124,3 +124,34 @@ def test_bad_requests(server):
 def test_stats_endpoint(server):
     s = _get(server, "/v1/stats")
     assert s.get("requests_done", 0) >= 1
+
+
+def test_server_recovers_from_engine_fault(server, rng):
+    """An engine.step fault fails the inflight request with a clean 500
+    (not a hang/timeout), resets the pool, and the server keeps serving:
+    the very next request must succeed token-exact."""
+    eng = server.engine
+    real_step = eng.step
+    fired = []
+
+    def flaky_step():
+        if not fired:
+            fired.append(1)
+            raise RuntimeError("injected fault")
+        return real_step()
+
+    eng.step = flaky_step
+    try:
+        audio = _audio(rng)
+        body = {"audio": audio.tolist(), "max_new_tokens": MAX_NEW}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body)
+        assert e.value.code == 500
+        assert "injected fault" in json.loads(e.value.read())["error"]
+        r = _post(server, body)                  # recovered, no restart
+    finally:
+        del eng.step                             # restore the bound method
+    sample = Sample("ref", audio, None, "", [server.tok.eos_id])
+    want = _reference_decode(server.cfg, server.tok, eng.params,
+                             sample, MAX_NEW)
+    assert r["tokens"] == want

@@ -304,12 +304,14 @@ class ServingEngine:
         self._queue: deque = deque()
         self._next_req = 0
         self._outstanding: set[int] = set()
+        self._cancelled: set[int] = set()   # staged/admitted, swept in step
         self._finished: dict[int, list[int]] = {}   # awaiting collection
         # telemetry
         self.chunks_run = 0        # decode_chunk invocations
         self.stages_run = 0        # stage (batched prefill) invocations
         self.installs_run = 0      # install (scatter) invocations
         self.requests_done = 0     # requests completed across transcribes
+        self.requests_cancelled = 0  # requests abandoned via cancel()
         self.tokens_emitted = 0    # tokens returned (incl. first + EOS)
 
     # -- host-side scheduling --------------------------------------------
@@ -485,10 +487,12 @@ class ServingEngine:
         self._staged = None
         self._queue.clear()
         self._outstanding.clear()
+        self._cancelled.clear()
 
     def reset_stats(self) -> None:
         self.chunks_run = self.stages_run = self.installs_run = 0
         self.requests_done = self.tokens_emitted = 0
+        self.requests_cancelled = 0
 
     # -- online API ------------------------------------------------------
 
@@ -512,6 +516,44 @@ class ServingEngine:
         """Requests submitted but not yet finished (queued + staged +
         resident)."""
         return len(self._outstanding)
+
+    def cancel(self, req_id: int) -> bool:
+        """Abandon a live request and reclaim its slot capacity — the
+        serving fix for timed-out/disconnected clients whose requests
+        would otherwise keep decoding into the void. Queued requests are
+        reclaimed immediately and resident ones at this call (their row
+        is masked out of the next chunk); staged/mid-admission ones are
+        swept at the next step() boundary (one already-paid prefill is
+        discarded). Returns False if the id is unknown or already
+        finished (collect its ids instead)."""
+        if req_id not in self._outstanding:
+            return False
+        self._outstanding.discard(req_id)
+        for i, item in enumerate(self._queue):
+            if item[0] == req_id:          # never staged: free reclaim
+                del self._queue[i]
+                self.requests_cancelled += 1
+                return True
+        for s, st in enumerate(self.slots):
+            if st.req == req_id:
+                self.slots[s] = _Slot()
+                self.done[s] = True        # masked out of the next chunk
+                self.requests_cancelled += 1
+                return True
+        self._cancelled.add(req_id)        # staged / pending admission
+        return True
+
+    def _sweep_cancelled(self) -> None:
+        """Free slots whose request was cancelled while staged or
+        mid-admission (they become resident only at a later install)."""
+        if not self._cancelled:
+            return
+        for s, st in enumerate(self.slots):
+            if st.req is not None and st.req in self._cancelled:
+                self._cancelled.discard(st.req)
+                self.slots[s] = _Slot()
+                self.done[s] = True
+                self.requests_cancelled += 1
 
     def step(self) -> dict[int, list[int]]:
         """One schedule iteration: harvest slots finished by the previous
@@ -552,6 +594,7 @@ class ServingEngine:
         # the ONLY blocking point per chunk: admissions' first tokens,
         # slot state, and the chunk's tokens come back in one fetch
         toks = self._sync(out)
+        self._sweep_cancelled()        # admitted-then-cancelled rows
         for s, st in enumerate(self.slots):
             if st.req is None:
                 continue
@@ -610,6 +653,7 @@ class ServingEngine:
         chunk_tokens = self.tokens_emitted - self.requests_done  # tok0s are
         return {                                # prefill-stage outputs
             "requests_done": self.requests_done,
+            "requests_cancelled": self.requests_cancelled,
             "tokens_emitted": self.tokens_emitted,
             "chunks_run": self.chunks_run,
             "decode_steps": self.chunks_run * self.k_steps,

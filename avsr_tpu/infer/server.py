@@ -16,8 +16,11 @@ dependencies):
 Endpoints:
   POST /v1/transcribe   {"audio": [f32...]} | {"audio_b64": <wav bytes>} |
                         {"audio_path": "..."}  (+ optional "temperature",
-                        "top_p", "max_new_tokens")
+                        "top_p", "max_new_tokens", "timeout_s")
                         -> {"req_id", "text", "tokens", "n_tokens"}
+                        (a timed-out request is CANCELLED in the engine —
+                        its slot capacity is reclaimed, not decoded into
+                        the void; 504 carries "cancelled": true)
   GET  /v1/health       -> {"ok", "outstanding", "model", "stats"}
   GET  /v1/stats        -> engine.stats()
 """
@@ -53,6 +56,10 @@ class _Pending:
     req_id: int | None = None
     tokens: list[int] | None = None
     error: str | None = None
+    # set by the handler thread when its client gave up (timeout /
+    # disconnect); the scheduler double-checks it around submit so the
+    # request is cancelled whichever side of the submit the flag landed on
+    abandoned: bool = False
 
 
 class AVSRServer:
@@ -89,6 +96,7 @@ class AVSRServer:
         self.host, self.port = host, port
         self.request_timeout_s = request_timeout_s
         self._inq: queue.Queue[_Pending] = queue.Queue()
+        self._cancelq: queue.Queue[int] = queue.Queue()
         self._inflight: dict[int, _Pending] = {}
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -100,6 +108,14 @@ class AVSRServer:
     def _scheduler(self) -> None:
         eng = self.engine
         while not self._stop.is_set():
+            # reclaim slots whose client gave up (handler timed out)
+            while True:
+                try:
+                    rid = self._cancelq.get_nowait()
+                except queue.Empty:
+                    break
+                self._inflight.pop(rid, None)
+                eng.cancel(rid)
             # admit everything queued; block briefly only when idle
             block = not eng.outstanding()
             while True:
@@ -107,12 +123,16 @@ class AVSRServer:
                     p = self._inq.get(timeout=0.05 if block else 0)
                 except queue.Empty:
                     break
+                if p.abandoned:       # client gone before we ever submitted
+                    continue
                 try:
                     rid = eng.submit(p.sample, max_new=p.max_new,
                                      temperature=p.temperature,
                                      top_p=p.top_p)
                     p.req_id = rid
                     self._inflight[rid] = p
+                    if p.abandoned:   # flag raced in around the submit
+                        self._cancelq.put(rid)
                 except Exception as e:  # bad media, OOM-sized input, ...
                     p.error = f"{type(e).__name__}: {e}"
                     p.event.set()
@@ -184,9 +204,20 @@ class AVSRServer:
             # undecodable media and friends (load_audio raises OSError &
             # co.) — still the client's input, still a clean JSON error
             return 400, {"error": f"{type(e).__name__}: {e}"}
+        try:
+            timeout = min(float(body.get("timeout_s",
+                                         self.request_timeout_s)),
+                          self.request_timeout_s)
+        except (ValueError, TypeError) as e:
+            return 400, {"error": f"timeout_s: {e}"}
         self._inq.put(p)
-        if not p.event.wait(self.request_timeout_s):
-            return 504, {"error": "timed out", "req_id": p.req_id}
+        if not p.event.wait(timeout):
+            # reclaim the slot: nobody is left to read the transcript
+            p.abandoned = True
+            if p.req_id is not None:
+                self._cancelq.put(p.req_id)
+            return 504, {"error": "timed out", "req_id": p.req_id,
+                         "cancelled": True}
         if p.error:
             return 500, {"error": p.error}
         text = self.tok.decode(p.tokens)

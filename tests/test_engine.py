@@ -324,3 +324,34 @@ def test_engine_reset_recovers(rng):
     for i, sample in enumerate(samples):
         assert got[i] == _reference_decode(cfg, tok, params, sample,
                                            max_new), i
+
+
+def test_engine_cancel_reclaims_capacity(rng):
+    """cancel() across the request lifecycle: resident (row masked from
+    the next chunk, slot freed now), staged/queued (swept at the next
+    install), unknown and already-finished (False). Cancelled ids never
+    appear in step() results and the survivors stay token-exact."""
+    cfg, tok, params = _setup()
+    max_new = 6
+    samples = [
+        Sample(f"c{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 8000, 6400, 12000])
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=2)
+    ids = [eng.submit(s) for s in samples]
+    eng.step()                        # 0/1 resident; 2/3 staged ahead
+    assert eng.cancel(ids[0])         # resident
+    assert eng.cancel(ids[3])         # staged
+    assert not eng.cancel(9999)       # unknown
+    finished = {}
+    while eng.outstanding():
+        finished.update(eng.step())
+    assert ids[0] not in finished and ids[3] not in finished
+    for rid, s in ((ids[1], samples[1]), (ids[2], samples[2])):
+        assert finished[rid] == _reference_decode(cfg, tok, params, s,
+                                                  max_new)
+    assert not eng.cancel(ids[1])     # finished: collect, don't cancel
+    assert eng.requests_cancelled == 2
+    assert eng.stats()["requests_cancelled"] == 2

@@ -155,3 +155,24 @@ def test_server_recovers_from_engine_fault(server, rng):
     want = _reference_decode(server.cfg, server.tok, eng.params,
                              sample, MAX_NEW)
     assert r["tokens"] == want
+
+
+def test_server_timeout_cancels_request(server, rng):
+    """A client timeout (per-request timeout_s) returns 504 AND reclaims
+    the request's engine capacity — nothing keeps decoding into the void,
+    and the pool immediately serves the next client."""
+    import time as _time
+
+    audio = _audio(rng, 16000)
+    body = {"audio": audio.tolist(), "max_new_tokens": 64,
+            "timeout_s": 0.02}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, body)
+    assert e.value.code == 504
+    assert json.loads(e.value.read())["cancelled"] is True
+    deadline = _time.time() + 300
+    while server.engine.outstanding() and _time.time() < deadline:
+        _time.sleep(0.2)
+    assert server.engine.outstanding() == 0
+    r = _post(server, {"audio": audio.tolist(), "max_new_tokens": MAX_NEW})
+    assert r["n_tokens"] > 0

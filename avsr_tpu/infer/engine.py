@@ -28,6 +28,12 @@ TPU-native version: everything stays static-shaped and jitted.
 Per-row numerics are independent of the other slots (row-batched matmuls,
 per-row masked attention), so each request's transcript is token-exact vs
 a standalone ``generate_tokens`` call — tested in tests/test_engine.py.
+
+Multi-tenant LoRA (``adapter_bank=`` + ``submit(adapter=k)``): one
+resident base model serves K fine-tunes concurrently — per-request bank
+rows are gathered inside the jitted stage/decode calls and applied
+row-batched (infer.adapters), so tenants mix freely in the pool and each
+request stays token-exact vs generate_tokens with ITS adapter injected.
 """
 
 from __future__ import annotations
@@ -77,6 +83,8 @@ def stage(
     temps: jax.Array,              # [W] per-request temperature (<=0 greedy)
     top_ps: jax.Array,             # [W] per-request nucleus p
     rng: jax.Array,                # PRNG key for sampled first tokens
+    adapters: Params | None = None,    # [K, ...] LoRA bank (infer.adapters)
+    adapter_ids: jax.Array | None = None,  # [W] per-request bank row
     *,
     cache_len: int,                # M — must match the slot cache width
     cache_dtype: str = "bfloat16",
@@ -99,17 +107,24 @@ def stage(
     on one chip)."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
+    llm = params["llm"]
+    if adapters is not None:
+        # multi-tenant serving: gather each request's LoRA rows from the
+        # bank ([K, ...] -> [W, ...], one fused gather per leaf) and graft
+        # them over the base tree; proj() applies them row-batched
+        from avsr_tpu.infer.adapters import inject_lora, select_lora
+        llm = inject_lora(llm, select_lora(adapters, adapter_ids))
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
                  use_pallas=use_pallas)
     prefix, plens = build_prefix(params, model_cfg, batch, enc,
                                  compute_dtype=dt)
     hidden, rows = L.llama_apply(
-        params["llm"], cfg, inputs_embeds=prefix, lengths=plens,
+        llm, cfg, inputs_embeds=prefix, lengths=plens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
         compute_dtype=dt, use_pallas=use_pallas,
         return_cache=True, cache_len=cache_len, output="hidden")
     h_last = jnp.take_along_axis(hidden, (plens - 1)[:, None, None], axis=1)
-    logits = L.compute_logits(params["llm"], cfg, h_last)[:, 0]
+    logits = L.compute_logits(llm, cfg, h_last)[:, 0]
     if sampling:
         tok0 = _slot_sample(logits.astype(jnp.float32), temps, top_ps, rng)
     else:
@@ -174,6 +189,8 @@ def decode_chunk(
     temps: jax.Array | None = None,    # [S] per-slot temperature
     top_ps: jax.Array | None = None,   # [S] per-slot nucleus p
     rng: jax.Array | None = None,      # PRNG key (folded per step)
+    adapters: Params | None = None,    # [K, ...] LoRA bank (infer.adapters)
+    adapter_ids: jax.Array | None = None,  # [S] per-slot bank row
     *,
     k_steps: int = 16,
     eos_id: int = 2,
@@ -189,12 +206,19 @@ def decode_chunk(
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
     S = cur_lens.shape[0]
+    llm = params["llm"]
+    if adapters is not None:
+        # per-slot tenant adapters: gathered once per chunk (bank rows are
+        # ~r/d of the base layer bytes — noise next to the KV streams),
+        # then every one of the K fused steps runs row-batched LoRA
+        from avsr_tpu.infer.adapters import inject_lora, select_lora
+        llm = inject_lora(llm, select_lora(adapters, adapter_ids))
 
     def body(k, carry):
         cache, cur, last, done, out = carry
-        emb = L.embed_tokens(params["llm"], last[:, None], dt)
+        emb = L.embed_tokens(llm, last[:, None], dt)
         logits, cache = L.llama_decode_step(
-            params["llm"], cfg, x=emb, cache=cache, cur_lens=cur,
+            llm, cfg, x=emb, cache=cache, cur_lens=cur,
             lora=model_cfg.lora if model_cfg.lora.use_lora else None,
             compute_dtype=dt)
         if sampling:
@@ -253,11 +277,29 @@ class ServingEngine:
     def __init__(self, params: Params, cfg: AVSRConfig, tok, *,
                  num_slots: int = 8, max_new_tokens: int | None = None,
                  k_steps: int = 16, cache_len: int | None = None,
-                 seed: int = 0):
+                 seed: int = 0, adapter_bank: Params | None = None):
         self.params = params
         self.cfg = cfg
         self.tok = tok
         self.S = num_slots
+        # multi-tenant LoRA serving (infer.adapters): [K, ...] bank; every
+        # request picks a row via submit(adapter=...), mixed freely in the
+        # pool. Needs the raw (unfused, lora-bearing) base tree: proj()
+        # applies the grafted per-row leaves only where lora is wired in.
+        self._bank = adapter_bank
+        self._n_adapters = 0
+        if adapter_bank is not None:
+            from avsr_tpu.infer.adapters import bank_size
+            if not cfg.model.lora.use_lora:
+                raise ValueError(
+                    "adapter_bank needs model.lora.use_lora=true (the "
+                    "bank rows ride the model's LoRA wiring)")
+            if "qkv" in params["llm"]["layers"][0]:
+                raise ValueError(
+                    "adapter_bank needs the raw params layout, not the "
+                    "fused decode one (fuse_decode_layout concatenates "
+                    "projections the per-proj adapters must target)")
+            self._n_adapters = bank_size(adapter_bank)
         self.max_new = max_new_tokens or cfg.decode.max_new_tokens
         self.k_steps = k_steps
         llm = cfg.model.llm
@@ -294,6 +336,7 @@ class ServingEngine:
         # jitted calls as inputs and never round-trip
         self.slot_temps = np.zeros((self.S,), np.float32)
         self.slot_tops = np.ones((self.S,), np.float32)
+        self.slot_adapter = np.zeros((self.S,), np.int32)
         self._sampling = False     # static trace flag for this workload
         self._base_key = jax.random.key(seed)
         self._rng_calls = 0        # fold counter: unique subkey per call
@@ -340,26 +383,31 @@ class ServingEngine:
 
     def _stage_group(
             self,
-            group: list[tuple[int, Sample, int, float, float]]) -> None:
-        """Prefill (req, sample, budget, temperature, top_p) tuples in ONE
-        batched :func:`stage` call, independent of slot availability.
-        Callers pass power-of-2 group sizes so the jit trace count stays
-        bounded at {1,2,4,...} x media buckets. Dispatched asynchronously
-        — the prefill computes on device while earlier decode chunks are
-        still in flight."""
+            group: list[tuple[int, Sample, int, float, float, int]]
+    ) -> None:
+        """Prefill (req, sample, budget, temperature, top_p, adapter)
+        tuples in ONE batched :func:`stage` call, independent of slot
+        availability. Callers pass power-of-2 group sizes so the jit trace
+        count stays bounded at {1,2,4,...} x media buckets. Dispatched
+        asynchronously — the prefill computes on device while earlier
+        decode chunks are still in flight."""
         batch = self._featurize([s for _, s, *_ in group])
         rows, tok0, plens = stage(
             self.params, self.cfg.model, batch,
             jnp.asarray([g[3] for g in group], jnp.float32),
             jnp.asarray([g[4] for g in group], jnp.float32),
             self._next_key(),
+            self._bank,
+            (jnp.asarray([g[5] for g in group], jnp.int32)
+             if self._bank is not None else None),
             cache_len=self.M,
             cache_dtype=(self.cfg.runtime.compute_dtype if self._kv_int8
                          else str(self.cache.k.dtype)),
             quantize=self._kv_int8, sampling=self._sampling,
             compute_dtype=self.cfg.runtime.compute_dtype,
             use_pallas=self.cfg.runtime.use_pallas)
-        meta = [(req, budget, t, p) for req, _, budget, t, p in group]
+        meta = [(req, budget, t, p, aid)
+                for req, _, budget, t, p, aid in group]
         self._staged = _Staged(meta, rows, tok0, plens)
         self.stages_run += 1
 
@@ -370,9 +418,10 @@ class ServingEngine:
         idxs = list(range(staged.next, staged.next + g))
         meta = staged.meta[staged.next:staged.next + g]
         staged.next += g
-        for slot, (_, _, t, p) in zip(slots, meta):
+        for slot, (_, _, t, p, aid) in zip(slots, meta):
             self.slot_temps[slot] = t
             self.slot_tops[slot] = p
+            self.slot_adapter[slot] = aid
         (self.cache, self.cur_lens, self.last_tok, self.done,
          t0_dev) = install(
             self.cache, staged.rows,
@@ -382,7 +431,7 @@ class ServingEngine:
             staged.tok0, staged.plens,
             eos_id=self.tok.eos_id)
         group = [(slot, req, None, budget)
-                 for slot, (req, budget, _, _) in zip(slots, meta)]
+                 for slot, (req, budget, *_) in zip(slots, meta)]
         self._pending_admits.append((group, t0_dev))
         self.installs_run += 1
 
@@ -441,7 +490,7 @@ class ServingEngine:
         self._sampling = sampling
         w = 1
         while w <= self.S:
-            self._stage_group([(-1, sample, 1, 0.0, 1.0)] * w)
+            self._stage_group([(-1, sample, 1, 0.0, 1.0, 0)] * w)
             st = self._staged
             # every install trace this width can hit: G in {1, 2, ..., w}
             g = 1
@@ -464,7 +513,10 @@ class ServingEngine:
          _) = decode_chunk(
             self.params, self.cfg.model, self.cache, self.cur_lens,
             self.last_tok, self.done, self.slot_temps, self.slot_tops,
-            self._next_key(), k_steps=self.k_steps,
+            self._next_key(), self._bank,
+            (jnp.asarray(self.slot_adapter) if self._bank is not None
+             else None),
+            k_steps=self.k_steps,
             eos_id=self.tok.eos_id, sampling=self._sampling,
             compute_dtype=self.cfg.runtime.compute_dtype)
         self._sync()
@@ -497,18 +549,25 @@ class ServingEngine:
     # -- online API ------------------------------------------------------
 
     def submit(self, sample: Sample, *, max_new: int | None = None,
-               temperature: float = 0.0, top_p: float = 1.0) -> int:
+               temperature: float = 0.0, top_p: float = 1.0,
+               adapter: int = 0) -> int:
         """Enqueue one request — at any time, including mid-decode — and
         return its id. ``temperature <= 0`` decodes greedily; a sampled
         submission switches the pool to the sampling trace (greedy rows
         within it still take exact argmax, and the flag stays on until
-        the pool drains and an all-greedy workload resets it)."""
+        the pool drains and an all-greedy workload resets it).
+        ``adapter`` picks the request's LoRA bank row (engines built with
+        ``adapter_bank``; tenants mix freely within the pool)."""
+        if not (0 <= adapter < max(1, self._n_adapters)):
+            raise ValueError(
+                f"adapter {adapter} out of range: this engine serves "
+                f"{self._n_adapters or 'no'} adapter(s)")
         rid = self._next_req
         self._next_req += 1
         if temperature > 0.0:
             self._sampling = True
         self._queue.append((rid, sample, max_new or self.max_new,
-                            float(temperature), float(top_p)))
+                            float(temperature), float(top_p), int(adapter)))
         self._outstanding.add(rid)
         return rid
 
@@ -587,7 +646,10 @@ class ServingEngine:
          out) = decode_chunk(
             self.params, self.cfg.model, self.cache, self.cur_lens,
             self.last_tok, self.done, self.slot_temps, self.slot_tops,
-            self._next_key(), k_steps=self.k_steps,
+            self._next_key(), self._bank,
+            (jnp.asarray(self.slot_adapter) if self._bank is not None
+             else None),
+            k_steps=self.k_steps,
             eos_id=self.tok.eos_id, sampling=self._sampling,
             compute_dtype=self.cfg.runtime.compute_dtype)
         self.chunks_run += 1
@@ -620,6 +682,7 @@ class ServingEngine:
                    max_new_per_request: list[int] | None = None,
                    temperature_per_request: list[float] | None = None,
                    top_p_per_request: list[float] | None = None,
+                   adapter_per_request: list[int] | None = None,
                    ) -> list[list[int]]:
         """Run every request through the slot pool; returns generated ids
         per request, in input order. ``max_new_per_request`` optionally
@@ -633,10 +696,12 @@ class ServingEngine:
         budgets = max_new_per_request or [self.max_new] * n_req
         temps_l = temperature_per_request or [0.0] * n_req
         tops_l = top_p_per_request or [1.0] * n_req
+        aids_l = adapter_per_request or [0] * n_req
         if not self._outstanding:        # idle pool: trace flag resets to
             self._sampling = False       # what this workload needs
-        ids = [self.submit(s, max_new=b, temperature=t, top_p=p)
-               for s, b, t, p in zip(samples, budgets, temps_l, tops_l)]
+        ids = [self.submit(s, max_new=b, temperature=t, top_p=p, adapter=a)
+               for s, b, t, p, a in zip(samples, budgets, temps_l, tops_l,
+                                        aids_l)]
         want = set(ids)
         while want & self._outstanding:
             self.step()

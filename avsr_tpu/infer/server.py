@@ -16,7 +16,9 @@ dependencies):
 Endpoints:
   POST /v1/transcribe   {"audio": [f32...]} | {"audio_b64": <wav bytes>} |
                         {"audio_path": "..."}  (+ optional "temperature",
-                        "top_p", "max_new_tokens", "timeout_s")
+                        "top_p", "max_new_tokens", "timeout_s", "adapter"
+                        — LoRA bank row for multi-tenant serving, engines
+                        built with adapter_bank)
                         -> {"req_id", "text", "tokens", "n_tokens"}
                         (a timed-out request is CANCELLED in the engine —
                         its slot capacity is reclaimed, not decoded into
@@ -52,6 +54,7 @@ class _Pending:
     max_new: int | None
     temperature: float
     top_p: float
+    adapter: int = 0
     event: threading.Event = field(default_factory=threading.Event)
     req_id: int | None = None
     tokens: list[int] | None = None
@@ -75,7 +78,8 @@ class AVSRServer:
                  host: str = "127.0.0.1", port: int = 8017,
                  num_slots: int | None = None,
                  warmup_sample: Sample | None = None,
-                 request_timeout_s: float = 300.0):
+                 request_timeout_s: float = 300.0,
+                 adapter_bank=None):
         from avsr_tpu.infer.engine import ServingEngine
 
         if cfg.model.modality != "audio":
@@ -88,7 +92,7 @@ class AVSRServer:
         self.engine = ServingEngine(
             params, cfg, tok,
             num_slots=num_slots or cfg.decode.engine_slots or 4,
-            seed=cfg.training.seed)
+            seed=cfg.training.seed, adapter_bank=adapter_bank)
         if warmup_sample is not None:
             t0 = time.perf_counter()
             self.engine.warmup(warmup_sample)
@@ -128,7 +132,7 @@ class AVSRServer:
                 try:
                     rid = eng.submit(p.sample, max_new=p.max_new,
                                      temperature=p.temperature,
-                                     top_p=p.top_p)
+                                     top_p=p.top_p, adapter=p.adapter)
                     p.req_id = rid
                     self._inflight[rid] = p
                     if p.abandoned:   # flag raced in around the submit
@@ -196,7 +200,8 @@ class AVSRServer:
                 max_new=(int(body["max_new_tokens"])
                          if "max_new_tokens" in body else None),
                 temperature=float(body.get("temperature", 0.0)),
-                top_p=float(body.get("top_p", 1.0)))
+                top_p=float(body.get("top_p", 1.0)),
+                adapter=int(body.get("adapter", 0)))
         except (ValueError, TypeError) as e:
             # bad field types/values (audio shape, non-numeric knobs, ...)
             return 400, {"error": str(e)}
@@ -204,6 +209,10 @@ class AVSRServer:
             # undecodable media and friends (load_audio raises OSError &
             # co.) — still the client's input, still a clean JSON error
             return 400, {"error": f"{type(e).__name__}: {e}"}
+        if not (0 <= p.adapter < max(1, self.engine._n_adapters)):
+            return 400, {"error": f"adapter {p.adapter} out of range "
+                                  f"(bank has "
+                                  f"{self.engine._n_adapters} adapters)"}
         try:
             timeout = min(float(body.get("timeout_s",
                                          self.request_timeout_s)),
@@ -230,7 +239,8 @@ class AVSRServer:
                      "uptime_s": round(time.time() - self.started_at, 1),
                      "model": {"modality": self.cfg.model.modality,
                                "connector": self.cfg.model.connector_type,
-                               "slots": self.engine.S},
+                               "slots": self.engine.S,
+                               "adapters": self.engine._n_adapters},
                      "stats": self.engine.stats()}
 
     # -- lifecycle ----------------------------------------------------------

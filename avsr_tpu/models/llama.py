@@ -84,7 +84,15 @@ def proj(p: Params, x: jax.Array, *, dtype: jnp.dtype | None = None,
             xl = jnp.where(keep, x / (1.0 - lora_dropout), 0.0)
         a = p["lora"]["a"].astype(dt)
         b = p["lora"]["b"].astype(dt)
-        y = y + lora_scale * jnp.matmul(jnp.matmul(xl.astype(dt), a), b)
+        if a.ndim == 3:
+            # per-row adapters [B, din, r]/[B, r, dout] (multi-tenant
+            # serving, infer.adapters): each batch row applies its own
+            # low-rank update — row-batched einsums keep slot numerics
+            # independent, so the engine's per-tenant exactness holds
+            u = jnp.einsum("btd,bdr->btr", xl.astype(dt), a)
+            y = y + lora_scale * jnp.einsum("btr,bro->bto", u, b)
+        else:
+            y = y + lora_scale * jnp.matmul(jnp.matmul(xl.astype(dt), a), b)
     return y
 
 

@@ -355,3 +355,91 @@ def test_engine_cancel_reclaims_capacity(rng):
     assert not eng.cancel(ids[1])     # finished: collect, don't cancel
     assert eng.requests_cancelled == 2
     assert eng.stats()["requests_cancelled"] == 2
+
+
+def test_engine_multi_adapter_token_exact(rng):
+    """Multi-tenant LoRA serving: one base model + a 2-adapter bank,
+    tenants interleaved in one pool. Each request must be token-exact vs
+    a standalone generate_tokens call with ITS adapter grafted onto the
+    base tree — per-row adapter gather must not leak across slots. The
+    adapters have random (nonzero) B matrices, so if the engine ignored
+    the bank entirely every comparison would fail."""
+    from avsr_tpu.infer.adapters import (
+        extract_lora,
+        inject_lora,
+        random_adapter_like,
+        stack_lora_bank,
+    )
+
+    cfg, tok, params = _setup()        # tiny_cpu: lora r=2 on the LLM
+    skel = extract_lora(params["llm"])
+    a1 = random_adapter_like(skel, jax.random.key(11), std=0.5)
+    a2 = random_adapter_like(skel, jax.random.key(22), std=0.5)
+    bank = stack_lora_bank([a1, a2])
+
+    max_new = 6
+    samples = [
+        Sample(f"m{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 8000, 6400, 12000, 4800])
+    ]
+    aids = [0, 1, 1, 0, 1]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=2,
+                        adapter_bank=bank)
+    got = eng.transcribe(samples, adapter_per_request=aids)
+
+    refs = {}
+    for aid, adapter in ((0, a1), (1, a2)):
+        p = dict(params)
+        p["llm"] = inject_lora(params["llm"], adapter)
+        refs[aid] = p
+    for i, (s, aid) in enumerate(zip(samples, aids)):
+        want = _reference_decode(cfg, tok, refs[aid], s, max_new)
+        assert got[i] == want, (i, aid, got[i], want)
+    # teeth: the two tenants really decode differently on this input
+    assert (_reference_decode(cfg, tok, refs[0], samples[0], max_new)
+            != _reference_decode(cfg, tok, refs[1], samples[0], max_new))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.submit(samples[0], adapter=2)        # out of range
+
+
+def test_engine_multi_adapter_quantized_base(rng):
+    """QLoRA-style multi-tenant serving: int8 weight-only base + bf16
+    per-tenant adapters. The quantized base streams ~half the bytes;
+    adapters still apply row-batched on top — each request token-exact vs
+    generate_tokens on the same quantized base with its adapter."""
+    from avsr_tpu.infer.adapters import (
+        extract_lora,
+        inject_lora,
+        random_adapter_like,
+        stack_lora_bank,
+    )
+    from avsr_tpu.ops.quant import quantize_llm
+
+    cfg, tok, params = _setup()
+    qparams = dict(params)
+    qparams["llm"] = quantize_llm(params["llm"], 8)
+    skel = extract_lora(qparams["llm"])
+    a1 = random_adapter_like(skel, jax.random.key(5), std=0.5)
+    a2 = random_adapter_like(skel, jax.random.key(6), std=0.5)
+    bank = stack_lora_bank([a1, a2])
+
+    max_new = 5
+    samples = [
+        Sample(f"q{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 8000, 6400])
+    ]
+    aids = [1, 0, 1]
+    eng = ServingEngine(qparams, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=2,
+                        adapter_bank=bank)
+    got = eng.transcribe(samples, adapter_per_request=aids)
+    for i, (s, aid) in enumerate(zip(samples, aids)):
+        p = dict(qparams)
+        p["llm"] = inject_lora(qparams["llm"], (a1, a2)[aid])
+        want = _reference_decode(cfg, tok, p, s, max_new)
+        assert got[i] == want, (i, aid, got[i], want)

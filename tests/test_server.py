@@ -176,3 +176,17 @@ def test_server_timeout_cancels_request(server, rng):
     assert server.engine.outstanding() == 0
     r = _post(server, {"audio": audio.tolist(), "max_new_tokens": MAX_NEW})
     assert r["n_tokens"] > 0
+
+
+def test_server_adapter_field(server, rng):
+    """HTTP adapter knob: 0 is always valid (bank-less engines serve the
+    base model); anything else on a bank-less engine is a clean 400, not
+    a scheduler-side 500. (Bank exactness per tenant is covered at the
+    engine level: test_engine_multi_adapter_token_exact.)"""
+    audio = _audio(rng)
+    r = _post(server, {"audio": audio.tolist(), "max_new_tokens": 4,
+                       "adapter": 0})
+    assert r["n_tokens"] > 0
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"audio": audio.tolist(), "adapter": 1})
+    assert e.value.code == 400

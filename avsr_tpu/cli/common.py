@@ -176,3 +176,31 @@ def maybe_mesh(cfg: AVSRConfig):
 
     mesh = build_mesh(cfg.mesh)
     return mesh, batch_sharder(mesh)
+
+
+def load_multilora(cfg: AVSRConfig, checkpoint: str | None,
+                   adapter_ckpts: list[str]) -> tuple[Any, Any]:
+    """Base params + stacked adapter bank for multi-tenant LoRA serving.
+
+    The base loads RAW (unfused — the per-projection adapters must target
+    unconcatenated q/k/v; quantized base leaves from use_4bit/8bit compose
+    fine), with only the lm head optionally quantized for serving
+    (decode.lm_head_bits keeps the tree structure). Each adapter
+    checkpoint is any trainer ckpt / params export for THIS config whose
+    LLM carries lora leaves; only those leaves are kept. Returns
+    (params, bank) for ServingEngine/AVSRServer(adapter_bank=...)."""
+    from avsr_tpu.infer.adapters import extract_lora, stack_lora_bank
+
+    if not cfg.model.lora.use_lora:
+        raise ValueError("--adapter serving needs model.lora.use_lora=true")
+    params = init_or_load_params(cfg, checkpoint)
+    if cfg.decode.lm_head_bits:
+        from avsr_tpu.ops.quant import quantize_llm
+        params = dict(params)
+        params["llm"] = quantize_llm(params["llm"], 0,
+                                     lm_head_bits=cfg.decode.lm_head_bits)
+    bank = stack_lora_bank([
+        extract_lora(init_or_load_params(cfg, ck)["llm"])
+        for ck in adapter_ckpts
+    ])
+    return params, bank

@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
                         "decode.engine_slots or 4)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip precompiling the stage/install/chunk traces")
+    p.add_argument("--adapter", action="append", default=None,
+                   metavar="CKPT",
+                   help="LoRA adapter checkpoint (repeatable): serve K "
+                        "fine-tunes from ONE resident base — requests pick "
+                        'theirs with {"adapter": k} in flag order')
     args = p.parse_args(argv)
     cfg = load_cli_config(args)
 
@@ -43,7 +48,14 @@ def main(argv: list[str] | None = None) -> int:
     from avsr_tpu.infer.server import AVSRServer
 
     tok = load_tokenizer(cfg.model.llm_path or None)
-    params = load_decode_params(cfg, args.checkpoint)
+    bank = None
+    if args.adapter:
+        from avsr_tpu.cli.common import load_multilora
+        params, bank = load_multilora(cfg, args.checkpoint, args.adapter)
+        log.info("multi-tenant serving: %d adapters over one base",
+                 len(args.adapter))
+    else:
+        params = load_decode_params(cfg, args.checkpoint)
     if args.checkpoint is None:
         log.warning("no --checkpoint: serving RANDOM-INIT weights "
                     "(smoke/bench mode)")
@@ -54,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         warmup = Sample("warmup", np.zeros((n,), np.float32), None, "",
                         [tok.eos_id])
     server = AVSRServer(params, cfg, tok, host=args.host, port=args.port,
-                        num_slots=args.slots or None, warmup_sample=warmup)
+                        num_slots=args.slots or None, warmup_sample=warmup,
+                        adapter_bank=bank)
     server.start()
     print(f"ready: http://{server.host}:{server.port}  "
           f"(POST /v1/transcribe, GET /v1/health)", flush=True)

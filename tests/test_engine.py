@@ -443,3 +443,19 @@ def test_engine_multi_adapter_quantized_base(rng):
         p["llm"] = inject_lora(qparams["llm"], (a1, a2)[aid])
         want = _reference_decode(cfg, tok, p, s, max_new)
         assert got[i] == want, (i, aid, got[i], want)
+
+
+def test_load_multilora_from_export(tmp_path):
+    """CLI bank loading: base + adapter checkpoints (params exports) ->
+    (raw base, stacked bank) that constructs a multi-tenant engine."""
+    from avsr_tpu.cli.common import load_multilora
+    from avsr_tpu.infer.adapters import bank_size
+    from avsr_tpu.train.checkpoint import export_params
+
+    cfg, tok, params = _setup()
+    export_params(params, tmp_path / "base")
+    base, bank = load_multilora(cfg, str(tmp_path / "base"),
+                                [str(tmp_path / "base")] * 2)
+    assert bank_size(bank) == 2
+    eng = ServingEngine(base, cfg, tok, num_slots=2, adapter_bank=bank)
+    assert eng._n_adapters == 2

@@ -110,6 +110,7 @@ def main() -> int:
     spec = bench_speculative(cfg, state.params, batch,
                              dec.get("decode_new_tokens_per_sec"))
     eng = bench_engine(cfg, state.params, batch)
+    mlora = bench_multilora(cfg, state.params)
     stream = bench_streaming(state.params)
     pipe = bench_pipeline(cfg, state, step_fn, utts_per_sec)
 
@@ -118,7 +119,8 @@ def main() -> int:
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
-        **mfu, **dec, **qdec, **beam, **spec, **eng, **stream, **pipe,
+        **mfu, **dec, **qdec, **beam, **spec, **eng, **mlora, **stream,
+        **pipe,
     }))
     return 0
 
@@ -560,6 +562,64 @@ def bench_engine(cfg, params, batch) -> dict:
             "engine_vs_static_speedup": round(speedup, 3),
             "engine_vs_static_decode_steps": round(
                 static_steps / max(eng_steps, 1), 3)}
+
+
+def bench_multilora(cfg, params) -> dict:
+    """Multi-tenant LoRA serving overhead: the same ragged workload
+    through two engines over the same RAW base tree — one bank-less, one
+    with a 4-adapter bank and tenants striped across requests. The bank
+    path adds one gather per lora leaf per stage/chunk plus the
+    row-batched low-rank einsums; overhead should be a few percent (the
+    adapter bytes are ~2dr/d^2 = 2r/d of the base stream)."""
+    import dataclasses
+
+    from avsr_tpu.data.dataset import Sample
+    from avsr_tpu.data.tokenizer import load_tokenizer
+    from avsr_tpu.infer.adapters import (
+        extract_lora,
+        random_adapter_like,
+        stack_lora_bank,
+    )
+    from avsr_tpu.infer.engine import ServingEngine
+
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    skel = extract_lora(params["llm"])
+    bank = stack_lora_bank([
+        random_adapter_like(skel, jax.random.key(100 + i))
+        for i in range(4)
+    ])
+    rng = np.random.default_rng(11)
+    n_req, slots, max_new = 12, 4, 60
+    budgets = [int(b) for b in rng.integers(10, max_new + 1, n_req)]
+    t = np.arange(16000 * 10, dtype=np.float32) / 16000.0
+    samples = [
+        Sample(f"m{i:02d}",
+               (0.3 * np.sin(2 * np.pi * float(rng.uniform(80, 300)) * t))
+               .astype(np.float32), None, "", [tok.eos_id])
+        for i in range(n_req)
+    ]
+    ecfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, modality="audio"))
+
+    def timed(bank_arg, aids):
+        eng = ServingEngine(params, ecfg, tok, num_slots=slots,
+                            max_new_tokens=max_new, k_steps=16,
+                            adapter_bank=bank_arg)
+        eng.warmup(samples[0])
+        best = float("inf")
+        for _ in range(2):       # first pass can absorb queued work
+            t0 = time.perf_counter()
+            res = eng.transcribe(samples, max_new_per_request=budgets,
+                                 adapter_per_request=aids)
+            assert len(res) == n_req
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    base_dt = timed(None, None)
+    bank_dt = timed(bank, [i % 4 for i in range(n_req)])
+    log(f"multilora: bank-less {base_dt:.2f}s vs 4-tenant bank "
+        f"{bank_dt:.2f}s -> {bank_dt / base_dt:.3f}x")
+    return {"multilora_overhead": round(bank_dt / base_dt, 3)}
 
 
 def bench_streaming(params) -> dict:

@@ -576,6 +576,48 @@ class ServingEngine:
         resident)."""
         return len(self._outstanding)
 
+    def add_adapter(self, adapter: Params) -> int:
+        """Onboard a LoRA tenant at runtime (no restart, no drain) and
+        return its id. ``adapter`` is an infer.adapters.extract_lora tree
+        matching this model's LoRA wiring.
+
+        On a bank-less engine the first call CREATES the bank with row 0
+        reserved as an all-zeros base adapter — resident requests were
+        admitted as adapter 0, and the zeros row keeps their numerics
+        bit-exact through the mid-flight trace switch (x@0 @ b == 0), so
+        the new tenant lands at id 1. Capacity grows by doubling with
+        zero rows: each new capacity (and the bank-less->banked switch)
+        retraces the stage/chunk calls once; between growths onboarding
+        is a pure row scatter."""
+        from avsr_tpu.infer import adapters as ad
+
+        if self._bank is None:
+            if not self.cfg.model.lora.use_lora:
+                raise ValueError(
+                    "add_adapter needs model.lora.use_lora=true")
+            if "qkv" in self.params["llm"]["layers"][0]:
+                raise ValueError(
+                    "add_adapter needs the raw params layout, not the "
+                    "fused decode one")
+            self._bank = ad.stack_lora_bank(
+                [ad.zeros_adapter_like(adapter), adapter])
+            self._n_adapters = 2
+            return 1
+        skel = jax.tree.structure(ad.select_lora(self._bank, 0))
+        if jax.tree.structure(adapter) != skel:
+            raise ValueError(
+                "adapter tree does not match this model's LoRA wiring "
+                f"(got {jax.tree.structure(adapter)}, want {skel})")
+        k, cap = self._n_adapters, ad.bank_size(self._bank)
+        if k == cap:     # double capacity with zero rows (one retrace)
+            self._bank = jax.tree.map(
+                lambda b: jnp.concatenate([b, jnp.zeros_like(b)]),
+                self._bank)
+        self._bank = jax.tree.map(lambda b, a: b.at[k].set(a),
+                                  self._bank, adapter)
+        self._n_adapters = k + 1
+        return k
+
     def cancel(self, req_id: int) -> bool:
         """Abandon a live request and reclaim its slot capacity — the
         serving fix for timed-out/disconnected clients whose requests

@@ -23,6 +23,10 @@ Endpoints:
                         (a timed-out request is CANCELLED in the engine —
                         its slot capacity is reclaimed, not decoded into
                         the void; 504 carries "cancelled": true)
+  POST /v1/adapters     {"checkpoint": path} -> {"adapter": k} — onboard
+                        a LoRA tenant into the running pool (no restart;
+                        resident requests unaffected; see
+                        ServingEngine.add_adapter)
   GET  /v1/health       -> {"ok", "outstanding", "model", "stats"}
   GET  /v1/stats        -> engine.stats()
 """
@@ -65,6 +69,16 @@ class _Pending:
     abandoned: bool = False
 
 
+@dataclass
+class _AdminAdd:
+    """Adapter onboarding op: handler threads load/extract the tree (pure
+    host work), the scheduler — sole owner of the engine — applies it."""
+    adapter: object
+    event: threading.Event = field(default_factory=threading.Event)
+    result: int | None = None
+    error: str | None = None
+
+
 class AVSRServer:
     """Own an engine + scheduler thread + HTTP listener.
 
@@ -101,6 +115,7 @@ class AVSRServer:
         self.request_timeout_s = request_timeout_s
         self._inq: queue.Queue[_Pending] = queue.Queue()
         self._cancelq: queue.Queue[int] = queue.Queue()
+        self._adminq: queue.Queue[_AdminAdd] = queue.Queue()
         self._inflight: dict[int, _Pending] = {}
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -112,6 +127,18 @@ class AVSRServer:
     def _scheduler(self) -> None:
         eng = self.engine
         while not self._stop.is_set():
+            # admin ops first: adapter onboarding must not race the
+            # engine's jitted calls, so it happens here, between steps
+            while True:
+                try:
+                    op = self._adminq.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    op.result = eng.add_adapter(op.adapter)
+                except Exception as e:
+                    op.error = f"{type(e).__name__}: {e}"
+                op.event.set()
             # reclaim slots whose client gave up (handler timed out)
             while True:
                 try:
@@ -233,6 +260,30 @@ class AVSRServer:
         return 200, {"req_id": p.req_id, "text": text,
                      "tokens": p.tokens, "n_tokens": len(p.tokens)}
 
+    def handle_add_adapter(self, body: dict) -> tuple[int, dict]:
+        """POST /v1/adapters {"checkpoint": path}: onboard a LoRA tenant
+        into the running pool (engine.add_adapter — no restart, resident
+        requests unaffected). The checkpoint load + lora extraction run on
+        this handler thread; only the bank update rides the scheduler."""
+        from avsr_tpu.cli.common import init_or_load_params
+        from avsr_tpu.infer.adapters import extract_lora
+
+        ck = body.get("checkpoint")
+        if not ck or not Path(ck).exists():
+            return 400, {"error": f"checkpoint not found: {ck!r}"}
+        try:
+            adapter = extract_lora(init_or_load_params(self.cfg, ck)["llm"])
+        except Exception as e:
+            return 400, {"error": f"{type(e).__name__}: {e}"}
+        op = _AdminAdd(adapter=adapter)
+        self._adminq.put(op)
+        if not op.event.wait(self.request_timeout_s):
+            return 504, {"error": "timed out onboarding adapter"}
+        if op.error:
+            return 400, {"error": op.error}
+        return 200, {"adapter": op.result,
+                     "adapters": self.engine._n_adapters}
+
     def handle_health(self) -> tuple[int, dict]:
         return 200, {"ok": True,
                      "outstanding": self.engine.outstanding(),
@@ -268,7 +319,10 @@ class AVSRServer:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):  # noqa: N802
-                if self.path != "/v1/transcribe":
+                routes = {"/v1/transcribe": server.handle_transcribe,
+                          "/v1/adapters": server.handle_add_adapter}
+                handler = routes.get(self.path)
+                if handler is None:
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -277,7 +331,7 @@ class AVSRServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"bad JSON: {e}"})
                     return
-                self._reply(*server.handle_transcribe(body))
+                self._reply(*handler(body))
 
             def log_message(self, fmt, *args):
                 log.debug("http: " + fmt, *args)

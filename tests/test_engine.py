@@ -459,3 +459,41 @@ def test_load_multilora_from_export(tmp_path):
     assert bank_size(bank) == 2
     eng = ServingEngine(base, cfg, tok, num_slots=2, adapter_bank=bank)
     assert eng._n_adapters == 2
+
+
+def test_engine_add_adapter_hot_onboard(rng):
+    """Runtime tenant onboarding on a bank-less engine: the first
+    add_adapter creates the bank with row 0 = zeros base (id-0 requests
+    stay token-exact vs the bank-less engine), tenants land at 1 and 2
+    (the second forces a capacity doubling), and each decodes token-exact
+    vs generate_tokens with its adapter injected."""
+    from avsr_tpu.infer.adapters import (
+        extract_lora,
+        inject_lora,
+        random_adapter_like,
+    )
+
+    cfg, tok, params = _setup()
+    skel = extract_lora(params["llm"])
+    a1 = random_adapter_like(skel, jax.random.key(31), std=0.5)
+    a2 = random_adapter_like(skel, jax.random.key(32), std=0.5)
+    max_new = 5
+    samples = [
+        Sample(f"h{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 8000, 6400])
+    ]
+
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=2)
+    assert eng.add_adapter(a1) == 1
+    assert eng.add_adapter(a2) == 2        # capacity doubles 2 -> 4
+    got = eng.transcribe(samples, adapter_per_request=[0, 1, 2])
+
+    assert got[0] == _reference_decode(cfg, tok, params, samples[0],
+                                       max_new)      # zeros row == base
+    for i, a in ((1, a1), (2, a2)):
+        p = dict(params)
+        p["llm"] = inject_lora(params["llm"], a)
+        assert got[i] == _reference_decode(cfg, tok, p, samples[i],
+                                           max_new), i

@@ -190,3 +190,45 @@ def test_server_adapter_field(server, rng):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, {"audio": audio.tolist(), "adapter": 1})
     assert e.value.code == 400
+
+
+def test_server_hot_onboard_adapter(server, rng, tmp_path):
+    """POST /v1/adapters onboards a tenant into the RUNNING server: the
+    new id transcribes token-exact vs generate_tokens with that adapter
+    injected, and adapter 0 keeps serving the base."""
+    from avsr_tpu.infer.adapters import (
+        extract_lora,
+        inject_lora,
+        random_adapter_like,
+    )
+    from avsr_tpu.train.checkpoint import export_params
+
+    params = server.engine.params
+    adapter = random_adapter_like(extract_lora(params["llm"]),
+                                  jax.random.key(77), std=0.5)
+    tenant = dict(params)
+    tenant["llm"] = inject_lora(params["llm"], adapter)
+    export_params(tenant, tmp_path / "tenant")
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/adapters",
+        data=json.dumps({"checkpoint": str(tmp_path / "tenant")}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        onboard = json.loads(resp.read())
+    k = onboard["adapter"]
+    assert k >= 1
+
+    audio = _audio(rng)
+    body = {"audio": audio.tolist(), "max_new_tokens": MAX_NEW,
+            "adapter": k}
+    got = _post(server, body)
+    sample = Sample("t", audio, None, "", [server.tok.eos_id])
+    want = _reference_decode(server.cfg, server.tok, tenant, sample,
+                             MAX_NEW)
+    assert got["tokens"] == want
+    base = _post(server, {"audio": audio.tolist(),
+                          "max_new_tokens": MAX_NEW, "adapter": 0})
+    base_want = _reference_decode(server.cfg, server.tok, params, sample,
+                                  MAX_NEW)
+    assert base["tokens"] == base_want

@@ -199,8 +199,10 @@ def load_multilora(cfg: AVSRConfig, checkpoint: str | None,
         params = dict(params)
         params["llm"] = quantize_llm(params["llm"], 0,
                                      lm_head_bits=cfg.decode.lm_head_bits)
-    bank = stack_lora_bank([
+    # empty list: raw base, no bank yet — the runtime-onboarding start
+    # state (serve --allow-onboarding; POST /v1/adapters bootstraps)
+    bank = (stack_lora_bank([
         extract_lora(init_or_load_params(cfg, ck)["llm"])
         for ck in adapter_ckpts
-    ])
+    ]) if adapter_ckpts else None)
     return params, bank

@@ -45,9 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     mesh, _ = maybe_mesh(cfg)
     # return_raw only when the self-draft needs the pre-transform tree —
     # otherwise a full duplicate of the weights would stay resident for
-    # the whole run (multi-GB at flagship scale)
+    # the whole run (multi-GB at flagship scale). The engine path never
+    # speculates, so it must not pay for (or log) a draft either.
     draft_params = None
-    if cfg.decode.speculative:
+    if cfg.decode.speculative and cfg.decode.engine_slots > 0:
+        log.warning("decode.speculative is ignored with engine_slots>0 "
+                    "(the continuous-batching engine decodes chunk-wise)")
+    if cfg.decode.speculative and cfg.decode.engine_slots == 0:
         from avsr_tpu.infer.speculative import make_draft_params
         params, raw_params = load_decode_params(
             cfg, args.checkpoint, mesh=mesh, return_raw=True)

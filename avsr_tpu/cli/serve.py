@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="LoRA adapter checkpoint (repeatable): serve K "
                         "fine-tunes from ONE resident base — requests pick "
                         'theirs with {"adapter": k} in flag order')
+    p.add_argument("--allow-onboarding", action="store_true",
+                   help="keep the base in the raw (unfused) layout so "
+                        "POST /v1/adapters can onboard tenants at runtime "
+                        "even when no --adapter was given (the fused "
+                        "serving layout cannot accept per-proj adapters)")
     args = p.parse_args(argv)
     cfg = load_cli_config(args)
 
@@ -49,11 +54,13 @@ def main(argv: list[str] | None = None) -> int:
 
     tok = load_tokenizer(cfg.model.llm_path or None)
     bank = None
-    if args.adapter:
+    if args.adapter or args.allow_onboarding:
         from avsr_tpu.cli.common import load_multilora
-        params, bank = load_multilora(cfg, args.checkpoint, args.adapter)
-        log.info("multi-tenant serving: %d adapters over one base",
-                 len(args.adapter))
+        params, bank = load_multilora(cfg, args.checkpoint,
+                                      args.adapter or [])
+        log.info("multi-tenant serving: %d adapters over one raw base "
+                 "(runtime onboarding via POST /v1/adapters)",
+                 len(args.adapter or []))
     else:
         params = load_decode_params(cfg, args.checkpoint)
     if args.checkpoint is None:

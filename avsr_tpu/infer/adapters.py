@@ -115,6 +115,10 @@ def inject_lora(llm: Params, sel: Params | None) -> Params:
                 out[k] = sv if k == "lora" else walk(p[k], sv)
             return out
         if isinstance(p, list):
+            if len(s) != len(p):
+                raise ValueError(
+                    f"adapter layer count {len(s)} != model's {len(p)} "
+                    "(adapter extracted from a different config?)")
             return [walk(pv, sv) for pv, sv in zip(p, s)]
         return p
 

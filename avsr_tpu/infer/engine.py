@@ -115,13 +115,13 @@ def stage(
         from avsr_tpu.infer.adapters import inject_lora, select_lora
         llm = inject_lora(llm, select_lora(adapters, adapter_ids))
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
-                 use_pallas=use_pallas)
+                 use_pallas=use_pallas, moe_rowwise=True)
     prefix, plens = build_prefix(params, model_cfg, batch, enc,
                                  compute_dtype=dt)
     hidden, rows = L.llama_apply(
         llm, cfg, inputs_embeds=prefix, lengths=plens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
-        compute_dtype=dt, use_pallas=use_pallas,
+        compute_dtype=dt, use_pallas=use_pallas, moe_rowwise=True,
         return_cache=True, cache_len=cache_len, output="hidden")
     h_last = jnp.take_along_axis(hidden, (plens - 1)[:, None, None], axis=1)
     logits = L.compute_logits(llm, cfg, h_last)[:, 0]
@@ -289,16 +289,9 @@ class ServingEngine:
         self._bank = adapter_bank
         self._n_adapters = 0
         if adapter_bank is not None:
-            from avsr_tpu.infer.adapters import bank_size
-            if not cfg.model.lora.use_lora:
-                raise ValueError(
-                    "adapter_bank needs model.lora.use_lora=true (the "
-                    "bank rows ride the model's LoRA wiring)")
-            if "qkv" in params["llm"]["layers"][0]:
-                raise ValueError(
-                    "adapter_bank needs the raw params layout, not the "
-                    "fused decode one (fuse_decode_layout concatenates "
-                    "projections the per-proj adapters must target)")
+            from avsr_tpu.infer.adapters import bank_size, select_lora
+            self._validate_adapter_base()
+            self._check_adapter_structure(select_lora(adapter_bank, 0))
             self._n_adapters = bank_size(adapter_bank)
         self.max_new = max_new_tokens or cfg.decode.max_new_tokens
         self.k_steps = k_steps
@@ -576,38 +569,54 @@ class ServingEngine:
         resident)."""
         return len(self._outstanding)
 
+    def _validate_adapter_base(self) -> None:
+        """Bank/onboarding preconditions on the resident base tree."""
+        if not self.cfg.model.lora.use_lora:
+            raise ValueError(
+                "adapter serving needs model.lora.use_lora=true (the "
+                "bank rows ride the model's LoRA wiring)")
+        if "qkv" in self.params["llm"]["layers"][0]:
+            raise ValueError(
+                "adapter serving needs the raw params layout, not the "
+                "fused decode one (fuse_decode_layout concatenates "
+                "projections the per-proj adapters must target)")
+
+    def _check_adapter_structure(self, adapter: Params) -> None:
+        """An adapter must mirror extract_lora(base) exactly — a silently
+        mis-shaped tree (e.g. from a different-depth config) would
+        truncate inject_lora's layer walk."""
+        from avsr_tpu.infer.adapters import extract_lora
+        want = jax.tree.structure(extract_lora(self.params["llm"]))
+        got = jax.tree.structure(adapter)
+        if got != want:
+            raise ValueError(
+                "adapter tree does not match this model's LoRA wiring "
+                f"(got {got}, want {want})")
+
     def add_adapter(self, adapter: Params) -> int:
         """Onboard a LoRA tenant at runtime (no restart, no drain) and
         return its id. ``adapter`` is an infer.adapters.extract_lora tree
         matching this model's LoRA wiring.
 
         On a bank-less engine the first call CREATES the bank with row 0
-        reserved as an all-zeros base adapter — resident requests were
-        admitted as adapter 0, and the zeros row keeps their numerics
-        bit-exact through the mid-flight trace switch (x@0 @ b == 0), so
-        the new tenant lands at id 1. Capacity grows by doubling with
-        zero rows: each new capacity (and the bank-less->banked switch)
-        retraces the stage/chunk calls once; between growths onboarding
-        is a pure row scatter."""
+        reserved as the base tree's OWN resident adapter (its lora
+        leaves, which every request was already applying via proj) —
+        resident id-0 requests keep their numerics bit-exact through the
+        mid-flight trace switch, whether those leaves are zero-init or a
+        trained fine-tune. The new tenant lands at id 1. Capacity grows
+        by doubling with zero rows: each new capacity (and the
+        bank-less->banked switch) retraces the stage/chunk calls once;
+        between growths onboarding is a pure row scatter."""
         from avsr_tpu.infer import adapters as ad
 
         if self._bank is None:
-            if not self.cfg.model.lora.use_lora:
-                raise ValueError(
-                    "add_adapter needs model.lora.use_lora=true")
-            if "qkv" in self.params["llm"]["layers"][0]:
-                raise ValueError(
-                    "add_adapter needs the raw params layout, not the "
-                    "fused decode one")
+            self._validate_adapter_base()
+            self._check_adapter_structure(adapter)
             self._bank = ad.stack_lora_bank(
-                [ad.zeros_adapter_like(adapter), adapter])
+                [ad.extract_lora(self.params["llm"]), adapter])
             self._n_adapters = 2
             return 1
-        skel = jax.tree.structure(ad.select_lora(self._bank, 0))
-        if jax.tree.structure(adapter) != skel:
-            raise ValueError(
-                "adapter tree does not match this model's LoRA wiring "
-                f"(got {jax.tree.structure(adapter)}, want {skel})")
+        self._check_adapter_structure(adapter)
         k, cap = self._n_adapters, ad.bank_size(self._bank)
         if k == cap:     # double capacity with zero rows (one retrace)
             self._bank = jax.tree.map(
@@ -715,7 +724,12 @@ class ServingEngine:
         return finished
 
     def collect(self, req_id: int) -> list[int] | None:
-        """Pop a finished request's ids (None if not finished yet)."""
+        """Pop a finished request's ids (None if not finished yet).
+
+        Finished results are retained until collected — long-running
+        callers that consume :meth:`step`'s return dict directly must
+        still collect (or ``_finished`` grows without bound; infer.server
+        does this per finish)."""
         return self._finished.pop(req_id, None)
 
     # -- offline convenience ---------------------------------------------

@@ -126,7 +126,7 @@ def generate_tokens(
     cfg = model_cfg.llm
     uk = _kernel_flag(mesh)
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
-                 use_pallas=use_pallas, mesh=mesh)
+                 use_pallas=use_pallas, mesh=mesh, moe_rowwise=True)
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
@@ -137,7 +137,7 @@ def generate_tokens(
     hidden, cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
-        compute_dtype=dt, use_pallas=use_pallas,
+        compute_dtype=dt, use_pallas=use_pallas, moe_rowwise=True,
         return_cache=True, cache_len=M, output="hidden", mesh=mesh)
     if kv_cache_dtype == "int8":
         cache = L.quantize_cache(cache)
@@ -300,7 +300,7 @@ def beam_search(
     W = num_beams
     uk = _kernel_flag(mesh)
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
-                 use_pallas=use_pallas, mesh=mesh)
+                 use_pallas=use_pallas, mesh=mesh, moe_rowwise=True)
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
@@ -310,7 +310,7 @@ def beam_search(
     hidden, pre_cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=model_cfg.lora if model_cfg.lora.use_lora else None,
-        compute_dtype=dt, use_pallas=use_pallas,
+        compute_dtype=dt, use_pallas=use_pallas, moe_rowwise=True,
         return_cache=True, cache_len=Mp, output="hidden", mesh=mesh)
     h_last = jnp.take_along_axis(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)

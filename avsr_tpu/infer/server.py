@@ -77,6 +77,9 @@ class _AdminAdd:
     event: threading.Event = field(default_factory=threading.Event)
     result: int | None = None
     error: str | None = None
+    # set by the handler on timeout: a 504'd onboarding must not be
+    # applied later (a client retry would double-onboard the adapter)
+    abandoned: bool = False
 
 
 class AVSRServer:
@@ -134,6 +137,8 @@ class AVSRServer:
                     op = self._adminq.get_nowait()
                 except queue.Empty:
                     break
+                if op.abandoned:        # its 504 already went out
+                    continue
                 try:
                     op.result = eng.add_adapter(op.adapter)
                 except Exception as e:
@@ -186,6 +191,10 @@ class AVSRServer:
                     time.sleep(0.2)      # backoff if the fault persists
                     continue
                 for rid, ids in finished.items():
+                    # pop the engine-side copy too: a daemon that only
+                    # reads step()'s return would otherwise grow
+                    # engine._finished without bound
+                    eng.collect(rid)
                     p = self._inflight.pop(rid, None)
                     if p is not None:
                         p.tokens = list(map(int, ids))
@@ -278,6 +287,7 @@ class AVSRServer:
         op = _AdminAdd(adapter=adapter)
         self._adminq.put(op)
         if not op.event.wait(self.request_timeout_s):
+            op.abandoned = True         # never applied late; retry-safe
             return 504, {"error": "timed out onboarding adapter"}
         if op.error:
             return 400, {"error": op.error}

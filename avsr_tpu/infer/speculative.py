@@ -212,7 +212,7 @@ def speculative_generate(
 
     # ---- target prefill (identical to generate_tokens) -------------------
     enc = encode(params, model_cfg, batch, compute_dtype=dt,
-                 use_pallas=use_pallas, mesh=mesh)
+                 use_pallas=use_pallas, mesh=mesh, moe_rowwise=True)
     prefix, prefix_lens = build_prefix(params, model_cfg, batch, enc,
                                        compute_dtype=dt)
     B, Tpre = prefix.shape[:2]
@@ -221,6 +221,7 @@ def speculative_generate(
     hidden, t_cache = L.llama_apply(
         params["llm"], cfg, inputs_embeds=prefix, lengths=prefix_lens,
         lora=lora, compute_dtype=dt, use_pallas=use_pallas,
+        moe_rowwise=True,
         return_cache=True, cache_len=M, output="hidden", mesh=mesh)
     h_last = jnp.take_along_axis(
         hidden, (prefix_lens - 1)[:, None, None], axis=1)
@@ -236,13 +237,15 @@ def speculative_generate(
         d_prefix, d_plens, M_d = prefix, prefix_lens, M
     else:
         d_enc = encode(draft_params, dcfg, batch, compute_dtype=dt,
-                       use_pallas=use_pallas, mesh=mesh)
+                       use_pallas=use_pallas, mesh=mesh,
+                       moe_rowwise=True)
         d_prefix, d_plens = build_prefix(draft_params, dcfg, batch, d_enc,
                                          compute_dtype=dt)
         M_d = -(-(d_prefix.shape[1] + max_new_tokens + G + 2) // 128) * 128
     _, d_cache = L.llama_apply(
         draft_params["llm"], dllm, inputs_embeds=d_prefix, lengths=d_plens,
         lora=dlora, compute_dtype=dt, use_pallas=use_pallas,
+        moe_rowwise=True,
         return_cache=True, cache_len=M_d, output="hidden", mesh=mesh)
 
     P = prefix_lens.astype(jnp.int32)                 # [B] target prefix

@@ -75,7 +75,7 @@ def _encode_features(params, model_cfg, batch, compute_dtype: str):
     from avsr_tpu.models.avsr import encode
 
     enc = encode(params, model_cfg, batch,
-                 compute_dtype=jnp.dtype(compute_dtype))
+                 compute_dtype=jnp.dtype(compute_dtype), moe_rowwise=True)
     return enc.features, enc.lengths
 
 

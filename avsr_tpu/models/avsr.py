@@ -173,13 +173,18 @@ def encode(
     use_pallas: str = "auto",
     remat: bool = False,
     mesh=None,
+    moe_rowwise: bool = False,
 ) -> EncodeOut:
     """Run the modality encoders + connectors. Mirrors ref encode() :407-462.
 
     ``mesh`` with an sp axis > 1 activates sequence-parallel ring attention
     inside the encoders and the LLM (ops.ring_attention) — long sequences
     become a sharding decision instead of the reference's truncation
-    (clip_whisper_model.py:320-374)."""
+    (clip_whisper_model.py:320-374).
+
+    ``moe_rowwise`` (inference callers) routes the MoE connector
+    per-sequence so a request's features are independent of the batch it
+    shares — see models.llama.llama_apply's same-named flag."""
     conn = get_connector(cfg.connector_type)
     audio_feat = audio_lens = video_feat = video_lens = None
 
@@ -245,7 +250,8 @@ def encode(
                       if batch.frame_lens is not None
                       else jnp.full((vfeats.shape[0],), vfeats.shape[1], jnp.int32))
 
-    ckw = dict(use_pallas=use_pallas, model_cfg=cfg, mesh=mesh)
+    ckw = dict(use_pallas=use_pallas, model_cfg=cfg, mesh=mesh,
+               moe_rowwise=moe_rowwise)
     if conn.dual:
         out, lens, aux = conn_out(conn.apply(
             params["connector"], audio_feat, video_feat,

@@ -453,42 +453,58 @@ def moe_init(key, d_in, d_out, cfg: ModelConfig, dtype=jnp.float32) -> Params:
 
 
 def _moe_block(blk: Params, x: jax.Array, valid: jax.Array, topk: int,
-               cap_factor: float, mesh) -> tuple[jax.Array, jax.Array, jax.Array]:
+               cap_factor: float, mesh, rowwise: bool = False
+               ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One residual MoE-FFN over [B, T, d]. Returns (y, lb_loss, z_loss).
 
     Routing (slot-major capacity dispatch, aux losses) lives in
     ops.moe.route — shared with the LLM's MoE FFN layers; this block
-    supplies the gelu two-matrix expert."""
+    supplies the gelu two-matrix expert. ``rowwise`` (inference: engine
+    staging, generate, speculative, streaming) routes each sequence
+    within its own capacity slots so a request's features are identical
+    at any batch composition — the encode-side half of the
+    engine==generate token-exactness contract (models.llama._moe_mlp
+    documents the cost trade)."""
     from avsr_tpu.ops import moe
 
     B, T, d = x.shape
     E = blk["experts"]["w1"].shape[0]
-    N = B * T
-    C = moe.capacity(N, E, topk, cap_factor)
-    xf = x.reshape(N, d)
-    vf = valid.reshape(N).astype(jnp.float32)                    # [N]
-
-    # Router in fp32: tiny matmul, and exp/softmax stability matters more
-    # than MXU width here.
-    logits = xf.astype(jnp.float32) @ blk["router"]["w"].astype(jnp.float32)
-    dispatch, combine, lb, z = moe.route(logits, vf, topk, C)
 
     w1, b1 = blk["experts"]["w1"], blk["experts"]["b1"]
     w2, b2 = blk["experts"]["w2"], blk["experts"]["b2"]
     cdt = x.dtype
 
-    def experts(xs):                                             # [E, C, d]
+    def experts(xs):                                            # [E, C', d]
         h = gelu(jnp.einsum("ecd,edf->ecf", xs, w1.astype(cdt))
                  + b1[:, None, :].astype(cdt))
         return (jnp.einsum("ecf,efd->ecd", h, w2.astype(cdt))
                 + b2[:, None, :].astype(cdt))
 
+    # Router in fp32: tiny matmul, and exp/softmax stability matters more
+    # than MXU width here.
+    if rowwise:
+        C = moe.capacity(T, E, topk, cap_factor)
+        logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
+                            blk["router"]["w"].astype(jnp.float32))
+        dispatch, combine, lb, z = jax.vmap(
+            lambda lg, vl: moe.route(lg, vl, topk, C))(
+                logits, valid.astype(jnp.float32))
+        y = moe.dispatch_apply_rowwise(dispatch, combine, x, experts, mesh)
+        return y, jnp.mean(lb), jnp.mean(z)
+
+    N = B * T
+    C = moe.capacity(N, E, topk, cap_factor)
+    xf = x.reshape(N, d)
+    vf = valid.reshape(N).astype(jnp.float32)                    # [N]
+    logits = xf.astype(jnp.float32) @ blk["router"]["w"].astype(jnp.float32)
+    dispatch, combine, lb, z = moe.route(logits, vf, topk, C)
     y = moe.dispatch_apply(dispatch, combine, xf, experts, mesh)
     return y.reshape(B, T, d), lb, z
 
 
 def moe_apply(p: Params, x: jax.Array, lengths=None, *,
-              model_cfg: ModelConfig | None = None, mesh=None, **_):
+              model_cfg: ModelConfig | None = None, mesh=None,
+              moe_rowwise: bool = False, **_):
     if model_cfg is None:
         raise ValueError("moe connector needs model_cfg threaded into apply")
     lens = _ident_lens(x, lengths)
@@ -499,7 +515,8 @@ def moe_apply(p: Params, x: jax.Array, lengths=None, *,
     for blk in p["blocks"]:
         y, blb, bz = _moe_block(blk, layer_norm(blk["ln"], h), valid,
                                 model_cfg.moe_topk,
-                                model_cfg.moe_capacity_factor, mesh)
+                                model_cfg.moe_capacity_factor, mesh,
+                                rowwise=moe_rowwise)
         h = h + y
         lb = lb + blb
         z = z + bz

@@ -302,20 +302,52 @@ def _proj_mlp(layer: Params, h: jax.Array, cfg: LLMConfig, ls: float,
 
 def _moe_mlp(layer: Params, h: jax.Array, cfg: LLMConfig,
              valid: jax.Array | None = None, mesh=None,
-             dropless: bool = False
+             dropless: bool = False, rowwise: bool = False
              ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sparse SwiGLU MoE FFN over [B, T, d] (ops.moe routing).
 
     Returns (y, lb_loss, z_loss); ``valid`` [B, T] masks right-padding
     out of routing and the aux losses (decode callers pass None — every
-    row is a live token there). ``dropless`` (inference paths) sizes the
-    capacity at topk*N so routing is composition-independent — the
-    token-exactness contracts across decode/prefill/verify paths depend
-    on it; training uses the bounded capacity_factor."""
+    row is a live token there).
+
+    Inference modes — both make a sequence's routing independent of what
+    else shares the call, which the token-exactness contracts
+    (engine==generate, speculative==greedy) rest on:
+      * ``dropless`` (token-step paths: decode, verify — N is B or
+        B*(gamma+1) there): capacity topk*N, nothing can overflow. O(N^2)
+        dispatch, so NOT for prefill.
+      * ``rowwise`` (prefill paths): route each sequence within its own
+        capacity slots (positions/overflow from a per-row cumsum), so a
+        request prefills bit-identically at any staging width vs B=1 —
+        and the dispatch tensor is B x SMALLER than the flattened
+        training one.
+    Training uses the bounded flattened capacity_factor (default)."""
     from avsr_tpu.ops import moe
 
     B, T, d = h.shape
     E = layer["experts"]["w_gate"].shape[0]
+
+    cdt = h.dtype
+    wg = layer["experts"]["w_gate"].astype(cdt)
+    wu = layer["experts"]["w_up"].astype(cdt)
+    wd = layer["experts"]["w_down"].astype(cdt)
+
+    def experts(xs):                                            # [E, C', d]
+        act = (jax.nn.silu(jnp.einsum("ecd,edf->ecf", xs, wg))
+               * jnp.einsum("ecd,edf->ecf", xs, wu))            # [E, C', f]
+        return jnp.einsum("ecf,efd->ecd", act, wd)              # [E, C', d]
+
+    if rowwise:
+        C = moe.capacity(T, E, cfg.moe_topk, cfg.moe_capacity_factor)
+        vr = (valid.astype(jnp.float32) if valid is not None
+              else jnp.ones((B, T), jnp.float32))
+        logits = jnp.einsum("btd,de->bte", h.astype(jnp.float32),
+                            layer["router"]["w"].astype(jnp.float32))
+        dispatch, combine, lb, z = jax.vmap(
+            lambda lg, vl: moe.route(lg, vl, cfg.moe_topk, C))(logits, vr)
+        y = moe.dispatch_apply_rowwise(dispatch, combine, h, experts, mesh)
+        return y, jnp.mean(lb), jnp.mean(z)
+
     N = B * T
     C = (moe.dropless_capacity(N, cfg.moe_topk) if dropless
          else moe.capacity(N, E, cfg.moe_topk, cfg.moe_capacity_factor))
@@ -326,23 +358,14 @@ def _moe_mlp(layer: Params, h: jax.Array, cfg: LLMConfig,
     logits = hf.astype(jnp.float32) @ layer["router"]["w"].astype(jnp.float32)
     dispatch, combine, lb, z = moe.route(logits, vf, cfg.moe_topk, C)
 
-    cdt = h.dtype
-    wg = layer["experts"]["w_gate"].astype(cdt)
-    wu = layer["experts"]["w_up"].astype(cdt)
-    wd = layer["experts"]["w_down"].astype(cdt)
-
-    def experts(xs):                                             # [E, C, d]
-        act = (jax.nn.silu(jnp.einsum("ecd,edf->ecf", xs, wg))
-               * jnp.einsum("ecd,edf->ecf", xs, wu))             # [E, C, f]
-        return jnp.einsum("ecf,efd->ecd", act, wd)               # [E, C, d]
-
     y = moe.dispatch_apply(dispatch, combine, hf, experts, mesh)
     return y.reshape(B, T, d), lb, z
 
 
 def _ffn(layer: Params, x: jax.Array, cfg: LLMConfig, ls: float,
          lengths: jax.Array | None = None, mesh=None,
-         use_kernel: bool | None = None, dropless: bool = False
+         use_kernel: bool | None = None, dropless: bool = False,
+         rowwise: bool = False
          ) -> tuple[jax.Array, jax.Array | None]:
     """Post-attention FFN residual: dense SwiGLU or sparse MoE depending
     on the layer's params. Returns (x + ffn(ln(x)), aux) where aux is
@@ -354,7 +377,7 @@ def _ffn(layer: Params, x: jax.Array, cfg: LLMConfig, ls: float,
             T = x.shape[1]
             valid = jnp.arange(T)[None, :] < lengths[:, None]
         y, lb, zl = _moe_mlp(layer, h, cfg, valid, mesh,
-                             dropless=dropless)
+                             dropless=dropless, rowwise=rowwise)
         return x + y, (lb, zl)
     return x + proj(layer["down"],
                     _proj_mlp(layer, h, cfg, ls, use_kernel=use_kernel),
@@ -424,7 +447,7 @@ def init_cache(cfg: LLMConfig, batch: int, max_len: int,
 # ---------------------------------------------------------------------------
 
 def _block(params_i, x, cos, sin, cfg, lengths, ls, use_pallas, dropout_rng,
-           lora_dropout, mesh=None):
+           lora_dropout, mesh=None, moe_rowwise=False):
     from avsr_tpu.ops.attention import attention
 
     B, T, d = x.shape
@@ -446,7 +469,8 @@ def _block(params_i, x, cos, sin, cfg, lengths, ls, use_pallas, dropout_rng,
     x = x + proj(params_i["o"], attn, lora_scale=ls, dropout_rng=rngs[3],
                  lora_dropout=lora_dropout)
 
-    x, aux = _ffn(params_i, x, cfg, ls, lengths=lengths, mesh=mesh)
+    x, aux = _ffn(params_i, x, cfg, ls, lengths=lengths, mesh=mesh,
+                  rowwise=moe_rowwise)
     return x, (k, v), aux
 
 
@@ -467,6 +491,7 @@ def llama_apply(
     output: str = "logits",          # "logits" | "hidden"
     mesh=None,
     return_aux: bool = False,
+    moe_rowwise: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """Full causal forward over embeddings. Returns (logits [B,T,V], cache?).
 
@@ -474,7 +499,15 @@ def llama_apply(
     instead — callers that only need a few positions (CE loss on labels,
     prefill last-token) gather first and project with ``compute_logits``,
     avoiding a [B,T,vocab] f32 materialization (2.4 GB at B=8, T=581,
-    V=128k — the difference between fitting in HBM or not)."""
+    V=128k — the difference between fitting in HBM or not).
+
+    ``moe_rowwise`` (EVERY inference prefill sets it) routes MoE
+    per-sequence — each row owns its capacity slots, so its tokens route
+    independently of whatever shares the call. Without it, batched
+    prefill (engine staging, beam, speculative) could drop tokens based
+    on batch composition and break the token-exactness contracts vs
+    standalone decode. Training keeps the flattened bounded GShard
+    capacity (default); see _moe_mlp for the cost analysis."""
     B, T, d = inputs_embeds.shape
     if T > cfg.max_seq_len:
         raise ValueError(
@@ -529,7 +562,7 @@ def llama_apply(
 
             def run(lp, xx, rng):
                 return _block(lp, xx, cos, sin, cfg, lengths, ls, use_pallas,
-                              rng, ldrop, mesh)
+                              rng, ldrop, mesh, moe_rowwise)
 
             if remat:
                 run = jax.checkpoint(run)

@@ -32,14 +32,34 @@ def capacity(n_tokens: int, n_experts: int, topk: int,
 def dropless_capacity(n_tokens: int, topk: int) -> int:
     """C >= topk*N: no token can overflow any expert, so routing becomes
     composition-independent — a token's output depends only on its own
-    hidden state, never on what else shares the call. Inference paths use
-    this (N is small there: a decode step routes B tokens, a speculative
-    verify B*(gamma+1)), which is what makes the framework's
-    token-exactness contracts (decode==prefill, speculative==greedy,
-    engine==generate_tokens) hold unconditionally for MoE models.
-    Training keeps the bounded ``capacity`` above (standard GShard
-    efficiency trade)."""
+    hidden state, never on what else shares the call. The TOKEN-STEP
+    inference paths use this (N is small there: a decode step routes B
+    tokens, a speculative verify B*(gamma+1)); prefill paths instead use
+    per-row routing (vmapped :func:`route` + :func:`dispatch_apply_rowwise`
+    — dropless capacity would be O(topk*N^2*E) dispatch there, ~GBs at
+    staging width). Together they make the token-exactness contracts
+    (speculative==greedy, engine==generate_tokens) composition-independent
+    for MoE models. Training keeps the bounded flattened ``capacity``
+    above (standard GShard efficiency trade)."""
     return max(8, (topk * n_tokens + 7) // 8 * 8)
+
+
+def dispatch_apply_rowwise(dispatch: jax.Array, combine: jax.Array,
+                           x: jax.Array, expert_fn, mesh=None) -> jax.Array:
+    """Row-wise dispatch->experts->combine: dispatch/combine [B, T, E, C]
+    from per-row :func:`route` (vmapped), x [B, T, d]. Each sequence owns
+    its capacity slots, so its routing outcome is independent of what
+    else shares the call — the inference-prefill counterpart of
+    :func:`dispatch_apply` (see ``rowwise`` in models.llama._moe_mlp).
+    Experts still run as ONE stacked matmul over [E, B*C, d]."""
+    B, T, E, C = dispatch.shape
+    d = x.shape[-1]
+    cdt = x.dtype
+    xs = jnp.einsum("btec,btd->becd", dispatch.astype(cdt), x)
+    xs = constrain_ep(xs.transpose(1, 0, 2, 3).reshape(E, B * C, d), mesh)
+    ys = expert_fn(xs)
+    ys = ys.reshape(E, B, C, -1).transpose(1, 0, 2, 3)     # [B, E, C, d']
+    return jnp.einsum("btec,becd->btd", combine.astype(cdt), ys)
 
 
 def dispatch_apply(dispatch: jax.Array, combine: jax.Array,

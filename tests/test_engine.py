@@ -497,3 +497,32 @@ def test_engine_add_adapter_hot_onboard(rng):
         p["llm"] = inject_lora(params["llm"], a)
         assert got[i] == _reference_decode(cfg, tok, p, samples[i],
                                            max_new), i
+
+
+def test_engine_moe_token_exact(rng):
+    """MoE connector AND MoE LLM through the engine under a squeezing
+    capacity factor: staged (batched) encode+prefill + chunked decode
+    must match standalone generate_tokens per request. Inference routes
+    MoE per-sequence (moe_rowwise at every inference encode/prefill
+    site) — with the flattened training capacity, batch composition at
+    the staging width would drop tokens and break this."""
+    cfg = load_config(CFG, {"model.connector_type": "moe",
+                            "model.moe_experts": 4,
+                            "model.moe_topk": 2,
+                            "model.moe_capacity_factor": 0.25,
+                            "model.llm.moe_experts": 4,
+                            "model.llm.moe_topk": 2,
+                            "model.llm.moe_capacity_factor": 0.25})
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    max_new = 5
+    samples = [
+        Sample(f"e{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 8000, 6400])
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=2)
+    got = eng.transcribe(samples)
+    for i, s in enumerate(samples):
+        assert got[i] == _reference_decode(cfg, tok, params, s, max_new), i

@@ -155,10 +155,11 @@ def _summarize(acc, dt: float, wer_path: Path) -> int:
         f"reference words: {acc.ref_words}\n"
         f"word errors: {acc.edits}\n"
         f"WER: {acc.wer:.4f}\n"
+        f"CER: {acc.cer:.4f}\n"
         f"decode time: {dt:.1f}s ({acc.utterances / max(dt, 1e-9):.2f} utt/s)\n")
     wer_path.write_text(summary)
-    log.info("overall WER %.4f (%d utts) -> %s", acc.wer, acc.utterances,
-             wer_path)
+    log.info("overall WER %.4f CER %.4f (%d utts) -> %s", acc.wer, acc.cer,
+             acc.utterances, wer_path)
     print(summary)
     return 0
 

@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="LoRA adapter checkpoint (repeatable): serve K "
                         "fine-tunes from ONE resident base — requests pick "
                         'theirs with {"adapter": k} in flag order')
+    p.add_argument("--token", default=None,
+                   help="require 'Authorization: Bearer <token>' on POST "
+                        "routes (health/stats stay open for probes)")
     p.add_argument("--allow-onboarding", action="store_true",
                    help="keep the base in the raw (unfused) layout so "
                         "POST /v1/adapters can onboard tenants at runtime "
@@ -74,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
                         [tok.eos_id])
     server = AVSRServer(params, cfg, tok, host=args.host, port=args.port,
                         num_slots=args.slots or None, warmup_sample=warmup,
-                        adapter_bank=bank)
+                        adapter_bank=bank, auth_token=args.token)
     server.start()
     print(f"ready: http://{server.host}:{server.port}  "
           f"(POST /v1/transcribe, GET /v1/health)", flush=True)

@@ -96,7 +96,9 @@ class AVSRServer:
                  num_slots: int | None = None,
                  warmup_sample: Sample | None = None,
                  request_timeout_s: float = 300.0,
-                 adapter_bank=None):
+                 adapter_bank=None,
+                 auth_token: str | None = None,
+                 max_body_bytes: int = 64 * 1024 * 1024):
         from avsr_tpu.infer.engine import ServingEngine
 
         if cfg.model.modality != "audio":
@@ -116,6 +118,12 @@ class AVSRServer:
             log.info("engine warmup: %.1fs", time.perf_counter() - t0)
         self.host, self.port = host, port
         self.request_timeout_s = request_timeout_s
+        # shared-secret auth (Authorization: Bearer <token>) on every
+        # mutating route; health stays open for probes. Body cap bounds a
+        # hostile/buggy client's float-list audio (64 MB ~ 35 min of f32
+        # JSON) before json.loads allocates.
+        self.auth_token = auth_token
+        self.max_body_bytes = int(max_body_bytes)
         self._inq: queue.Queue[_Pending] = queue.Queue()
         self._cancelq: queue.Queue[int] = queue.Queue()
         self._adminq: queue.Queue[_AdminAdd] = queue.Queue()
@@ -328,6 +336,12 @@ class AVSRServer:
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
+            def _authed(self) -> bool:
+                if server.auth_token is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                return got == f"Bearer {server.auth_token}"
+
             def do_POST(self):  # noqa: N802
                 routes = {"/v1/transcribe": server.handle_transcribe,
                           "/v1/adapters": server.handle_add_adapter}
@@ -335,8 +349,16 @@ class AVSRServer:
                 if handler is None:
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
+                if not self._authed():
+                    self._reply(401, {"error": "missing/invalid bearer "
+                                               "token"})
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n > server.max_body_bytes:
+                        self._reply(413, {"error": f"body {n} bytes > cap "
+                                                   f"{server.max_body_bytes}"})
+                        return
                     body = json.loads(self.rfile.read(n) or b"{}")
                 except (ValueError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"bad JSON: {e}"})

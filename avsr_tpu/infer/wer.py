@@ -43,12 +43,25 @@ def wer(reference: str, hypothesis: str) -> float:
     return edit_distance(ref, hyp) / len(ref)
 
 
+def cer(reference: str, hypothesis: str) -> float:
+    """Character error rate: Levenshtein over characters of the normalized
+    (uppercased, single-spaced) strings. The finer-grained companion
+    metric — standard for AVSR ablations where WER saturates."""
+    ref = list(" ".join(normalize_text(reference)))
+    hyp = list(" ".join(normalize_text(hypothesis)))
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    return edit_distance(ref, hyp) / len(ref)
+
+
 @dataclass
 class WERAccumulator:
-    """Corpus-level WER: total edits over total reference words."""
+    """Corpus-level WER + CER: total edits over total reference units."""
 
     edits: int = 0
     ref_words: int = 0
+    char_edits: int = 0
+    ref_chars: int = 0
     utterances: int = 0
 
     def add(self, reference: str, hypothesis: str) -> float:
@@ -57,9 +70,16 @@ class WERAccumulator:
         e = edit_distance(ref, hyp)
         self.edits += e
         self.ref_words += len(ref)
+        rc, hc = list(" ".join(ref)), list(" ".join(hyp))
+        self.char_edits += edit_distance(rc, hc)
+        self.ref_chars += len(rc)
         self.utterances += 1
         return e / max(len(ref), 1)
 
     @property
     def wer(self) -> float:
         return self.edits / max(self.ref_words, 1)
+
+    @property
+    def cer(self) -> float:
+        return self.char_edits / max(self.ref_chars, 1)

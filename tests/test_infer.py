@@ -301,3 +301,20 @@ def test_generate_continue_matches_full_prefix(model_and_batch):
                                   np.asarray(full.tokens))
     np.testing.assert_array_equal(np.asarray(out.lengths),
                                   np.asarray(full.lengths))
+
+
+def test_cer_values():
+    """CER oracle values (character Levenshtein over the normalized
+    strings) + accumulator aggregation alongside WER."""
+    from avsr_tpu.infer.wer import cer
+
+    assert cer("abc", "abc") == 0.0
+    assert cer("abc", "abd") == 1 / 3
+    assert cer("", "") == 0.0
+    assert cer("", "x") == 1.0
+    assert cer("ab cd", "abcd") == 0.2          # one space deletion, 5 chars
+    acc = WERAccumulator()
+    acc.add("hello world", "hello world")
+    acc.add("abc", "abd")
+    assert acc.wer == 1 / 3                      # 1 word error / 3 ref words
+    assert abs(acc.cer - 1 / 14) < 1e-9          # 1 char edit / 14 ref chars

@@ -232,3 +232,33 @@ def test_server_hot_onboard_adapter(server, rng, tmp_path):
     base_want = _reference_decode(server.cfg, server.tok, params, sample,
                                   MAX_NEW)
     assert base["tokens"] == base_want
+
+
+def test_server_auth_and_body_cap(server, rng):
+    """Bearer-token auth on POST routes (health stays open for probes)
+    and the request body cap (413 before json.loads allocates)."""
+    audio = _audio(rng)
+    body = {"audio": audio.tolist(), "max_new_tokens": 4}
+    server.auth_token = "s3cret"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body)
+        assert e.value.code == 401
+        assert _get(server, "/v1/health")["ok"] is True   # probes stay open
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/transcribe",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert json.loads(r.read())["n_tokens"] > 0
+    finally:
+        server.auth_token = None
+    server.max_body_bytes = 64
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body)
+        assert e.value.code == 413
+    finally:
+        server.max_body_bytes = 64 * 1024 * 1024
+    assert _post(server, body)["n_tokens"] > 0            # back to normal

@@ -321,6 +321,10 @@ class TrainingConfig:
     auto_batch_size: bool = False
     learning_rate: float = 2e-5
     weight_decay: float = 0.01
+    # adamw (ref trainer:202-207) | adafactor (factored second moments,
+    # O(rows+cols) state per matrix — the classic TPU large-model
+    # optimizer) | lion (sign-momentum, one moment buffer)
+    optimizer: str = "adamw"
     adam_b1: float = 0.9
     adam_b2: float = 0.95                 # ref trainer:202-207
     grad_accum_steps: int = 1             # real accumulation (ref declared, never used)
@@ -442,6 +446,10 @@ class AVSRConfig:
         if self.model.modality not in MODALITIES:
             raise ValueError(
                 f"modality must be one of {MODALITIES}, got {self.model.modality!r}")
+        if self.training.optimizer not in ("adamw", "adafactor", "lion"):
+            raise ValueError(
+                "training.optimizer must be adamw | adafactor | lion, "
+                f"got {self.training.optimizer!r}")
         if self.model.connector_type not in CONNECTOR_TYPES:
             raise ValueError(
                 f"connector_type must be one of {CONNECTOR_TYPES}, "

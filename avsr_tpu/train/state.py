@@ -157,19 +157,39 @@ def constant_schedule(cfg: TrainingConfig, total_steps: int):
 
 def create_optimizer(cfg: AVSRConfig, train_params: Params,
                      total_steps: int) -> optax.GradientTransformation:
-    """AdamW over the *trainable partition only* (pass the train side of
-    ``partition_trainable``) — frozen params never enter the optimizer, so
-    no moments, no zero-updates, no grad requirements for them."""
+    """The optimizer over the *trainable partition only* (pass the train
+    side of ``partition_trainable``) — frozen params never enter it, so no
+    moments, no zero-updates, no grad requirements for them.
+
+    training.optimizer picks the update rule (the ref hard-codes AdamW,
+    trainer:202-207): ``adamw`` keeps two full-size moments; ``adafactor``
+    factors the second moment to O(rows+cols) per matrix — the classic
+    TPU large-model choice when optimizer state dominates HBM; ``lion``
+    keeps one sign-momentum buffer. All share the schedule registry,
+    global-norm clip, and the kernels-only decay mask."""
     t = cfg.training
     schedule = SCHEDULES.get(t.schedule)(t, total_steps)
-    return optax.chain(
-        optax.clip_by_global_norm(t.max_grad_norm),
-        optax.adamw(
+    mask = decay_mask(train_params)
+    if t.optimizer == "adafactor":
+        opt = optax.adafactor(
+            learning_rate=schedule,
+            # explicit LR drives the step; parameter-scale multiply stays
+            # on (standard adafactor relative updates)
+            weight_decay_rate=t.weight_decay or None,
+            weight_decay_mask=mask)
+    elif t.optimizer == "lion":
+        opt = optax.lion(learning_rate=schedule, b1=t.adam_b1, b2=0.99,
+                         weight_decay=t.weight_decay, mask=mask)
+    else:
+        opt = optax.adamw(
             learning_rate=schedule,
             b1=t.adam_b1, b2=t.adam_b2,
             weight_decay=t.weight_decay,
-            mask=decay_mask(train_params),
-        ),
+            mask=mask,
+        )
+    return optax.chain(
+        optax.clip_by_global_norm(t.max_grad_norm),
+        opt,
     )
 
 

@@ -400,3 +400,39 @@ def test_profiler_and_memory_telemetry(tmp_path, caplog):
     assert any("trace written" in r.message for r in caplog.records)
     traces = list(pdir.rglob("*.xplane.pb")) + list(pdir.rglob("*.trace*"))
     assert traces, f"no profiler artifacts under {pdir}"
+
+
+@pytest.mark.parametrize("opt", ["adafactor", "lion"])
+def test_alternative_optimizers_learn(rng, opt):
+    """training.optimizer=adafactor|lion: a few steps on the tiny model
+    produce finite decreasing loss, trainable params move, frozen ones do
+    not — and adafactor's factored state is genuinely smaller than
+    AdamW's two full moments."""
+    cfg = tiny_avsr_cfg(optimizer=opt).validate()
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    batch = tiny_batch(rng, "audio", B=2)
+
+    state, tx = create_train_state(params, cfg, total_steps=20)
+    step = make_train_step(cfg, tx)
+    frozen_before = np.asarray(
+        state.params["whisper"]["blocks"][0]["attn"]["q"]["w"])
+    losses = []
+    for i in range(6):
+        state, m = step(state, microbatch(batch, 1), jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(state.params["whisper"]["blocks"][0]["attn"]["q"]["w"]),
+        frozen_before)
+
+    if opt == "adafactor":
+        def state_bytes(s):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves(s)
+                       if hasattr(x, "size"))
+        adamw_state, _ = create_train_state(
+            params, tiny_avsr_cfg().validate(), total_steps=20)
+        fresh, _ = create_train_state(params, cfg, total_steps=20)
+        assert (state_bytes(fresh.opt_state)
+                < 0.8 * state_bytes(adamw_state.opt_state))

@@ -64,6 +64,13 @@ class DataConfig:
     # Length bucketing for static-shape batches (TPU-native; no ref equivalent).
     audio_buckets: tuple[int, ...] = (500, 1000, 1500)   # mel frames (pre-conv)
     video_buckets: tuple[int, ...] = (25, 50, 100)       # video frames
+    # SpecAugment (train-time only, on-device; ops/specaugment.py — the
+    # reference has no augmentation of any kind)
+    specaugment: bool = False
+    spec_time_masks: int = 2
+    spec_time_width: int = 50           # mel frames (~0.5 s)
+    spec_freq_masks: int = 2
+    spec_freq_width: int = 12           # of the 80 mel bins
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,18 @@ from avsr_tpu.train.state import (
 
 
 def _loss_fn(params, cfg: AVSRConfig, batch: Batch, rng, mesh=None):
+    if (cfg.data.specaugment and rng is not None
+            and batch.mel is not None):
+        # train-time only (eval paths pass no rng); fused elementwise
+        # masking on device, so augmentation costs ~nothing per step
+        from avsr_tpu.ops.specaugment import specaugment
+        rng, aug_rng = jax.random.split(rng)
+        batch = batch._replace(mel=specaugment(
+            batch.mel, batch.mel_lens, aug_rng,
+            time_masks=cfg.data.spec_time_masks,
+            time_width=cfg.data.spec_time_width,
+            freq_masks=cfg.data.spec_freq_masks,
+            freq_width=cfg.data.spec_freq_width))
     loss, metrics = forward(
         params, cfg.model, batch,
         compute_dtype=jnp.dtype(cfg.runtime.compute_dtype),

@@ -61,12 +61,6 @@ def extract_lora(llm: Params) -> Params:
     return tree
 
 
-def zeros_adapter_like(adapter: Params) -> Params:
-    """An all-zeros adapter (== the raw base model) with the same
-    structure/shapes — bank row for tenants that want no fine-tune."""
-    return jax.tree.map(jnp.zeros_like, adapter)
-
-
 def random_adapter_like(adapter: Params, key: jax.Array,
                         std: float = 0.02) -> Params:
     """A random adapter (testing/benchmarks: makes every bank row bite)."""

@@ -34,6 +34,7 @@ Endpoints:
 from __future__ import annotations
 
 import base64
+import hmac
 import json
 import logging
 import queue
@@ -72,13 +73,20 @@ class _Pending:
 @dataclass
 class _AdminAdd:
     """Adapter onboarding op: handler threads load/extract the tree (pure
-    host work), the scheduler — sole owner of the engine — applies it."""
+    host work), the scheduler — sole owner of the engine — applies it.
+
+    ``key`` (the resolved checkpoint path) makes onboarding idempotent:
+    the scheduler dedups against its applied-key registry, so a client
+    that got a 504 (which races the apply — the scheduler may already be
+    inside add_adapter when the handler gives up) can retry safely and
+    get the existing bank row instead of a duplicate."""
     adapter: object
+    key: str
     event: threading.Event = field(default_factory=threading.Event)
     result: int | None = None
     error: str | None = None
-    # set by the handler on timeout: a 504'd onboarding must not be
-    # applied later (a client retry would double-onboard the adapter)
+    # set by the handler on timeout; pre-apply check only saves work —
+    # retry safety comes from the key dedup above, not from this flag
     abandoned: bool = False
 
 
@@ -128,6 +136,9 @@ class AVSRServer:
         self._cancelq: queue.Queue[int] = queue.Queue()
         self._adminq: queue.Queue[_AdminAdd] = queue.Queue()
         self._inflight: dict[int, _Pending] = {}
+        # resolved checkpoint path -> bank row, scheduler-thread-only:
+        # makes POST /v1/adapters idempotent across 504 retries
+        self._adapter_ids: dict[str, int] = {}
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._httpd: ThreadingHTTPServer | None = None
@@ -145,10 +156,15 @@ class AVSRServer:
                     op = self._adminq.get_nowait()
                 except queue.Empty:
                     break
+                if op.key in self._adapter_ids:   # retry after a 504
+                    op.result = self._adapter_ids[op.key]
+                    op.event.set()
+                    continue
                 if op.abandoned:        # its 504 already went out
                     continue
                 try:
                     op.result = eng.add_adapter(op.adapter)
+                    self._adapter_ids[op.key] = op.result
                 except Exception as e:
                     op.error = f"{type(e).__name__}: {e}"
                 op.event.set()
@@ -292,11 +308,15 @@ class AVSRServer:
             adapter = extract_lora(init_or_load_params(self.cfg, ck)["llm"])
         except Exception as e:
             return 400, {"error": f"{type(e).__name__}: {e}"}
-        op = _AdminAdd(adapter=adapter)
+        op = _AdminAdd(adapter=adapter, key=str(Path(ck).resolve()))
         self._adminq.put(op)
         if not op.event.wait(self.request_timeout_s):
-            op.abandoned = True         # never applied late; retry-safe
-            return 504, {"error": "timed out onboarding adapter"}
+            # the apply may or may not have happened (the scheduler can be
+            # inside add_adapter when this wait expires) — but a retry of
+            # the same checkpoint dedups on op.key, so 504 stays retryable
+            op.abandoned = True
+            return 504, {"error": "timed out onboarding adapter",
+                         "retry_safe": True}
         if op.error:
             return 400, {"error": op.error}
         return 200, {"adapter": op.result,
@@ -340,7 +360,10 @@ class AVSRServer:
                 if server.auth_token is None:
                     return True
                 got = self.headers.get("Authorization", "")
-                return got == f"Bearer {server.auth_token}"
+                # constant-time compare: '==' short-circuits at the first
+                # mismatching byte, leaking the secret through timing
+                return hmac.compare_digest(
+                    got.encode(), f"Bearer {server.auth_token}".encode())
 
             def do_POST(self):  # noqa: N802
                 routes = {"/v1/transcribe": server.handle_transcribe,
@@ -355,6 +378,11 @@ class AVSRServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n < 0:
+                        # rfile.read(-1) would read until the client
+                        # closes — an unbounded buffer that defeats the cap
+                        self._reply(400, {"error": "bad Content-Length"})
+                        return
                     if n > server.max_body_bytes:
                         self._reply(413, {"error": f"body {n} bytes > cap "
                                                    f"{server.max_body_bytes}"})

@@ -43,12 +43,19 @@ def wer(reference: str, hypothesis: str) -> float:
     return edit_distance(ref, hyp) / len(ref)
 
 
+def normalize_chars(text: str) -> list[str]:
+    """Character units for CER: the normalized (uppercased, single-spaced)
+    string as a char list. THE one definition — cer() and WERAccumulator
+    must agree or corpus CER silently desyncs from per-utterance CER."""
+    return list(" ".join(normalize_text(text)))
+
+
 def cer(reference: str, hypothesis: str) -> float:
     """Character error rate: Levenshtein over characters of the normalized
     (uppercased, single-spaced) strings. The finer-grained companion
     metric — standard for AVSR ablations where WER saturates."""
-    ref = list(" ".join(normalize_text(reference)))
-    hyp = list(" ".join(normalize_text(hypothesis)))
+    ref = normalize_chars(reference)
+    hyp = normalize_chars(hypothesis)
     if not ref:
         return 0.0 if not hyp else 1.0
     return edit_distance(ref, hyp) / len(ref)
@@ -56,7 +63,13 @@ def cer(reference: str, hypothesis: str) -> float:
 
 @dataclass
 class WERAccumulator:
-    """Corpus-level WER + CER: total edits over total reference units."""
+    """Corpus-level WER + CER: total edits over total reference units.
+
+    Corpus metrics are deliberately UNCAPPED (total edits / total ref
+    units, the standard corpus definition) — unlike per-utterance wer()/
+    cer(), which cap an empty-reference mismatch at 1.0. An empty ref
+    with a nonempty hyp therefore adds its insertions to the numerator
+    and nothing to the denominator here."""
 
     edits: int = 0
     ref_words: int = 0
@@ -70,7 +83,8 @@ class WERAccumulator:
         e = edit_distance(ref, hyp)
         self.edits += e
         self.ref_words += len(ref)
-        rc, hc = list(" ".join(ref)), list(" ".join(hyp))
+        rc = normalize_chars(reference)
+        hc = normalize_chars(hypothesis)
         self.char_edits += edit_distance(rc, hc)
         self.ref_chars += len(rc)
         self.utterances += 1

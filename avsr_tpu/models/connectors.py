@@ -486,9 +486,16 @@ def _moe_block(blk: Params, x: jax.Array, valid: jax.Array, topk: int,
         C = moe.capacity(T, E, topk, cap_factor)
         logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
                             blk["router"]["w"].astype(jnp.float32))
-        dispatch, combine, lb, z = jax.vmap(
-            lambda lg, vl: moe.route(lg, vl, topk, C))(
-                logits, valid.astype(jnp.float32))
+
+        # Cutoff from the row's valid length (capacity_dyn), not the
+        # padded width T — see models.llama._moe_mlp: keeps routing
+        # identical between engine staging buckets and standalone.
+        def _row(lg, vl):
+            cap = moe.capacity_dyn(vl.sum(), E, topk, cap_factor)
+            return moe.route(lg, vl, topk, C, cap=cap)
+
+        dispatch, combine, lb, z = jax.vmap(_row)(
+            logits, valid.astype(jnp.float32))
         y = moe.dispatch_apply_rowwise(dispatch, combine, x, experts, mesh)
         return y, jnp.mean(lb), jnp.mean(z)
 

@@ -343,8 +343,17 @@ def _moe_mlp(layer: Params, h: jax.Array, cfg: LLMConfig,
               else jnp.ones((B, T), jnp.float32))
         logits = jnp.einsum("btd,de->bte", h.astype(jnp.float32),
                             layer["router"]["w"].astype(jnp.float32))
-        dispatch, combine, lb, z = jax.vmap(
-            lambda lg, vl: moe.route(lg, vl, cfg.moe_topk, C))(logits, vr)
+
+        # Effective cutoff from the row's VALID length, not the padded
+        # width T: a request staged into a larger bucket (engine groups
+        # pad to the max member bucket; standalone generate pads to the
+        # request's own) must drop the exact same tokens either way.
+        def _row(lg, vl):
+            cap = moe.capacity_dyn(vl.sum(), E, cfg.moe_topk,
+                                   cfg.moe_capacity_factor)
+            return moe.route(lg, vl, cfg.moe_topk, C, cap=cap)
+
+        dispatch, combine, lb, z = jax.vmap(_row)(logits, vr)
         y = moe.dispatch_apply_rowwise(dispatch, combine, h, experts, mesh)
         return y, jnp.mean(lb), jnp.mean(z)
 

@@ -29,6 +29,20 @@ def capacity(n_tokens: int, n_experts: int, topk: int,
     return max(8, (c + 7) // 8 * 8)
 
 
+def capacity_dyn(n_valid: jax.Array, n_experts: int, topk: int,
+                 factor: float) -> jax.Array:
+    """Traced-scalar twin of :func:`capacity` computed from a row's VALID
+    token count instead of its padded width. Row-wise inference routing
+    (``rowwise`` in models.llama._moe_mlp / models.connectors._moe_block)
+    uses this as the effective slot cutoff so a request's drop pattern
+    depends only on its own length — never on the bucket it was padded
+    to or on what else shares the staged batch. Monotone in ``n_valid``,
+    so it is always <= the static ``capacity(T, ...)`` slot dim."""
+    c = jnp.ceil(topk * n_valid.astype(jnp.float32) * factor
+                 / n_experts).astype(jnp.int32)
+    return jnp.maximum(8, (c + 7) // 8 * 8)
+
+
 def dropless_capacity(n_tokens: int, topk: int) -> int:
     """C >= topk*N: no token can overflow any expert, so routing becomes
     composition-independent — a token's output depends only on its own
@@ -77,7 +91,8 @@ def dispatch_apply(dispatch: jax.Array, combine: jax.Array,
     return jnp.einsum("nec,ecd->nd", combine.astype(cdt), ys)
 
 
-def route(logits: jax.Array, valid: jax.Array, topk: int, C: int
+def route(logits: jax.Array, valid: jax.Array, topk: int, C: int,
+          cap: jax.Array | None = None
           ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Capacity-routed top-k dispatch from router logits.
 
@@ -89,8 +104,14 @@ def route(logits: jax.Array, valid: jax.Array, topk: int, C: int
       z                   router z-loss
     Priority is slot-major: every token's 1st choice claims capacity
     before any token's 2nd choice.
+
+    ``cap`` (optional traced int scalar <= C, e.g. :func:`capacity_dyn`)
+    tightens the overflow cutoff below the static slot dim C without
+    changing any shape — row-wise inference routing passes the row's
+    valid-length capacity here so drops are padding-independent.
     """
     N, E = logits.shape
+    cutoff = C if cap is None else cap
     probs = jax.nn.softmax(logits, axis=-1)                      # [N, E]
     gate_v, gate_i = jax.lax.top_k(probs, topk)                  # [N, k]
     gate_v = gate_v / jnp.maximum(gate_v.sum(-1, keepdims=True), 1e-9)
@@ -100,8 +121,8 @@ def route(logits: jax.Array, valid: jax.Array, topk: int, C: int
     se_f = se.transpose(1, 0, 2).reshape(topk * N, E)            # [kN, E]
     pos_e = jnp.cumsum(se_f, axis=0) - se_f                      # [kN, E]
     pos = jnp.sum(pos_e * se_f, axis=-1)                         # [kN]
-    in_cap = (pos < C).astype(jnp.float32)
-    slot = jnp.where(pos < C, pos, 0).astype(jnp.int32)
+    in_cap = (pos < cutoff).astype(jnp.float32)
+    slot = jnp.where(pos < cutoff, pos, 0).astype(jnp.int32)
     oh_c = jax.nn.one_hot(slot, C, dtype=jnp.float32) * in_cap[:, None]
     disp_f = se_f[:, :, None] * oh_c[:, None, :]                 # [kN, E, C]
     gate_f = gate_v.T.reshape(topk * N)

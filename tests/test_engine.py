@@ -505,7 +505,14 @@ def test_engine_moe_token_exact(rng):
     must match standalone generate_tokens per request. Inference routes
     MoE per-sequence (moe_rowwise at every inference encode/prefill
     site) — with the flattened training capacity, batch composition at
-    the staging width would drop tokens and break this."""
+    the staging width would drop tokens and break this.
+
+    The sample list deliberately MIXES length buckets (tiny config
+    buckets are 100/200 mel frames; samples 0+1 stage together with
+    num_slots=2): the engine pads that group to bucket 200 while the
+    standalone reference pads sample 0 to its own bucket 100, so a
+    rowwise capacity derived from the PADDED width (instead of
+    ops.moe.capacity_dyn on the valid length) diverges here."""
     cfg = load_config(CFG, {"model.connector_type": "moe",
                             "model.moe_experts": 4,
                             "model.moe_topk": 2,
@@ -519,7 +526,7 @@ def test_engine_moe_token_exact(rng):
     samples = [
         Sample(f"e{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
                None, "", [tok.eos_id])
-        for i, n in enumerate([4800, 8000, 6400])
+        for i, n in enumerate([4800, 24000, 8000, 6400])
     ]
     eng = ServingEngine(params, cfg, tok, num_slots=2,
                         max_new_tokens=max_new, k_steps=2)

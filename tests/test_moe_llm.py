@@ -242,3 +242,32 @@ def test_moe_dropless_composition_independent(rng):
     capped, _, _ = L._moe_mlp(layer, h, cfg, dropless=False)
     assert not np.allclose(np.asarray(capped), np.asarray(batched),
                            atol=1e-5)
+
+
+def test_moe_rowwise_padding_independent(rng):
+    """Rowwise routing must drop the same tokens no matter how far the
+    row is right-padded: the engine stages a group at the max member
+    bucket while standalone generate pads a request to its OWN bucket,
+    so under a squeezed capacity a padded-width-derived cutoff would
+    route valid tokens differently (review finding vs llama.py rowwise
+    C). capacity_dyn keys the cutoff on the valid length instead."""
+    cfg = dataclasses.replace(MOE_LLM, moe_capacity_factor=0.25)
+    params = L.init_llama(jax.random.key(1), cfg)
+    layer = next(l for l in params["layers"] if "experts" in l)
+    nv = 24
+    h = jnp.asarray(rng.standard_normal((1, nv, cfg.d_model)), jnp.float32)
+
+    def padded(T):
+        hp = jnp.zeros((1, T, cfg.d_model), jnp.float32).at[:, :nv].set(h)
+        vp = (jnp.arange(T)[None, :] < nv)
+        y, _, _ = L._moe_mlp(layer, hp, cfg, valid=vp, rowwise=True)
+        return np.asarray(y[:, :nv])
+
+    short, long = padded(32), padded(96)
+    np.testing.assert_allclose(long, short, atol=1e-6, rtol=1e-6)
+    # teeth: the squeeze really drops tokens for this row — a dropless
+    # result must differ, else the equality above is vacuous.
+    free, _, _ = L._moe_mlp(
+        layer, h, dataclasses.replace(cfg, moe_capacity_factor=4.0),
+        valid=jnp.ones((1, nv), bool), rowwise=True)
+    assert not np.allclose(np.asarray(free), short, atol=1e-5)

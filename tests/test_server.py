@@ -262,3 +262,58 @@ def test_server_auth_and_body_cap(server, rng):
     finally:
         server.max_body_bytes = 64 * 1024 * 1024
     assert _post(server, body)["n_tokens"] > 0            # back to normal
+
+
+def test_server_negative_content_length_rejected(server):
+    """Content-Length: -1 must be a 400, not rfile.read(-1) — a negative
+    length passes a naive 'n > cap' check and reads until the client
+    closes, an unbounded buffer that defeats the body cap."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    try:
+        conn.putrequest("POST", "/v1/transcribe",
+                        skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        conn.close()
+
+
+def test_server_adapter_onboard_idempotent(server, tmp_path):
+    """Re-POSTing the same checkpoint to /v1/adapters returns the SAME
+    bank row instead of onboarding a duplicate — the retry contract for
+    a 504'd onboarding (the apply can race the handler's timeout, so
+    dedup-by-checkpoint is what makes the retry safe)."""
+    from avsr_tpu.infer.adapters import (
+        extract_lora,
+        inject_lora,
+        random_adapter_like,
+    )
+    from avsr_tpu.train.checkpoint import export_params
+
+    params = server.engine.params
+    adapter = random_adapter_like(extract_lora(params["llm"]),
+                                  jax.random.key(99), std=0.5)
+    tenant = dict(params)
+    tenant["llm"] = inject_lora(params["llm"], adapter)
+    export_params(tenant, tmp_path / "tenant2")
+
+    def onboard():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/adapters",
+            data=json.dumps(
+                {"checkpoint": str(tmp_path / "tenant2")}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return json.loads(resp.read())
+
+    first = onboard()
+    n_after_first = server.engine._n_adapters
+    second = onboard()
+    assert second["adapter"] == first["adapter"]
+    assert server.engine._n_adapters == n_after_first

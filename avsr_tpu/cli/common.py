@@ -47,12 +47,20 @@ def build_data(cfg: AVSRConfig, split: str = "train", *,
     ds = build_dataset(cfg.data, tok, split=split,
                        modality=cfg.model.modality,
                        image_size=cfg.model.image_size)
+    # Pod-slice runs (one JAX process per host): train/val loaders become
+    # multi-host — each process loads only its row slice of every global
+    # batch (mesh.multihost). Decode/serve stay whole-batch per process.
+    data_shard = None
+    if split in ("train", "valid") and jax.process_count() > 1:
+        from avsr_tpu.mesh.multihost import process_shard
+        data_shard = process_shard()
     loader = DataLoader(
         ds, cfg.data, tok, model_cfg=cfg.model,
         batch_size=batch_size,
         shuffle=(split == "train") if shuffle is None else shuffle,
         seed=cfg.training.seed,
-        compute_dtype=cfg.runtime.compute_dtype)
+        compute_dtype=cfg.runtime.compute_dtype,
+        data_shard=data_shard)
     return tok, ds, loader
 
 
@@ -169,12 +177,18 @@ def _restore(checkpoint: str, params_like, cfg: AVSRConfig):
 
 
 def maybe_mesh(cfg: AVSRConfig):
-    """Build a mesh + batch sharder when >1 device is visible."""
+    """Build a mesh + batch sharder when >1 device is visible. Under
+    multi-process JAX (pod slice) the sharder assembles global arrays from
+    each host's local loader shard (mesh.multihost); single-process keeps
+    the plain device_put path — same NamedShardings either way."""
     if len(jax.devices()) == 1:
         return None, None
     from avsr_tpu.mesh.sharding import batch_sharder, build_mesh
 
     mesh = build_mesh(cfg.mesh)
+    if jax.process_count() > 1:
+        from avsr_tpu.mesh.multihost import multihost_batch_sharder
+        return mesh, multihost_batch_sharder(mesh)
     return mesh, batch_sharder(mesh)
 
 

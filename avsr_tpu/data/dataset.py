@@ -76,6 +76,15 @@ class ManifestAVSRDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
+    def length_hints(self, idx: int) -> tuple[int, int]:
+        """(audio_samples, video_frames) from manifest metadata alone — no
+        media IO. Multi-host loaders use these to agree on a batch's static
+        bucket without any host loading another host's samples
+        (mesh.multihost); the TSV carries both columns natively
+        (ref simple_dataset.py:74-108)."""
+        e = self.entries[idx]
+        return e.num_samples, e.num_frames
+
     def __getitem__(self, idx: int) -> Sample:
         last_err: Exception | None = None
         for probe in range(MAX_RETRY_WALK):
@@ -189,6 +198,20 @@ class SyntheticAVSRDataset:
         rng = np.random.default_rng(self.seed + idx)
         n = int(rng.integers(2, 8))
         return " ".join(rng.choice(_WORDS, n))
+
+    def length_hints(self, idx: int) -> tuple[int, int]:
+        """(audio_samples, video_frames) without materializing the sample.
+        Replays __getitem__'s draw order exactly (transcript() uses its own
+        independent rng), so the hints are exact — which is what makes the
+        multi-host loader tests able to assert byte-identical batches."""
+        rng = np.random.default_rng(self.seed + idx)
+        n_a = n_v = 0
+        if self.modality in ("audio", "both"):
+            n_a = int(rng.integers(8000, min(self.cfg.max_audio_length,
+                                             48000)))
+        if self.modality in ("video", "both"):
+            n_v = int(rng.integers(4, min(self.cfg.max_video_length, 16) + 1))
+        return n_a, n_v
 
     def __getitem__(self, idx: int) -> Sample:
         rng = np.random.default_rng(self.seed + idx)

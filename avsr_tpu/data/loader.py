@@ -59,7 +59,12 @@ def pick_bucket(value: int, buckets: tuple[int, ...]) -> int:
 
 
 def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
-            pad_id: int) -> HostBatch:
+            pad_id: int, *, audio_bucket: int | None = None,
+            video_bucket: int | None = None) -> HostBatch:
+    """``audio_bucket``/``video_bucket`` force the static shapes instead of
+    deriving them from this batch's samples — the multi-host path computes
+    them from manifest metadata over the GLOBAL batch so every process
+    collates its local slice to the same shape (mesh.multihost)."""
     B = len(samples)
     audio = audio_lens = frames = frame_lens = None
 
@@ -67,7 +72,7 @@ def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
         # bucket in mel frames; cap audio samples accordingly
         mel_lens = [min(s.audio.shape[0], cfg.max_audio_length) // HOP_LENGTH
                     for s in samples]
-        bucket = pick_bucket(max(mel_lens), cfg.audio_buckets)
+        bucket = audio_bucket or pick_bucket(max(mel_lens), cfg.audio_buckets)
         S_a = bucket * HOP_LENGTH
         audio = np.zeros((B, S_a), np.float32)
         audio_lens = np.zeros((B,), np.int32)
@@ -78,7 +83,7 @@ def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
 
     if samples[0].frames is not None:
         t_lens = [s.frames.shape[0] for s in samples]
-        bucket = pick_bucket(max(t_lens), cfg.video_buckets)
+        bucket = video_bucket or pick_bucket(max(t_lens), cfg.video_buckets)
         S = samples[0].frames.shape[1]
         frames = np.zeros((B, bucket, S, S, 3), np.uint8)
         frame_lens = np.zeros((B,), np.int32)
@@ -162,10 +167,32 @@ class DataLoader:
                  batch_size: int | None = None,
                  shuffle: bool = True, seed: int = 0,
                  prefetch: int = 2, drop_last: bool = False,
-                 compute_dtype="float32") -> None:
+                 compute_dtype="float32",
+                 data_shard: tuple[int, int] | None = None) -> None:
+        """``data_shard=(process_index, process_count)`` turns this into a
+        multi-host loader (mesh.multihost): ``batch_size`` stays the GLOBAL
+        batch size, every process walks the same deterministic shuffle, and
+        each yields only its contiguous row slice of every global batch —
+        collated to a bucket agreed from dataset ``length_hints`` metadata,
+        so no host ever reads another host's media. Assemble the global
+        jax.Array with ``mesh.multihost.multihost_batch_sharder``."""
         self.ds = dataset
         self.cfg = cfg
         self.batch_size = batch_size or cfg.batch_size
+        self.data_shard = data_shard
+        if data_shard is not None:
+            idx, count = data_shard
+            if not 0 <= idx < count:
+                raise ValueError(f"data_shard {data_shard}: index out of range")
+            if self.batch_size % count != 0:
+                raise ValueError(
+                    f"global batch size {self.batch_size} must divide the "
+                    f"{count} data-loading processes")
+            if not hasattr(dataset, "length_hints"):
+                raise ValueError(
+                    f"{type(dataset).__name__} has no length_hints(); "
+                    "multi-host bucket agreement needs per-sample length "
+                    "metadata (manifest num_frames/num_samples columns)")
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
@@ -207,6 +234,22 @@ class DataLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         return idx
 
+    def _metadata_buckets(self, chunk: np.ndarray) -> tuple[int | None,
+                                                            int | None]:
+        """Static (audio, video) buckets for a GLOBAL chunk, from dataset
+        length_hints metadata only — identical on every process because the
+        chunk indices and the manifest are shared state."""
+        hints = [self.ds.length_hints(int(i)) for i in chunk]
+        ab = vb = None
+        if any(h[0] > 0 for h in hints):
+            mels = [min(h[0], self.cfg.max_audio_length) // HOP_LENGTH
+                    for h in hints]
+            ab = pick_bucket(max(mels), self.cfg.audio_buckets)
+        if any(h[1] > 0 for h in hints):
+            ts = [min(h[1], self.cfg.max_video_length) for h in hints]
+            vb = pick_bucket(max(ts), self.cfg.video_buckets)
+        return ab, vb
+
     def _host_batches(self, skip: int = 0) -> Iterator[HostBatch]:
         order = self._order()
         bs = self.batch_size
@@ -221,15 +264,28 @@ class DataLoader:
             n_real = len(chunk)
             if n_real < bs:
                 chunk = np.concatenate([chunk, order[: bs - n_real]])
+            audio_bucket = video_bucket = None
+            lo = 0
+            if self.data_shard is not None:
+                # agree on the static shape from metadata, then slice this
+                # process's contiguous rows of the global batch
+                from avsr_tpu.mesh.multihost import local_rows
+                audio_bucket, video_bucket = self._metadata_buckets(chunk)
+                lo, hi = local_rows(bs, self.data_shard)
+                chunk = chunk[lo:hi]
             samples = self._fetch(chunk)
             samples = self._resolve_audio(samples, chunk)
-            hb = collate(samples, self.cfg, self.prompt_ids, self.pad_id)
+            hb = collate(samples, self.cfg, self.prompt_ids, self.pad_id,
+                         audio_bucket=audio_bucket,
+                         video_bucket=video_bucket)
             if n_real < bs:
                 # Wrap-padded rows repeat samples from the epoch head; give
                 # them zero label length so the packed-CE mask (models.avsr
                 # forward) weighs them exactly zero — no duplicate gradient
                 # (round-1 judge weak #4). Decode dedups by utt_id instead.
-                hb.label_lens[n_real:] = 0
+                # Under data_shard the wrap boundary is a GLOBAL row index;
+                # zero only the local rows at or past it.
+                hb.label_lens[max(n_real - lo, 0):] = 0
             yield hb
 
     def _fetch(self, chunk) -> list:

@@ -7,3 +7,10 @@ from avsr_tpu.mesh.sharding import (  # noqa: F401
     shard_state,
     shard_train_step,
 )
+from avsr_tpu.mesh.multihost import (  # noqa: F401
+    local_rows,
+    multihost_batch_sharder,
+    multihost_infer_batch_sharder,
+    process_shard,
+    put_global,
+)

@@ -101,11 +101,14 @@ def _flash_fwd_kernel(
     k_ref,      # VMEM [1, 1, Tk, D]
     v_ref,      # VMEM [1, 1, Tk, D]
     o_ref,      # VMEM [1, 1, block_q, D]
-    lse_ref,    # VMEM [1, 1, block_q, 8] f32 — logsumexp per query row
-                # (8-lane minor: a [.., Qp, 1] residual is lane-padded
-                # 128x in HBM — 4.7 GB of pure padding at B=32; 8 lanes
-                # pad to one (8,128) tile, 16x less, and the block's last
-                # dim equals the array dim so any block_q is legal)
+    lse_ref,    # VMEM [1, 1, 8, block_q] f32 — logsumexp per query row,
+                # TRANSPOSED (rows in lanes): a [.., Qp, 1] residual would
+                # lane-pad 128x in HBM and the earlier [.., Qp, 8] form
+                # still paid 16x (73 MB/layer at the flagship shape) plus
+                # an XLA-side re-broadcast in backward; with block_q in the
+                # lane dim the buffer is near-padding-free and the backward
+                # reads it directly (profile: ~7 ms/step of broadcasts and
+                # rowsum fusions eliminated at B=8, T=556, 16 layers)
     *,
     sm_scale: float,
     causal: bool,
@@ -172,7 +175,7 @@ def _flash_fwd_kernel(
     # Rows with no valid key (padding): lse=+inf so backward p=exp(s-inf)=0.
     lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)),
                     jnp.float32(1e30))            # [block_q, 1]
-    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, 8))
+    lse_ref[0, 0] = jnp.broadcast_to(lse.reshape(1, block_q), (8, block_q))
 
 
 def _flash_bwd_dq_kernel(
@@ -181,8 +184,10 @@ def _flash_bwd_dq_kernel(
     k_ref,       # [1, 1, Tk, D]
     v_ref,       # [1, 1, Tk, D]
     do_ref,      # [1, 1, block_q, D]
-    lse_ref,     # [1, 1, block_q, 8] f32 (8-lane-minor residuals)
-    delta_ref,   # [1, 1, block_q, 8] f32 — rowsum(dO * O)
+    o_ref,       # [1, 1, block_q, D] — fwd output (delta = rowsum(dO*O)
+                 # is computed HERE: cheaper than materializing + lane-
+                 # broadcasting a delta buffer in XLA between the kernels)
+    lse_ref,     # [1, 1, 8, block_q] f32 — fwd lse, transposed-compact
     dq_ref,      # out [1, 1, block_q, D]
     *,
     sm_scale: float,
@@ -199,8 +204,9 @@ def _flash_bwd_dq_kernel(
 
     qs = q_ref[0, 0]                                    # [bq, D] native dtype
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0][:, 0:1]                         # [bq, 1]
-    delta = delta_ref[0, 0][:, 0:1]                     # [bq, 1]
+    lse = lse_ref[0, 0][0:1, :].reshape(block_q, 1)     # [bq, 1]
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+                    axis=-1, keepdims=True)             # [bq, 1]
     q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     num_kv_blocks = pl.cdiv(kv_seq, block_k)
@@ -238,8 +244,9 @@ def _flash_bwd_dkv_kernel(
     k_ref,       # [1, 1, block_k, D]
     v_ref,       # [1, 1, block_k, D]
     do_ref,      # [1, 1, G*Tq, D]
-    lse_ref,     # [1, 1, G*Tq, 8] f32 (8-lane-minor residuals)
-    delta_ref,   # [1, 1, G*Tq, 8] f32
+    o_ref,       # [1, 1, G*Tq, D] — fwd output (delta computed in-kernel)
+    lse_ref,     # [1, 1, 8*nq, block_q] f32 — transposed-compact lse,
+                 # q-chunk j lives in sublane rows [8j : 8j+8)
     dk_ref,      # out [1, 1, block_k, D] f32
     dv_ref,      # out [1, 1, block_k, D] f32
     *,
@@ -270,8 +277,10 @@ def _flash_bwd_dkv_kernel(
         dk_a, dv_a = carry
         qs = q_ref[0, 0, pl.ds(j * block_q, block_q), :]  # [bq, D]
         do = do_ref[0, 0, pl.ds(j * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q), 0:1]
-        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q), 0:1]
+        lse = lse_ref[0, 0, pl.ds(j * 8, 1), :].reshape(block_q, 1)
+        o = o_ref[0, 0, pl.ds(j * block_q, block_q), :]
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)           # [bq, 1]
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         q_ids = (j * block_q) % q_seq + jax.lax.broadcasted_iota(
@@ -322,12 +331,17 @@ def _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k, interpret,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i: (b, h, i, 0),
+            # lse transposed-compact: q-block i owns sublane rows [8i, 8i+8)
+            # with its block_q rows spread across lanes — near padding-free
+            # (a [.., Qp, 1] layout would lane-pad 128x) and read directly
+            # by both backward kernels with no XLA re-broadcast between.
+            pl.BlockSpec((1, 1, 8, block_q), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, Qp, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 8 * (Qp // block_q), block_q),
+                                 jnp.float32),
         ),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
@@ -351,22 +365,20 @@ def _flash_core_fwd(q, k, v, lens, causal, sm_scale, block_q, block_k,
                     interpret, q_seq):
     out, lse = _fwd_call(q, k, v, lens, causal, sm_scale, block_q, block_k,
                          interpret, q_seq)
-    # Save the residual COMPACT: the kernel's [B,Hkv,Qp,8] buffer pads to
-    # a full (8,128) lane tile in HBM (16x), and one lives per layer until
-    # backward — 4.7 GB of padding at B=32. The [B,Hkv,Qp] slice is
-    # padding-free (Qp minor); backward re-broadcasts it transiently.
-    return out, (q, k, v, lens, out, lse[..., 0])
+    # The residual is saved in the kernel's transposed-compact layout
+    # [B,Hkv,8*nq,block_q] (block_q minor: near padding-free in HBM) and
+    # consumed AS-IS by both backward kernels — no XLA broadcast, reshape,
+    # or delta materialization between forward and backward (the old
+    # [.., Qp, 8] form cost ~7 ms/step of pure data movement at the
+    # flagship shape; delta = rowsum(dO*O) now happens inside the kernels).
+    return out, (q, k, v, lens, out, lse)
 
 
 def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                     res, g):
-    q, k, v, lens, out, lse_c = res
+    q, k, v, lens, out, lse = res
     B, Hkv, Qp, D = q.shape
     Tk = k.shape[2]
-    lse = jnp.broadcast_to(lse_c[..., None], (B, Hkv, Qp, 8))
-    delta = jnp.broadcast_to(
-        jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                axis=-1, keepdims=True), (B, Hkv, Qp, 8))   # 8-lane minor
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
@@ -384,9 +396,9 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, i: (b, h, i, 0),
+            pl.BlockSpec((1, 1, 8, block_q), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
@@ -394,7 +406,7 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(lens, q, k, v, g, lse, delta)
+    )(lens, q, k, v, g, out, lse)
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
@@ -412,9 +424,10 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Qp, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Qp, 8), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Qp, D), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Qp, 8), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, 8 * (Qp // block_q), block_q),
+                         lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -429,7 +442,7 @@ def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, q_seq,
         ),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(lens, q, k, v, g, lse, delta)
+    )(lens, q, k, v, g, out, lse)
     dk = dk.astype(k.dtype)
     dv = dv.astype(v.dtype)
 

@@ -615,6 +615,8 @@ def _coerce(value: Any, typ: Any) -> Any:
         elem = args[0] if args else str
         if isinstance(value, str):
             value = [v for v in value.replace(",", " ").split() if v]
+        elif not isinstance(value, (list, tuple)):
+            value = [value]          # scalar override -> 1-tuple
         return tuple(_coerce(v, elem) for v in value)
     if typ is bool:
         if isinstance(value, str):

@@ -32,6 +32,11 @@ def test_override_coercion():
     ])
     assert cfg.data.audio_buckets == (100, 200)
     assert cfg.model.freeze_llm is False
+    # scalar into a tuple field -> 1-tuple (single-bucket CLI override)
+    one = load_config(None, ["data.audio_buckets=1000"])
+    assert one.data.audio_buckets == (1000,)
+    assert load_config(None, {"data.video_buckets": 25}).data.video_buckets \
+        == (25,)
     assert cfg.training.learning_rate == 5e-5
     assert cfg.model.whisper.max_frames == 200
 

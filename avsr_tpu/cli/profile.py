@@ -169,6 +169,7 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
     by_cat: collections.Counter = collections.Counter()
     by_scope: collections.Counter = collections.Counter()
     total_ps = 0
+    async_ps = 0
     span_ps = [None, None]   # min start, max end over device lines
 
     for plane in planes:
@@ -184,9 +185,18 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
 
         for line in plane.lines:
             # device planes carry one line per core plus bookkeeping lines
-            # (steps, async markers); XLA op time lives on "XLA Ops"-style
-            # lines. Host fallback: take every line.
-            if device_planes and "op" not in line.name.lower():
+            # (Steps, XLA Modules, TC Overlay); synchronous compute lives on
+            # "XLA Ops". "Async XLA Ops" holds DMA *windows* that OVERLAP
+            # compute (start-to-done spans, 3.5x the real step time at the
+            # flagship shape) — summing them into busy time/categories made
+            # the first report claim 54% "copy": track them separately as
+            # an HBM-traffic signal. Host fallback: take every line.
+            lname = line.name.lower()
+            if device_planes and "op" not in lname:
+                continue
+            if device_planes and "async" in lname:
+                for ev in line.events:
+                    async_ps += int(ev.duration_ps)
                 continue
             for ev in line.events:
                 md = ev_meta.get(ev.metadata_id)
@@ -205,10 +215,20 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
                     by_cat[cat] += dur
                     scope = meta_stat(md, "tf_op")
                     if scope:
-                        # "jit(step)/a/b/c/op" -> leading model-component
-                        # segments (drop the jit(...) wrapper + op leaf)
-                        parts = [s for s in scope.split("/")
-                                 if s and not s.startswith("jit(")]
+                        # "jit(train_step)/while/body/closed_call/jvp(...)/
+                        # dot_general:" — the leading segments are control-
+                        # flow wrappers (the grad-accum scan puts the WHOLE
+                        # step under while/body), worthless for attribution;
+                        # strip them and keep the autodiff tag + op, e.g.
+                        # "transpose(jvp(jit(flash_attention)))/pallas_call".
+                        wrappers = ("while", "body", "closed_call", "cond",
+                                    "checkpoint", "remat")
+                        parts = [s for s in scope.split("/") if s]
+                        while parts and (
+                                parts[0] in wrappers
+                                or parts[0].startswith(("jit(", "branch_",
+                                                        "scan"))):
+                            parts.pop(0)
                         by_scope["/".join(parts[:3]) or scope] += dur
 
     def table(counter, n):
@@ -224,6 +244,9 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
         "trace": str(pb_path),
         "planes": [p.name for p in planes],
         "device_busy_ms": round(busy_ms, 3),
+        # async DMA window total (start->done spans; overlaps compute, can
+        # exceed busy_ms — a traffic signal, not a time budget)
+        "async_dma_ms": round(async_ps / 1e9, 3),
         "trace_span_ms": round(span_ms, 3),
         # busy/span < 1 means the device idled — dispatch gaps or host input
         "device_duty_cycle": round(busy_ms / span_ms, 3) if span_ms else None,

@@ -349,6 +349,15 @@ def forward(
         (enc.features.astype(compute_dtype), enc.lengths),
         (lab_emb, lab_lens),
     ])
+    # Align the packed width to the flash kernel's sublane tile (16) ONCE:
+    # every LLM layer's attention otherwise pads q/k/v up and slices the
+    # output back — 2 copies/layer/direction, ~3.5 ms/step at the flagship
+    # shape (profile: jvp(flash_attention)/_pad). Zero rows past `total`
+    # are masked everywhere (causal+lens) and the label gather below is
+    # positional, so the extra columns are inert.
+    pad_t = -packed.shape[1] % 16
+    if pad_t:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_t), (0, 0)))
     Ttot = packed.shape[1]
     label_start = seg_start[:, 2]                       # [B]
 

@@ -252,6 +252,14 @@ def ssl_encoder_apply(
         x = x * valid_f
     x = x + _pos_conv(params, x, pos_conv_kernel, pos_conv_groups)
 
+    # Align the width to the flash kernel's sublane tile (16) ONCE — the
+    # conv front end yields odd widths (10 s -> 499) every block would
+    # otherwise pad + slice per layer. Padded rows are masked in attention
+    # (lengths) and sliced off below.
+    pad_t = -Tf % 16
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+
     if not do_stable_layer_norm:                # base: LN before the stack
         x = layer_norm(params["ln"], x)
 
@@ -273,6 +281,8 @@ def ssl_encoder_apply(
         block = jax.checkpoint(block, static_argnums=())
     for bp in params["blocks"]:
         x = block(bp, x)
+    if pad_t:
+        x = x[:, :Tf]
 
     if do_stable_layer_norm:                    # *-large: LN after the stack
         x = layer_norm(params["ln"], x)

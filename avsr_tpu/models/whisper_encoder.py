@@ -108,6 +108,15 @@ def whisper_encoder_apply(
     else:
         feat_lengths = ((mel_lengths.astype(jnp.int32) + 1) // 2).clip(0, Tf)
 
+    # Align the width to the flash kernel's sublane tile (16) ONCE — e.g.
+    # 10 s audio gives Tf=500, which every block would otherwise pad to 512
+    # and slice back (2 copies/layer, 24 layers). Rows past feat_lengths
+    # are masked in attention; LN/MLP on zero rows is finite and sliced off
+    # after the stack.
+    pad_t = -Tf % 16
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+
     block = functools.partial(encoder_block_apply, n_heads=cfg.n_heads,
                               lengths=feat_lengths, act=gelu,
                               use_pallas=use_pallas, mesh=mesh)
@@ -115,6 +124,8 @@ def whisper_encoder_apply(
         block = jax.checkpoint(block, static_argnums=())
     for bp in params["blocks"]:
         x = block(bp, x)
+    if pad_t:
+        x = x[:, :Tf]
     x = layer_norm(params["ln_post"], x)
     return x, feat_lengths
 

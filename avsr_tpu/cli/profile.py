@@ -202,6 +202,14 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
                 md = ev_meta.get(ev.metadata_id)
                 name = (md.display_name or md.name) if md else "?"
                 dur = int(ev.duration_ps)
+                if md is not None:
+                    # Control-flow CONTAINER ops (while/conditional/call)
+                    # span their whole body — their children are separate
+                    # events on the same line, so counting both doubles
+                    # every decode loop (a 64-token while showed duty 1.7).
+                    pcat = meta_stat(md, "hlo_category")
+                    if pcat in ("while", "conditional", "call", "fusion root"):
+                        continue
                 by_op[name] += dur
                 total_ps += dur
                 start = int(line.timestamp_ns) * 1000 + int(ev.offset_ps)

@@ -412,7 +412,15 @@ class KVCache(NamedTuple):
     per-(layer, batch, kv-head) bf16 scales — decode is cache-bandwidth
     bound at batch >= 16, and the dequant fuses into the attention
     einsums (measured 5.89 -> 3.68 ms/token at B=32). Scales are fixed
-    at prefill (amax/112 leaves headroom) and reused for decoded rows."""
+    at prefill (amax/112 leaves headroom) and reused for decoded rows.
+
+    Keep the STACKED [L, ...] layout. The %slice of ``cache.k[i]`` that a
+    decode-loop profile shows per layer per token is an asynchronous VMEM
+    prefetch XLA schedules for the attention einsums, not waste: replacing
+    the stack with per-layer tuple buffers (tried round 2) removed the
+    prefetch and made the einsums read HBM directly — attention einsum
+    time grew 3 -> 15.3 ms/run and whole-loop device time 1402 -> 1510 ms
+    per 4x64-token bf16 run at the flagship shape."""
 
     k: jax.Array  # [L, B, Hkv, Dh, M] bf16/f32, or int8 when scaled
     v: jax.Array  # [L, B, Hkv, Dh, M]

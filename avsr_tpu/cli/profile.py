@@ -170,6 +170,7 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
     by_scope: collections.Counter = collections.Counter()
     total_ps = 0
     async_ps = 0
+    loop_ps = 0
     span_ps = [None, None]   # min start, max end over device lines
 
     for plane in planes:
@@ -212,6 +213,13 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
                         continue
                 by_op[name] += dur
                 total_ps += dur
+                scope_raw = meta_stat(md, "tf_op") if md is not None else None
+                # prefill/loop split: ops under a while body belong to the
+                # token loop (decode) or the scan body (train grad accum);
+                # everything else is the one-shot prefix (encode + prefill
+                # + epilogue) — the first number serving work cares about
+                if scope_raw and "while/body" in scope_raw:
+                    loop_ps += dur
                 start = int(line.timestamp_ns) * 1000 + int(ev.offset_ps)
                 end = start + dur
                 span_ps[0] = start if span_ps[0] is None else min(
@@ -258,6 +266,10 @@ def analyze_trace(trace_dir: Path, top: int = 15) -> dict:
         "trace_span_ms": round(span_ms, 3),
         # busy/span < 1 means the device idled — dispatch gaps or host input
         "device_duty_cycle": round(busy_ms / span_ms, 3) if span_ms else None,
+        # decode: token-loop vs one-shot prefix (encode+prefill+epilogue);
+        # train: the grad-accum scan body vs everything outside it
+        "loop_ms": round(loop_ps / 1e9, 3),
+        "prefix_ms": round((total_ps - loop_ps) / 1e9, 3),
         "by_category": table(by_cat, top),
         "by_scope": table(by_scope, top),
         "top_ops": table(by_op, top),

@@ -48,17 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     # the whole run (multi-GB at flagship scale). The engine path never
     # speculates, so it must not pay for (or log) a draft either.
     draft_params = None
-    if cfg.decode.speculative and cfg.decode.engine_slots > 0:
-        log.warning("decode.speculative is ignored with engine_slots>0 "
-                    "(the continuous-batching engine decodes chunk-wise)")
-    if cfg.decode.speculative and cfg.decode.engine_slots == 0:
+    if cfg.decode.speculative:
         from avsr_tpu.infer.speculative import make_draft_params
         params, raw_params = load_decode_params(
             cfg, args.checkpoint, mesh=mesh, return_raw=True)
         draft_params = make_draft_params(
             raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
         del raw_params
-        log.info("speculative decode: int%d self-draft, gamma=%d",
+        log.info("speculative decode%s: int%d self-draft, gamma=%d",
+                 " (slot-granular, in-engine)" if cfg.decode.engine_slots
+                 else "",
                  cfg.decode.spec_draft_bits, cfg.decode.spec_gamma)
     else:
         params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
@@ -95,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = ServingEngine(params, cfg, tok,
                             num_slots=cfg.decode.engine_slots,
-                            seed=cfg.training.seed)
+                            seed=cfg.training.seed,
+                            draft_params=draft_params,
+                            spec_gamma=(cfg.decode.spec_gamma
+                                        if cfg.decode.speculative else 0))
         # decode.temperature/top_p apply engine-wide; the engine API also
         # takes them per request (a serving-queue knob)
         temp, top_p = cfg.decode.temperature, cfg.decode.top_p

@@ -530,10 +530,11 @@ class AVSRConfig:
                 raise ValueError(
                     "decode.speculative needs kv_cache_dtype=bfloat16 "
                     "(the verify pass extends a bf16 cache in place)")
-            if self.decode.engine_slots:
+            if self.decode.engine_slots and self.decode.temperature > 0:
                 raise ValueError(
-                    "decode.speculative and engine_slots are mutually "
-                    "exclusive (the engine has its own decode loop)")
+                    "speculative serving (engine_slots + speculative) is "
+                    "greedy-only; set decode.temperature=0 or drop one "
+                    "of the two knobs")
         if self.model.audio_encoder not in ("whisper", "hubert", "wav2vec2"):
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "

@@ -238,6 +238,144 @@ def decode_chunk(
     return cache, cur_lens, last_tok, done, out
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def install_rows(cache: L.KVCache, rows: L.KVCache, idxs: jax.Array,
+                 slots: jax.Array) -> L.KVCache:
+    """Scatter staged rows into pool slots — cache only, no slot state
+    (the DRAFT cache of speculative serving installs through this; the
+    target cache's install() threads the shared slot state as well)."""
+    k = cache.k.at[:, slots].set(rows.k[:, idxs])
+    v = cache.v.at[:, slots].set(rows.v[:, idxs])
+    ks, vs = cache.k_scale, cache.v_scale
+    if rows.quantized:
+        ks = ks.at[:, slots].set(rows.k_scale[:, idxs])
+        vs = vs.at[:, slots].set(rows.v_scale[:, idxs])
+    return L.KVCache(k, v, ks, vs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "k_rounds", "gamma", "eos_id",
+                     "compute_dtype"),
+    donate_argnums=(3, 4))
+def decode_chunk_spec(
+    params: Params,
+    draft_params: Params,
+    model_cfg: ModelConfig,
+    cache: L.KVCache,              # target slot cache
+    d_cache: L.KVCache,            # draft slot cache (same layout)
+    cur_lens: jax.Array,           # [S] cache frontier per slot (= P+n-1)
+    last_tok: jax.Array,           # [S] newest emitted token e_{n-1}
+    prev_tok: jax.Array,           # [S] e_{n-2} (draft catch-up tail)
+    gap: jax.Array,                # [S] draft-unconsumed tail size (1|2)
+    fresh: jax.Array,              # [S] bool — admitted since last chunk
+    done: jax.Array,               # [S] bool
+    *,
+    k_rounds: int = 4,
+    gamma: int = 4,
+    eos_id: int = 2,
+    compute_dtype: str = "bfloat16",
+) -> tuple[L.KVCache, L.KVCache, jax.Array, jax.Array, jax.Array,
+           jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``k_rounds`` speculative rounds over all S slots (greedy only):
+    each round drafts ``gamma`` tokens per slot with the quantized
+    self-draft, verifies them in ONE [S, gamma+1] target prefill pass
+    (models.llama.llama_prefill_continue), and accepts the longest
+    argmax-matching prefix + the target's bonus token — per-slot
+    raggedness throughout, token-for-token identical to the greedy chunk
+    (infer.speculative's loop at slot granularity; budgets/EOS truncation
+    stay host-side exactly like :func:`decode_chunk`).
+
+    Returns (cache, d_cache, cur_lens, last_tok, prev_tok, gap, done,
+    tokens [S, k_rounds*(gamma+1)] eos-padded, n_new [S] valid counts).
+    Done/idle slots keep re-verifying at a frozen frontier; their writes
+    land in finished/free rows that install() fully overwrites."""
+    dt = jnp.dtype(compute_dtype)
+    cfg = model_cfg.llm
+    lora = model_cfg.lora if model_cfg.lora.use_lora else None
+    S = cur_lens.shape[0]
+    G = gamma
+    cap = k_rounds * (G + 1)
+    # admitted slots start with only e0 pending for the draft
+    prev_tok = jnp.where(fresh, last_tok, prev_tok)
+    gap = jnp.where(fresh, 1, gap)
+    dllm = draft_params["llm"]
+
+    def round_body(r, carry):
+        cache, d_cache, cur, last, prev, gap, done, out, cpos = carry
+        # -- draft catch-up: feed the <=2 pending tail tokens (decode
+        # steps keep the quantized draft on the fused qmatmul path; see
+        # infer.speculative for why not a T=2 prefill). gap==1 makes step
+        # A an idempotent rewrite of step B's position.
+        tokA = jnp.where(gap == 2, prev, last)[:, None]
+        posA = jnp.maximum(jnp.where(gap == 2, cur - 1, cur), 0)
+        _, d_cache = L.llama_decode_step(
+            dllm, cfg, x=L.embed_tokens(dllm, tokA, dt),
+            cache=d_cache, cur_lens=posA, compute_dtype=dt)
+        dlog, d_cache = L.llama_decode_step(
+            dllm, cfg, x=L.embed_tokens(dllm, last[:, None], dt),
+            cache=d_cache, cur_lens=cur, compute_dtype=dt)
+
+        def draft_step(carry, j):
+            dlog, d_cache = carry
+            tok = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
+            dlog2, d_cache = L.llama_decode_step(
+                dllm, cfg, x=L.embed_tokens(dllm, tok[:, None], dt),
+                cache=d_cache, cur_lens=cur + 1 + j, compute_dtype=dt)
+            return (dlog2, d_cache), tok
+
+        (_, d_cache), drafts = jax.lax.scan(
+            draft_step, (dlog, d_cache), jnp.arange(G))
+        drafts = drafts.T                                  # [S, G]
+
+        # -- verify: one target pass over [e_{n-1}, d_1..d_G] ------------
+        ver = jnp.concatenate([last[:, None], drafts], axis=1)
+        vh, cache = L.llama_prefill_continue(
+            params["llm"], cfg, x=L.embed_tokens(params["llm"], ver, dt),
+            cache=cache, base_lens=cur,
+            tail_lens=jnp.full((S,), G + 1, jnp.int32),
+            lora=lora, compute_dtype=dt)
+        vlog = L.compute_logits(params["llm"], cfg, vh)    # [S, G+1, V]
+        a = jnp.argmax(vlog, axis=-1).astype(jnp.int32)
+
+        # -- accept longest matching prefix + bonus ----------------------
+        match = drafts == a[:, :G]
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        j = jnp.arange(G + 1)[None, :]
+        cand_ok = j <= m[:, None]
+        hit_eos = ((a == eos_id) & cand_ok).astype(jnp.int32)
+        emit = cand_ok & (jnp.cumsum(hit_eos, axis=1) - hit_eos == 0) \
+            & ~done[:, None]
+        n_emit = jnp.sum(emit.astype(jnp.int32), axis=1)   # [S]
+
+        idx = jnp.clip(cpos[:, None] + j, 0, cap - 1)
+        vals = jnp.where(emit, a, jnp.take_along_axis(out, idx, axis=1))
+        out = out.at[jnp.arange(S)[:, None], idx].set(vals)
+
+        last_new = jnp.where(
+            n_emit > 0,
+            jnp.take_along_axis(a, jnp.maximum(n_emit - 1, 0)[:, None],
+                                axis=1)[:, 0], last)
+        prev_new = jnp.where(
+            n_emit >= 2,
+            jnp.take_along_axis(a, jnp.maximum(n_emit - 2, 0)[:, None],
+                                axis=1)[:, 0],
+            jnp.where(n_emit == 1, last, prev))
+        done = done | jnp.any(emit & (a == eos_id), axis=1)
+        gap = jnp.where(done, gap, jnp.where(n_emit == G + 1, 2, 1))
+        return (cache, d_cache, cur + n_emit, last_new, prev_new, gap,
+                done, out, cpos + n_emit)
+
+    out0 = jnp.full((S, cap), eos_id, jnp.int32)
+    (cache, d_cache, cur_lens, last_tok, prev_tok, gap, done, out,
+     n_new) = jax.lax.fori_loop(
+        0, k_rounds, round_body,
+        (cache, d_cache, cur_lens, last_tok, prev_tok, gap, done, out0,
+         jnp.zeros((S,), jnp.int32)))
+    return (cache, d_cache, cur_lens, last_tok, prev_tok, gap, done, out,
+            n_new)
+
+
 @dataclass
 class _Slot:
     req: int | None = None         # request index, None = free
@@ -254,6 +392,7 @@ class _Staged:
     tok0: jax.Array
     plens: jax.Array
     next: int = 0                  # first unconsumed row
+    d_rows: L.KVCache | None = None    # draft prefill rows (spec mode)
 
     @property
     def remaining(self) -> int:
@@ -277,11 +416,35 @@ class ServingEngine:
     def __init__(self, params: Params, cfg: AVSRConfig, tok, *,
                  num_slots: int = 8, max_new_tokens: int | None = None,
                  k_steps: int = 16, cache_len: int | None = None,
-                 seed: int = 0, adapter_bank: Params | None = None):
+                 seed: int = 0, adapter_bank: Params | None = None,
+                 draft_params: Params | None = None, spec_gamma: int = 0,
+                 spec_rounds: int = 4):
         self.params = params
         self.cfg = cfg
         self.tok = tok
         self.S = num_slots
+        # speculative serving (decode.speculative at slot granularity):
+        # a quantized self-draft (infer.speculative.make_draft_params)
+        # proposes spec_gamma tokens per slot per round; one [S, gamma+1]
+        # target verify pass accepts the longest matching prefix + bonus.
+        # Token-exact vs the greedy chunk; greedy-only workloads.
+        self._spec = spec_gamma > 0
+        self._draft = draft_params
+        self.spec_gamma = spec_gamma
+        self.spec_rounds = spec_rounds
+        if self._spec:
+            if draft_params is None:
+                raise ValueError("spec_gamma > 0 needs draft_params "
+                                 "(infer.speculative.make_draft_params)")
+            if adapter_bank is not None:
+                raise ValueError(
+                    "speculative serving does not compose with a LoRA "
+                    "adapter bank (the self-draft merges ONE adapter)")
+            if cfg.decode.kv_cache_dtype == "int8":
+                raise ValueError(
+                    "speculative serving needs a full-precision slot "
+                    "cache (verify re-prefills into it); unset "
+                    "decode.kv_cache_dtype")
         # multi-tenant LoRA serving (infer.adapters): [K, ...] bank; every
         # request picks a row via submit(adapter=...), mixed freely in the
         # pool. Needs the raw (unfused, lora-bearing) base tree: proj()
@@ -316,6 +479,10 @@ class ServingEngine:
         else:
             dt = jnp.dtype(cfg.runtime.compute_dtype)
             self.cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        if self._spec:
+            dt = jnp.dtype(cfg.runtime.compute_dtype)
+            self.d_cache = L.KVCache(jnp.zeros(shape, dt),
+                                     jnp.zeros(shape, dt))
         # slot bookkeeping lives on HOST numpy: per-element .at[].set()
         # updates on device arrays cost one dispatch each (~100 tiny
         # dispatches per 32-request run on a high-latency link); shipping
@@ -323,6 +490,11 @@ class ServingEngine:
         self.cur_lens = np.zeros((self.S,), np.int32)
         self.last_tok = np.full((self.S,), tok.eos_id, np.int32)
         self.done = np.ones((self.S,), bool)       # all slots start idle
+        # speculative slot state: e_{n-2} tail + draft-pending gap; slots
+        # admitted since the last chunk reset these via the `fresh` mask
+        self.prev_tok = np.full((self.S,), tok.eos_id, np.int32)
+        self.spec_gap = np.ones((self.S,), np.int32)
+        self._fresh = np.zeros((self.S,), bool)
         self.slots = [_Slot() for _ in range(self.S)]
         # per-slot sampling params are pure host state: the host knows a
         # request's temperature at scheduling time, so they ride into the
@@ -401,7 +573,28 @@ class ServingEngine:
             use_pallas=self.cfg.runtime.use_pallas)
         meta = [(req, budget, t, p, aid)
                 for req, _, budget, t, p, aid in group]
-        self._staged = _Staged(meta, rows, tok0, plens)
+        d_rows = None
+        if self._spec:
+            # draft prefill of the same prefixes: the self-draft tree
+            # carries the target's encoders/connectors/embeddings
+            # unchanged (make_draft_params only rewrites the llm
+            # projections), so stage() with draft params reproduces the
+            # identical prefix and prefills the draft cache rows. Its
+            # logits/tok0 are discarded — the first token is the
+            # target's. (The encode pass runs twice per staged batch;
+            # staging is overlapped with decode chunks, so this buys
+            # simplicity for a few ms of hidden prefill time.)
+            d_rows, _, _ = stage(
+                self._draft, self.cfg.model, batch,
+                jnp.zeros((len(group),), jnp.float32),
+                jnp.ones((len(group),), jnp.float32),
+                self._next_key(), None, None,
+                cache_len=self.M,
+                cache_dtype=self.cfg.runtime.compute_dtype,
+                quantize=False, sampling=False,
+                compute_dtype=self.cfg.runtime.compute_dtype,
+                use_pallas=self.cfg.runtime.use_pallas)
+        self._staged = _Staged(meta, rows, tok0, plens, d_rows=d_rows)
         self.stages_run += 1
 
     def _install_group(self, staged: _Staged, slots: list[int]) -> None:
@@ -423,6 +616,11 @@ class ServingEngine:
             jnp.asarray([m[1] for m in meta], jnp.int32),
             staged.tok0, staged.plens,
             eos_id=self.tok.eos_id)
+        if self._spec:
+            self.d_cache = install_rows(
+                self.d_cache, staged.d_rows,
+                jnp.asarray(idxs, jnp.int32), jnp.asarray(slots, jnp.int32))
+            self._fresh[slots] = True
         group = [(slot, req, None, budget)
                  for slot, (req, budget, *_) in zip(slots, meta)]
         self._pending_admits.append((group, t0_dev))
@@ -502,19 +700,35 @@ class ServingEngine:
             self._install_group(st, list(range(w)))
             self._staged = None
             w *= 2
-        (self.cache, self.cur_lens, self.last_tok, self.done,
-         _) = decode_chunk(
-            self.params, self.cfg.model, self.cache, self.cur_lens,
-            self.last_tok, self.done, self.slot_temps, self.slot_tops,
-            self._next_key(), self._bank,
-            (jnp.asarray(self.slot_adapter) if self._bank is not None
-             else None),
-            k_steps=self.k_steps,
-            eos_id=self.tok.eos_id, sampling=self._sampling,
-            compute_dtype=self.cfg.runtime.compute_dtype)
+        if self._spec:
+            (self.cache, self.d_cache, self.cur_lens, self.last_tok,
+             self.prev_tok, self.spec_gap, self.done, _,
+             _) = decode_chunk_spec(
+                self.params, self._draft, self.cfg.model, self.cache,
+                self.d_cache, self.cur_lens, self.last_tok,
+                jnp.asarray(self.prev_tok), jnp.asarray(self.spec_gap),
+                jnp.asarray(self._fresh), self.done,
+                k_rounds=self.spec_rounds, gamma=self.spec_gamma,
+                eos_id=self.tok.eos_id,
+                compute_dtype=self.cfg.runtime.compute_dtype)
+            self._fresh[:] = False
+        else:
+            (self.cache, self.cur_lens, self.last_tok, self.done,
+             _) = decode_chunk(
+                self.params, self.cfg.model, self.cache, self.cur_lens,
+                self.last_tok, self.done, self.slot_temps, self.slot_tops,
+                self._next_key(), self._bank,
+                (jnp.asarray(self.slot_adapter) if self._bank is not None
+                 else None),
+                k_steps=self.k_steps,
+                eos_id=self.tok.eos_id, sampling=self._sampling,
+                compute_dtype=self.cfg.runtime.compute_dtype)
         self._sync()
         self.slots = [_Slot() for _ in range(self.S)]
         self.done = np.ones((self.S,), bool)
+        if self._spec:
+            self.prev_tok = np.full((self.S,), self.tok.eos_id, np.int32)
+            self.spec_gap = np.ones((self.S,), np.int32)
         self.reset_stats()         # warmup work is not serving work
 
     def reset(self) -> None:
@@ -528,6 +742,9 @@ class ServingEngine:
         self.done = np.ones((self.S,), bool)
         self.cur_lens = np.zeros((self.S,), np.int32)
         self.last_tok = np.full((self.S,), self.tok.eos_id, np.int32)
+        self.prev_tok = np.full((self.S,), self.tok.eos_id, np.int32)
+        self.spec_gap = np.ones((self.S,), np.int32)
+        self._fresh = np.zeros((self.S,), bool)
         self._pending_admits = []
         self._staged = None
         self._queue.clear()
@@ -555,6 +772,12 @@ class ServingEngine:
             raise ValueError(
                 f"adapter {adapter} out of range: this engine serves "
                 f"{self._n_adapters or 'no'} adapter(s)")
+        if temperature > 0.0 and self._spec:
+            raise ValueError(
+                "speculative serving is greedy-only: the rejection-"
+                "sampling scheme needs per-slot draft distributions the "
+                "slot chunk does not carry (use a non-spec engine for "
+                "sampled workloads)")
         rid = self._next_req
         self._next_req += 1
         if temperature > 0.0:
@@ -693,25 +916,51 @@ class ServingEngine:
         if (all(st.req is None for st in self.slots)
                 and not self._pending_admits):
             return finished                          # pool is idle
-        (self.cache, self.cur_lens, self.last_tok, self.done,
-         out) = decode_chunk(
-            self.params, self.cfg.model, self.cache, self.cur_lens,
-            self.last_tok, self.done, self.slot_temps, self.slot_tops,
-            self._next_key(), self._bank,
-            (jnp.asarray(self.slot_adapter) if self._bank is not None
-             else None),
-            k_steps=self.k_steps,
-            eos_id=self.tok.eos_id, sampling=self._sampling,
-            compute_dtype=self.cfg.runtime.compute_dtype)
+        if self._spec:
+            if self._sampling:
+                raise ValueError("speculative serving is greedy-only "
+                                 "(submit with temperature=0)")
+            fresh = jnp.asarray(self._fresh)
+            self._fresh[:] = False
+            (self.cache, self.d_cache, self.cur_lens, self.last_tok,
+             self.prev_tok, self.spec_gap, self.done, out,
+             n_new) = decode_chunk_spec(
+                self.params, self._draft, self.cfg.model, self.cache,
+                self.d_cache, self.cur_lens, self.last_tok,
+                jnp.asarray(self.prev_tok), jnp.asarray(self.spec_gap),
+                fresh, self.done,
+                k_rounds=self.spec_rounds, gamma=self.spec_gamma,
+                eos_id=self.tok.eos_id,
+                compute_dtype=self.cfg.runtime.compute_dtype)
+        else:
+            n_new = None
+            (self.cache, self.cur_lens, self.last_tok, self.done,
+             out) = decode_chunk(
+                self.params, self.cfg.model, self.cache, self.cur_lens,
+                self.last_tok, self.done, self.slot_temps, self.slot_tops,
+                self._next_key(), self._bank,
+                (jnp.asarray(self.slot_adapter) if self._bank is not None
+                 else None),
+                k_steps=self.k_steps,
+                eos_id=self.tok.eos_id, sampling=self._sampling,
+                compute_dtype=self.cfg.runtime.compute_dtype)
         self.chunks_run += 1
         # the ONLY blocking point per chunk: admissions' first tokens,
         # slot state, and the chunk's tokens come back in one fetch
         toks = self._sync(out)
+        if self._spec:
+            # spec state + valid-count fetch ride the same sync barrier
+            # (everything above is already materialized by it)
+            self.prev_tok, self.spec_gap, n_new = jax.device_get(
+                (self.prev_tok, self.spec_gap, n_new))
+            self.prev_tok = np.array(self.prev_tok, np.int32)
+            self.spec_gap = np.array(self.spec_gap, np.int32)
         self._sweep_cancelled()        # admitted-then-cancelled rows
         for s, st in enumerate(self.slots):
             if st.req is None:
                 continue
-            for t in toks[s]:
+            valid = toks[s] if n_new is None else toks[s][: int(n_new[s])]
+            for t in valid:
                 if len(st.tokens) >= st.budget:
                     break
                 if st.tokens and st.tokens[-1] == self.tok.eos_id:
@@ -770,14 +1019,19 @@ class ServingEngine:
         produced a kept token (the rest is idle/finished-slot padding; the
         whole point of continuous batching is keeping this high on ragged
         workloads)."""
-        cap = self.chunks_run * self.k_steps * self.S
+        # spec mode: a chunk's capacity is its verify positions (rounds x
+        # (gamma+1) per slot); greedy: k_steps tokens per slot
+        per_chunk = (self.spec_rounds * (self.spec_gamma + 1)
+                     if self._spec else self.k_steps)
+        cap = self.chunks_run * per_chunk * self.S
         chunk_tokens = self.tokens_emitted - self.requests_done  # tok0s are
         return {                                # prefill-stage outputs
             "requests_done": self.requests_done,
             "requests_cancelled": self.requests_cancelled,
             "tokens_emitted": self.tokens_emitted,
             "chunks_run": self.chunks_run,
-            "decode_steps": self.chunks_run * self.k_steps,
+            "decode_steps": self.chunks_run * (
+                self.spec_rounds if self._spec else self.k_steps),
             "stages_run": self.stages_run,
             "installs_run": self.installs_run,
             "chunk_utilization": round(chunk_tokens / cap, 4) if cap else 0.0,

@@ -533,3 +533,131 @@ def test_engine_moe_token_exact(rng):
     got = eng.transcribe(samples)
     for i, s in enumerate(samples):
         assert got[i] == _reference_decode(cfg, tok, params, s, max_new), i
+
+
+# ---------------------------------------------------------------------------
+# Speculative serving: slot-granular draft/verify inside the engine
+# ---------------------------------------------------------------------------
+
+def _spec_engine(params, cfg, tok, *, gamma=3, rounds=2, slots=2,
+                 max_new=8, draft_bits=8):
+    from avsr_tpu.infer.speculative import make_draft_params
+
+    draft = make_draft_params(params, cfg.model, bits=draft_bits)
+    return ServingEngine(params, cfg, tok, num_slots=slots,
+                         max_new_tokens=max_new, k_steps=3,
+                         draft_params=draft, spec_gamma=gamma,
+                         spec_rounds=rounds)
+
+
+def test_engine_spec_token_exact_with_refill(rng):
+    """Speculative serving keeps the engine contract: with a quantized
+    self-draft proposing per slot and one [S, gamma+1] verify pass per
+    round, every transcript equals the standalone GREEDY generate_tokens
+    result — across mixed length buckets, more requests than slots, and
+    mid-flight refills (acceptance varies per slot per round)."""
+    cfg, tok, params = _setup()
+    max_new = 8
+    lengths = [4800, 16000, 8000, 12000, 6400]
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate(lengths)
+    ]
+    eng = _spec_engine(params, cfg, tok, gamma=3, rounds=2, slots=2,
+                       max_new=max_new)
+    got = eng.transcribe(samples)
+    assert len(got) == len(samples)
+    for i, sample in enumerate(samples):
+        want = _reference_decode(cfg, tok, params, sample, max_new)
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_engine_spec_identical_draft_token_exact(rng):
+    """Degenerate oracle: the TARGET ITSELF as draft (acceptance ~100%,
+    exercising the full-accept gap==2 catch-up path every round) must
+    still be token-exact, including the online submit/step interface with
+    a mid-flight second wave."""
+    from avsr_tpu.models.llama import fuse_decode_layout
+
+    cfg, tok, params = _setup()
+    draft = dict(params)
+    draft["llm"] = fuse_decode_layout(params["llm"], cfg.model.llm)
+    max_new = 10
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([8000, 16000, 4800])
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=3,
+                        draft_params=draft, spec_gamma=2, spec_rounds=3)
+    first = [eng.submit(s) for s in samples[:2]]
+    eng.step()
+    late = eng.submit(samples[2])        # mid-flight submission
+    done = {}
+    for _ in range(60):
+        done.update(eng.step())
+        if len(done) == 3:
+            break
+    for rid, s in zip(first + [late], samples):
+        want = _reference_decode(cfg, tok, params, s, max_new)
+        assert done[rid][: len(want)] == want[: len(done[rid])]
+        assert done[rid] == want, (rid, done[rid], want)
+
+
+def test_engine_spec_validation():
+    cfg, tok, params = _setup()
+    import dataclasses
+
+    import pytest
+
+    from avsr_tpu.infer.speculative import make_draft_params
+
+    with pytest.raises(ValueError, match="draft_params"):
+        ServingEngine(params, cfg, tok, num_slots=2, spec_gamma=2)
+    draft = make_draft_params(params, cfg.model, bits=8)
+    int8cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, kv_cache_dtype="int8"))
+    with pytest.raises(ValueError, match="full-precision slot cache"):
+        ServingEngine(params, int8cfg, tok, num_slots=2,
+                      draft_params=draft, spec_gamma=2)
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        draft_params=draft, spec_gamma=2)
+    s = Sample("u", np.zeros(4800, np.float32), None, "", [tok.eos_id])
+    with pytest.raises(ValueError, match="greedy-only"):
+        eng.submit(s, temperature=0.7)
+
+
+def test_cli_decode_engine_spec_matches_static(tmp_path):
+    """cli.decode with engine_slots + speculative: same HYP stream as the
+    plain greedy static path (spec never changes tokens, the engine never
+    changes per-request numerics — composed, still exact)."""
+    import re
+
+    from avsr_tpu.cli import decode as cli_decode
+
+    def run(out_dir, extra):
+        rc = cli_decode.main([
+            "--config", CFG, "--split", "train",
+            f"decode.output_dir={out_dir}",
+            "decode.max_new_tokens=6",
+            *extra,
+        ])
+        assert rc == 0
+        res = sorted(out_dir.glob("results_*.txt"))[-1].read_text()
+        return dict(re.findall(r"UTT: (\S+)\nREF: .*\nHYP: (.*)\n", res))
+
+    static = run(tmp_path / "static", [])
+    spec = run(tmp_path / "spec", [
+        "decode.engine_slots=3", "decode.speculative=true",
+        "decode.spec_gamma=2"])
+    assert static and spec
+    assert spec == static
+    # greedy-only composition is a config-time error with temperature
+    import pytest
+
+    from avsr_tpu.core.config import load_config
+    with pytest.raises(ValueError, match="greedy-only"):
+        load_config(CFG, ["decode.engine_slots=2", "decode.speculative=true",
+                          "decode.temperature=0.8"])

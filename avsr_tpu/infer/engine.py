@@ -947,14 +947,13 @@ class ServingEngine:
         self.chunks_run += 1
         # the ONLY blocking point per chunk: admissions' first tokens,
         # slot state, and the chunk's tokens come back in one fetch
-        toks = self._sync(out)
         if self._spec:
-            # spec state + valid-count fetch ride the same sync barrier
-            # (everything above is already materialized by it)
-            self.prev_tok, self.spec_gap, n_new = jax.device_get(
-                (self.prev_tok, self.spec_gap, n_new))
-            self.prev_tok = np.array(self.prev_tok, np.int32)
-            self.spec_gap = np.array(self.spec_gap, np.int32)
+            toks, prev_h, gap_h, n_new = self._sync(
+                (out, self.prev_tok, self.spec_gap, n_new))
+            self.prev_tok = np.array(prev_h, np.int32)
+            self.spec_gap = np.array(gap_h, np.int32)
+        else:
+            toks = self._sync(out)
         self._sweep_cancelled()        # admitted-then-cancelled rows
         for s, st in enumerate(self.slots):
             if st.req is None:

@@ -445,6 +445,13 @@ class ServingEngine:
                     "speculative serving needs a full-precision slot "
                     "cache (verify re-prefills into it); unset "
                     "decode.kv_cache_dtype")
+            if (len(draft_params["llm"]["layers"])
+                    != cfg.model.llm.n_layers):
+                raise ValueError(
+                    "speculative serving takes a same-depth self-draft "
+                    "(make_draft_params); a layer-skip or smaller draft "
+                    "needs its own slot-cache geometry, which the engine "
+                    "does not carry — use speculative_generate for those")
         # multi-tenant LoRA serving (infer.adapters): [K, ...] bank; every
         # request picks a row via submit(adapter=...), mixed freely in the
         # pool. Needs the raw (unfused, lora-bearing) base tree: proj()

@@ -661,3 +661,18 @@ def test_cli_decode_engine_spec_matches_static(tmp_path):
     with pytest.raises(ValueError, match="greedy-only"):
         load_config(CFG, ["decode.engine_slots=2", "decode.speculative=true",
                           "decode.temperature=0.8"])
+
+
+def test_engine_spec_rejects_mismatched_depth_draft():
+    """A draft with a different layer count (layer-skip / smaller model)
+    cannot share the engine's draft slot-cache geometry — rejected."""
+    cfg, tok, params = _setup()
+    import pytest
+
+    draft = dict(params)
+    draft["llm"] = dict(params["llm"])
+    draft["llm"]["layers"] = (list(params["llm"]["layers"])
+                              + [params["llm"]["layers"][0]])
+    with pytest.raises(ValueError, match="same-depth"):
+        ServingEngine(params, cfg, tok, num_slots=2,
+                      draft_params=draft, spec_gamma=2)

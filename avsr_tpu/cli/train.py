@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
 
     mesh, shard_batch = maybe_mesh(cfg)
     trainer = Trainer(cfg, params, train_loader, val_loader,
-                      mesh=mesh, shard_batch=shard_batch)
+                      mesh=mesh, shard_batch=shard_batch, tok=tok)
     if mesh is not None:
         trainer.state = shard_state(trainer.state, mesh)
     trainer.maybe_resume()

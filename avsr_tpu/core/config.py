@@ -348,6 +348,20 @@ class TrainingConfig:
     # Stability guards (ref trainer:338-351, 444-451)
     max_unstable_batches: int = 5
     loss_stability_window: int = 5
+    # In-training WER eval: every N epochs, greedily decode up to
+    # eval_wer_max_utts validation utterances and track corpus WER — the
+    # metric of record (SURVEY.md §5.5). The reference validates on loss
+    # only (trainer:543-602); loss and WER can diverge (e.g. a model that
+    # sharpens onto wrong tokens), so the framework tracks both. 0 = off.
+    eval_wer_every_epochs: int = 0
+    eval_wer_max_utts: int = 32
+    # Which validation metric defines the "best" checkpoint and drives
+    # early stopping: "loss" (ref behavior, trainer:301-305) | "wer"
+    # (requires eval_wer_every_epochs > 0).
+    best_metric: str = "loss"
+    # Stop after N consecutive evaluations of best_metric without
+    # improvement (no reference equivalent). 0 = off.
+    early_stop_patience: int = 0
 
 
 @dataclass(frozen=True)
@@ -584,6 +598,15 @@ class AVSRConfig:
                 "float KV cache that is extended in place per block; "
                 "int8 kv_cache_dtype quantizes once at prefill and is "
                 "incompatible — use it with the exact mode only")
+        if self.training.best_metric not in ("loss", "wer"):
+            raise ValueError(
+                "training.best_metric must be loss | wer, got "
+                f"{self.training.best_metric!r}")
+        if (self.training.best_metric == "wer"
+                and self.training.eval_wer_every_epochs <= 0):
+            raise ValueError(
+                "training.best_metric='wer' needs in-training WER eval: "
+                "set training.eval_wer_every_epochs > 0")
         if self.mesh.pp > 1:
             if self.mesh.sp > 1:
                 raise ValueError("mesh.pp and mesh.sp are mutually exclusive")

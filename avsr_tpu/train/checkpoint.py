@@ -76,6 +76,10 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mngr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        """Retained checkpoint steps, ascending."""
+        return sorted(self._mngr.all_steps())
+
     def read_meta(self, step: int) -> dict[str, Any] | None:
         path = self.dir / f"meta_{step}.json"
         if not path.exists():

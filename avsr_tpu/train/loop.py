@@ -43,10 +43,14 @@ class _Preempted(Exception):
     pass
 
 
+class _EarlyStopped(Exception):
+    pass
+
+
 class Trainer:
     def __init__(self, cfg: AVSRConfig, params, train_loader: DataLoader,
                  val_loader: DataLoader | None = None,
-                 mesh=None, shard_batch=None):
+                 mesh=None, shard_batch=None, tok=None):
         self.cfg = cfg
         t = cfg.training
         steps_per_epoch = max(len(train_loader) // max(t.grad_accum_steps, 1), 1)
@@ -70,13 +74,22 @@ class Trainer:
                                       keep=t.keep_checkpoints)
         self.csv = CSVLogger(out / "loss_log.csv",
                              ["step", "epoch", "split", "loss", "accuracy",
-                              "grad_norm", "lr_step_time_s", "tokens_per_sec",
-                              "utts_per_sec", "skipped"])
+                              "wer", "grad_norm", "lr_step_time_s",
+                              "tokens_per_sec", "utts_per_sec", "skipped"])
         self.monitor = LossStabilityMonitor(
             window=t.loss_stability_window, max_bad=3)
         self.meter = ThroughputMeter()
         self.history: dict[str, list[float]] = {"train": [], "val": []}
         self.best_val = float("inf")
+        # In-training WER eval + best-metric tracking (training.
+        # eval_wer_every_epochs / best_metric / early_stop_patience)
+        self.tok = tok
+        self.best_wer = float("inf")
+        self._evals_no_improve = 0
+        if (t.eval_wer_every_epochs > 0 and tok is None
+                and val_loader is not None):
+            log.warning("eval_wer_every_epochs set but the Trainer got no "
+                        "tokenizer — in-training WER eval disabled")
         self._last_time_ckpt = time.time()
         self._rng = jax.random.key(t.seed)
         self._profiling = False
@@ -155,6 +168,11 @@ class Trainer:
         except _Preempted:
             log.info("stopped on preemption at step %d — resume to continue",
                      int(self.state.step))
+        except _EarlyStopped:
+            log.info("early stop at epoch %d: no %s improvement in %d "
+                     "evals (best loss %.4f, best WER %.4f)", epoch,
+                     t.best_metric, self._evals_no_improve, self.best_val,
+                     self.best_wer)
         except (KeyboardInterrupt, Exception):
             log.exception("training interrupted — emergency checkpoint")
             self.ckpt.save(self.state, tag="emergency",
@@ -172,7 +190,7 @@ class Trainer:
         self.ckpt.wait()
         save_loss_plot(self.history, Path(t.checkpoint_dir))
         return {"steps": int(self.state.step), "epochs": epoch,
-                "best_val": self.best_val}
+                "best_val": self.best_val, "best_wer": self.best_wer}
 
     # ------------------------------------------------------------------
 
@@ -328,6 +346,7 @@ class Trainer:
     def _end_of_epoch(self, epoch: int) -> None:
         if self.val_loader is None:
             return
+        t = self.cfg.training
         losses, accs = [], []
         for hb, batch in self.val_loader:
             out = self.eval_step(self.state.params, batch)
@@ -343,7 +362,70 @@ class Trainer:
                  float(np.mean(accs)))
         self.csv.log(step=int(self.state.step), epoch=epoch, split="val",
                      loss=val_loss, accuracy=float(np.mean(accs)))
-        if val_loss < self.best_val:
-            self.best_val = val_loss
-            self.ckpt.save(self.state, metrics={"val_loss": val_loss},
+        val_wer = None
+        if (t.eval_wer_every_epochs > 0 and self.tok is not None
+                and epoch % t.eval_wer_every_epochs == 0):
+            val_wer = self._eval_wer(epoch)
+
+        # Best-checkpoint selection + early stopping on the configured
+        # metric. best_metric='wer' only compares on epochs that ran a WER
+        # eval; 'loss' compares every epoch (the reference's behavior,
+        # trainer:301-305). Both bests are tracked regardless.
+        if t.best_metric == "wer":
+            if val_wer is None:
+                self.best_val = min(self.best_val, val_loss)
+                return
+            improved = val_wer < self.best_wer
+            metrics = {"val_wer": val_wer, "val_loss": val_loss}
+        else:
+            improved = val_loss < self.best_val
+            metrics = {"val_loss": val_loss}
+            if val_wer is not None:
+                metrics["val_wer"] = val_wer
+        self.best_val = min(self.best_val, val_loss)
+        if val_wer is not None:
+            self.best_wer = min(self.best_wer, val_wer)
+        if improved:
+            self._evals_no_improve = 0
+            self.ckpt.save(self.state, metrics=metrics,
                            is_best=True, tag="best")
+        else:
+            self._evals_no_improve += 1
+            if (t.early_stop_patience > 0
+                    and self._evals_no_improve >= t.early_stop_patience):
+                raise _EarlyStopped
+
+    def _eval_wer(self, epoch: int) -> float:
+        """In-training WER: greedy-decode up to eval_wer_max_utts val
+        utterances with the CURRENT params (LoRA live, encoders as
+        trained) and return corpus WER — the metric of record
+        (SURVEY.md §5.5), tracked during training instead of only in
+        cli/decode.py afterwards. jit traces cache across epochs (one per
+        val bucket shape), so only the first eval pays compiles."""
+        from avsr_tpu.infer.generate import generate_tokens
+        from avsr_tpu.infer.wer import WERAccumulator
+
+        t, d = self.cfg.training, self.cfg.decode
+        acc = WERAccumulator()
+        seen: set[str] = set()
+        t0 = time.time()
+        for hb, batch in self.val_loader:
+            out = generate_tokens(
+                self.state.params, self.cfg.model, batch,
+                max_new_tokens=d.max_new_tokens, eos_id=self.tok.eos_id,
+                compute_dtype=self.cfg.runtime.compute_dtype,
+                use_pallas=self.cfg.runtime.use_pallas)
+            tokens = np.asarray(out.tokens)
+            lens = np.asarray(out.lengths)
+            for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):
+                if utt in seen:     # final short batch is wrap-padded
+                    continue
+                seen.add(utt)
+                acc.add(ref, self.tok.decode(tokens[i, : lens[i]]))
+            if acc.utterances >= t.eval_wer_max_utts:
+                break
+        log.info("epoch %d | val WER %.4f CER %.4f (%d utts, %.1fs)",
+                 epoch, acc.wer, acc.cer, acc.utterances, time.time() - t0)
+        self.csv.log(step=int(self.state.step), epoch=epoch,
+                     split="val_wer", wer=round(acc.wer, 4))
+        return acc.wer

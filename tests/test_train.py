@@ -436,3 +436,72 @@ def test_alternative_optimizers_learn(rng, opt):
         fresh, _ = create_train_state(params, cfg, total_steps=20)
         assert (state_bytes(fresh.opt_state)
                 < 0.8 * state_bytes(adamw_state.opt_state))
+
+
+def test_in_training_wer_eval_and_best_wer(tmp_path):
+    """training.eval_wer_every_epochs: the loop greedy-decodes a capped
+    val subset each epoch, logs corpus WER to the CSV, and (with
+    best_metric='wer') selects the best checkpoint on WER instead of
+    loss — the metric of record tracked DURING training, which the
+    reference never does (its _validate is loss-only, trainer:543-602)."""
+    import csv as _csv
+
+    from avsr_tpu.core.config import DecodeConfig
+    from avsr_tpu.train.loop import Trainer
+
+    cfg = tiny_avsr_cfg(eval_wer_every_epochs=1, eval_wer_max_utts=4,
+                        best_metric="wer")
+    cfg = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(cfg.training, max_steps=2,
+                                     checkpoint_dir=str(tmp_path)),
+        decode=DecodeConfig(max_new_tokens=6)).validate()
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg.data, tok, modality="audio", image_size=16)
+    val = SyntheticAVSRDataset(cfg.data, tok, split="valid",
+                               modality="audio", image_size=16)
+    loader = DataLoader(ds, cfg.data, tok, model_cfg=cfg.model, seed=1)
+    vloader = DataLoader(val, cfg.data, tok, model_cfg=cfg.model,
+                         shuffle=False)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    tr = Trainer(cfg, params, loader, vloader, tok=tok)
+    out = tr.train()
+    assert np.isfinite(out["best_wer"]) and out["best_wer"] >= 0.0
+    rows = list(_csv.DictReader(open(tmp_path / "loss_log.csv")))
+    wer_rows = [r for r in rows if r["split"] == "val_wer"]
+    assert wer_rows and float(wer_rows[0]["wer"]) == round(out["best_wer"], 4)
+    # the WER improvement (inf -> measured) saved a best checkpoint
+    assert tr.ckpt.latest_step() is not None
+
+
+def test_early_stopping_on_flat_val_loss(tmp_path):
+    """training.early_stop_patience: with learning_rate=0 the val loss
+    never improves after the first eval, so patience=1 stops the run at
+    epoch 2 of 6 — and the final checkpoint is still written."""
+    from avsr_tpu.train.loop import Trainer
+
+    cfg = tiny_avsr_cfg(early_stop_patience=1)
+    cfg = dataclasses.replace(
+        cfg,
+        training=dataclasses.replace(cfg.training, num_epochs=6,
+                                     learning_rate=0.0, warmup_steps=0,
+                                     checkpoint_dir=str(tmp_path))).validate()
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg.data, tok, modality="audio", image_size=16)
+    val = SyntheticAVSRDataset(cfg.data, tok, split="valid",
+                               modality="audio", image_size=16)
+    loader = DataLoader(ds, cfg.data, tok, model_cfg=cfg.model, seed=1)
+    vloader = DataLoader(val, cfg.data, tok, model_cfg=cfg.model,
+                         shuffle=False)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    tr = Trainer(cfg, params, loader, vloader, tok=tok)
+    out = tr.train()
+    assert out["epochs"] == 2                  # stopped, not exhausted
+    assert int(tr.state.step) < tr.total_steps
+    assert tr.ckpt.latest_step() is not None   # final ckpt still saved
+
+
+def test_best_metric_wer_requires_wer_eval():
+    cfg = tiny_avsr_cfg(best_metric="wer")     # eval_wer_every_epochs=0
+    with pytest.raises(ValueError, match="eval_wer_every_epochs"):
+        cfg.validate()

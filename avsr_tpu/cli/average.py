@@ -12,7 +12,8 @@ equivalent — its best checkpoint is a single val-loss argmin
 The output is a params-only Orbax export: pass it straight to
 ``avsr-decode --checkpoint outputs/avsr/avg_params``. Averaging runs in
 float32 and casts back to the stored param dtype; non-float leaves must
-be identical across the checkpoints (they are taken from the newest).
+be identical across the checkpoints (equality is enforced; the first —
+oldest — tree's leaf is returned).
 Quantized (use_4bit/use_8bit) runs are refused — packed int leaves do not
 average; average the float run, then quantize the result at load.
 """

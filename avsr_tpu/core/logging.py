@@ -57,6 +57,22 @@ class CSVLogger:
         if not self.path.exists():
             with open(self.path, "w", newline="") as fh:
                 csv.DictWriter(fh, fieldnames=fieldnames).writeheader()
+            return
+        # Schema migration on resume: if the existing file was written by
+        # an older fieldname set (e.g. pre-'wer' logs), rewriting with the
+        # new header keeps appended rows aligned — blind appends against a
+        # stale header would silently shift every column after the insert.
+        with open(self.path, newline="") as fh:
+            reader = csv.DictReader(fh)
+            old = reader.fieldnames or []
+            if old == fieldnames:
+                return
+            rows = list(reader)
+        with open(self.path, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=fieldnames)
+            writer.writeheader()
+            for row in rows:
+                writer.writerow({k: row.get(k, "") for k in fieldnames})
 
     def log(self, **row: Any) -> None:
         with open(self.path, "a", newline="") as fh:

@@ -41,7 +41,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState, *, metrics: dict[str, Any] | None = None,
              is_best: bool = False, tag: str = "",
-             data_state: dict[str, int] | None = None) -> None:
+             data_state: dict[str, int] | None = None,
+             fit_state: dict[str, Any] | None = None) -> None:
         step = int(state.step)
         self._mngr.save(
             step,
@@ -60,6 +61,10 @@ class CheckpointManager:
         if data_state is not None:
             # loader position for mid-epoch resume (no repeated samples)
             meta["data_state"] = data_state
+        if fit_state is not None:
+            # best-metric / early-stop progress, so resume doesn't reset
+            # the patience counter or overwrite tag='best' with a worse model
+            meta["fit_state"] = fit_state
         if self.cfg is not None:
             meta["config"] = cfg_to_dict(self.cfg)
         with open(self.dir / f"meta_{step}.json", "w") as fh:

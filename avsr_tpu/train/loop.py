@@ -65,6 +65,12 @@ class Trainer:
             self.train_step = make_train_step(cfg, self.tx)
             self.eval_step = make_eval_step(cfg)
         self.shard_batch = shard_batch
+        self.mesh = mesh
+        if mesh is not None:
+            from avsr_tpu.mesh.sharding import infer_batch_sharder
+            self._infer_shard = infer_batch_sharder(mesh)
+        else:
+            self._infer_shard = None
         self.train_loader = train_loader
         self.val_loader = val_loader
 
@@ -118,6 +124,12 @@ class Trainer:
         # sample repeats (the ref logs --resume_from and restarts data from
         # scratch — train.py:270-272).
         meta = mngr.read_meta(int(self.state.step)) or {}
+        fit = meta.get("fit_state")
+        if fit:
+            self.best_val = float(fit.get("best_val", self.best_val))
+            self.best_wer = float(fit.get("best_wer", self.best_wer))
+            self._evals_no_improve = int(
+                fit.get("evals_no_improve", self._evals_no_improve))
         ds_state = meta.get("data_state")
         if ds_state:
             self.train_loader.set_position(ds_state["epoch"],
@@ -176,7 +188,8 @@ class Trainer:
         except (KeyboardInterrupt, Exception):
             log.exception("training interrupted — emergency checkpoint")
             self.ckpt.save(self.state, tag="emergency",
-                           data_state=self._data_state())
+                           data_state=self._data_state(),
+                           fit_state=self._fit_state())
             self.ckpt.wait()
             raise
         finally:
@@ -186,7 +199,8 @@ class Trainer:
         if not self._preempted:   # preempt path already saved this step
             self.ckpt.save(self.state, tag="final",
                            is_best=not np.isfinite(self.best_val),
-                           data_state=self._data_state())
+                           data_state=self._data_state(),
+                           fit_state=self._fit_state())
         self.ckpt.wait()
         save_loss_plot(self.history, Path(t.checkpoint_dir))
         return {"steps": int(self.state.step), "epochs": epoch,
@@ -206,6 +220,14 @@ class Trainer:
         return {"epoch": st["epoch"],
                 "batches": max(st["batches"] - pending, 0)}
 
+    def _fit_state(self) -> dict[str, float | int]:
+        """Best-metric + early-stop progress for checkpoint meta. Without
+        it a resumed run resets the patience counter and the first
+        post-resume eval always "improves" vs inf, overwriting tag='best'
+        with a possibly worse model."""
+        return {"best_val": self.best_val, "best_wer": self.best_wer,
+                "evals_no_improve": self._evals_no_improve}
+
     # ------------------------------------------------------------------
 
     def _guarded_step(self, micro_batches, epoch: int) -> dict[str, float]:
@@ -222,7 +244,8 @@ class Trainer:
         if self.monitor.update(metrics["loss"]):
             log.error("loss unstable — emergency checkpoint")
             self.ckpt.save(self.state, metrics=metrics, tag="emergency",
-                           data_state=self._data_state())
+                           data_state=self._data_state(),
+                           fit_state=self._fit_state())
         return metrics
 
     # ------------------------------------------------------------------
@@ -273,11 +296,13 @@ class Trainer:
 
         if t.save_every_steps > 0 and step % t.save_every_steps == 0:
             self.ckpt.save(self.state, metrics=m,
-                           data_state=self._data_state())
+                           data_state=self._data_state(),
+                           fit_state=self._fit_state())
         if time.time() - self._last_time_ckpt > t.save_every_secs:
             # ref 2-hour wall-clock cadence (trainer:256-257, 310-318)
             self.ckpt.save(self.state, metrics=m, tag="timed",
-                           data_state=self._data_state())
+                           data_state=self._data_state(),
+                           fit_state=self._fit_state())
             self._last_time_ckpt = time.time()
         self._maybe_profile(step)
         if step % 100 == 0:
@@ -287,7 +312,8 @@ class Trainer:
             # cleanly — the next run resumes mid-epoch with no lost samples.
             log.warning("preemption signal — checkpoint + clean stop")
             self.ckpt.save(self.state, metrics=m, tag="preempt",
-                           data_state=self._data_state())
+                           data_state=self._data_state(),
+                           fit_state=self._fit_state())
             self.ckpt.wait()
             raise _Preempted
         return m
@@ -388,7 +414,8 @@ class Trainer:
         if improved:
             self._evals_no_improve = 0
             self.ckpt.save(self.state, metrics=metrics,
-                           is_best=True, tag="best")
+                           is_best=True, tag="best",
+                           fit_state=self._fit_state())
         else:
             self._evals_no_improve += 1
             if (t.early_stop_patience > 0
@@ -410,11 +437,18 @@ class Trainer:
         seen: set[str] = set()
         t0 = time.time()
         for hb, batch in self.val_loader:
+            # Same mesh plumbing as cli/decode.py:129-135: shard the val
+            # batch across the mesh (otherwise every chip redundantly
+            # decodes the replicated batch) and thread mesh= so sp/pp
+            # handling inside generate engages.
+            if self._infer_shard is not None:
+                batch = self._infer_shard(batch)
             out = generate_tokens(
                 self.state.params, self.cfg.model, batch,
                 max_new_tokens=d.max_new_tokens, eos_id=self.tok.eos_id,
                 compute_dtype=self.cfg.runtime.compute_dtype,
-                use_pallas=self.cfg.runtime.use_pallas)
+                use_pallas=self.cfg.runtime.use_pallas,
+                kv_cache_dtype=d.kv_cache_dtype, mesh=self.mesh)
             tokens = np.asarray(out.tokens)
             lens = np.asarray(out.lengths)
             for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):

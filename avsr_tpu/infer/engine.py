@@ -150,15 +150,17 @@ def install(
     cur_lens: jax.Array,           # [S] slot state (threaded through)
     last_tok: jax.Array,           # [S]
     done: jax.Array,               # [S] bool
+    rem: jax.Array,                # [S] remaining token budget per slot
     budgets: jax.Array,            # [G] per-request max_new_tokens
     tok0: jax.Array,               # [W] staged first tokens
     plens: jax.Array,              # [W] staged prefix lengths
     *,
     eos_id: int = 2,
-) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array,
+           jax.Array]:
     """Scatter staged rows into free pool slots — the slot-dependent tail
     of admission, O(G rows copied), no model compute. Returns
-    (cache, cur_lens, last_tok, done, first_tokens [G]). Dispatched
+    (cache, cur_lens, last_tok, done, rem, first_tokens [G]). Dispatched
     asynchronously like everything else; the cache is donated."""
     # single advanced index on dim 1 stays in place: target [L, G, ...]
     k = cache.k.at[:, slots].set(rows.k[:, idxs])
@@ -171,12 +173,14 @@ def install(
     cur_lens = cur_lens.at[slots].set(plens[idxs])
     last_tok = last_tok.at[slots].set(t0)
     done = done.at[slots].set((t0 == eos_id) | (budgets <= 1))
-    return L.KVCache(k, v, ks, vs), cur_lens, last_tok, done, t0
+    # tok0 already consumed one budget unit (it came from the prefill)
+    rem = rem.at[slots].set(jnp.maximum(budgets - 1, 0))
+    return L.KVCache(k, v, ks, vs), cur_lens, last_tok, done, rem, t0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "k_steps", "eos_id", "sampling",
+    static_argnames=("model_cfg", "k_max", "eos_id", "sampling",
                      "compute_dtype"),
     donate_argnums=(2,))
 def decode_chunk(
@@ -186,23 +190,40 @@ def decode_chunk(
     cur_lens: jax.Array,           # [S] cache frontier per slot
     last_tok: jax.Array,           # [S] last emitted token per slot
     done: jax.Array,               # [S] bool — finished/idle slots
+    rem: jax.Array,                # [S] remaining token budget per slot
+    k_dyn: jax.Array,              # scalar int32 — steps THIS chunk (<= k_max)
     temps: jax.Array | None = None,    # [S] per-slot temperature
     top_ps: jax.Array | None = None,   # [S] per-slot nucleus p
     rng: jax.Array | None = None,      # PRNG key (folded per step)
     adapters: Params | None = None,    # [K, ...] LoRA bank (infer.adapters)
     adapter_ids: jax.Array | None = None,  # [S] per-slot bank row
     *,
-    k_steps: int = 16,
+    k_max: int = 64,
     eos_id: int = 2,
     sampling: bool = False,
     compute_dtype: str = "bfloat16",
-) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """K fused decode steps over all S slots — greedy, or (with the
-    static ``sampling`` flag) per-slot greedy-or-nucleus so resident
-    requests can carry their own temperature/top_p. Finished slots emit
-    ``eos_id`` and stop advancing their frontier (their stale writes land
-    at a frozen position and are overwritten on readmission). Returns
-    (cache, cur_lens, last_tok, done, tokens [S, K])."""
+) -> tuple[L.KVCache, jax.Array, jax.Array, jax.Array, jax.Array,
+           jax.Array, jax.Array]:
+    """Up to ``k_dyn`` fused decode steps over all S slots — greedy, or
+    (with the static ``sampling`` flag) per-slot greedy-or-nucleus so
+    resident requests can carry their own temperature/top_p.
+
+    ``k_dyn`` is a TRACED scalar: the host picks every chunk's length
+    (adaptive scheduling — short chunks near predicted completions so
+    freed slots refill promptly, long ones when every resident request
+    has far to go) without a retrace per length. The loop also exits the
+    moment every slot is done, so a draining pool never pays for the
+    full dispatch. ``rem`` is the device-side per-slot budget: a slot
+    freezes (done) when its budget is spent, which both bounds the cache
+    frontier (no overrun past the slot width under pipelined dispatch)
+    and lets the host schedule ahead of the fetch — budget exhaustion is
+    deterministic, so "this slot is free after the in-flight chunk" is
+    known at dispatch time. Finished slots emit ``eos_id`` and stop
+    advancing their frontier (their stale writes land at a frozen
+    position and are overwritten on readmission).
+
+    Returns (cache, cur_lens, last_tok, done, rem, tokens [S, k_max],
+    steps_run)."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
     S = cur_lens.shape[0]
@@ -210,12 +231,16 @@ def decode_chunk(
     if adapters is not None:
         # per-slot tenant adapters: gathered once per chunk (bank rows are
         # ~r/d of the base layer bytes — noise next to the KV streams),
-        # then every one of the K fused steps runs row-batched LoRA
+        # then every one of the fused steps runs row-batched LoRA
         from avsr_tpu.infer.adapters import inject_lora, select_lora
         llm = inject_lora(llm, select_lora(adapters, adapter_ids))
 
-    def body(k, carry):
-        cache, cur, last, done, out = carry
+    def cond(carry):
+        _, _, _, done, _, _, j = carry
+        return (j < k_dyn) & ~jnp.all(done)
+
+    def body(carry):
+        cache, cur, last, done, rem, out, j = carry
         emb = L.embed_tokens(llm, last[:, None], dt)
         logits, cache = L.llama_decode_step(
             llm, cfg, x=emb, cache=cache, cur_lens=cur,
@@ -223,19 +248,24 @@ def decode_chunk(
             compute_dtype=dt)
         if sampling:
             pick = _slot_sample(logits.astype(jnp.float32), temps, top_ps,
-                                jax.random.fold_in(rng, k))
+                                jax.random.fold_in(rng, j))
         else:
             pick = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_id, pick)
-        out = out.at[:, k].set(nxt)
-        cur = cur + (~done).astype(jnp.int32)
-        done = done | (nxt == eos_id)
-        return cache, cur, nxt, done, out
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, nxt[:, None], j, axis=1)
+        active = (~done).astype(jnp.int32)
+        cur = cur + active
+        rem = rem - active
+        done = done | (nxt == eos_id) | (rem <= 0)
+        return cache, cur, nxt, done, rem, out, j + 1
 
-    out0 = jnp.full((S, k_steps), eos_id, jnp.int32)
-    cache, cur_lens, last_tok, done, out = jax.lax.fori_loop(
-        0, k_steps, body, (cache, cur_lens, last_tok, done, out0))
-    return cache, cur_lens, last_tok, done, out
+    out0 = jnp.full((S, k_max), eos_id, jnp.int32)
+    cache, cur_lens, last_tok, done, rem, out, steps = jax.lax.while_loop(
+        cond, body,
+        (cache, cur_lens, last_tok, done, rem, out0,
+         jnp.zeros((), jnp.int32)))
+    return cache, cur_lens, last_tok, done, rem, out, steps
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -255,8 +285,8 @@ def install_rows(cache: L.KVCache, rows: L.KVCache, idxs: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_cfg", "k_rounds", "gamma", "eos_id",
-                     "compute_dtype"),
+    static_argnames=("model_cfg", "draft_model_cfg", "k_rounds", "gamma",
+                     "eos_id", "compute_dtype"),
     donate_argnums=(3, 4))
 def decode_chunk_spec(
     params: Params,
@@ -275,6 +305,7 @@ def decode_chunk_spec(
     gamma: int = 4,
     eos_id: int = 2,
     compute_dtype: str = "bfloat16",
+    draft_model_cfg: ModelConfig | None = None,
 ) -> tuple[L.KVCache, L.KVCache, jax.Array, jax.Array, jax.Array,
            jax.Array, jax.Array, jax.Array, jax.Array]:
     """``k_rounds`` speculative rounds over all S slots (greedy only):
@@ -292,6 +323,10 @@ def decode_chunk_spec(
     land in finished/free rows that install() fully overwrites."""
     dt = jnp.dtype(compute_dtype)
     cfg = model_cfg.llm
+    # the draft may be shallower (layer-skip early exit) — its decode
+    # steps and cache walk its OWN depth; positions/heads match the
+    # target's, so the shared slot frontier stays a single cur_lens
+    dcfg = (draft_model_cfg or model_cfg).llm
     lora = model_cfg.lora if model_cfg.lora.use_lora else None
     S = cur_lens.shape[0]
     G = gamma
@@ -310,17 +345,17 @@ def decode_chunk_spec(
         tokA = jnp.where(gap == 2, prev, last)[:, None]
         posA = jnp.maximum(jnp.where(gap == 2, cur - 1, cur), 0)
         _, d_cache = L.llama_decode_step(
-            dllm, cfg, x=L.embed_tokens(dllm, tokA, dt),
+            dllm, dcfg, x=L.embed_tokens(dllm, tokA, dt),
             cache=d_cache, cur_lens=posA, compute_dtype=dt)
         dlog, d_cache = L.llama_decode_step(
-            dllm, cfg, x=L.embed_tokens(dllm, last[:, None], dt),
+            dllm, dcfg, x=L.embed_tokens(dllm, last[:, None], dt),
             cache=d_cache, cur_lens=cur, compute_dtype=dt)
 
         def draft_step(carry, j):
             dlog, d_cache = carry
             tok = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
             dlog2, d_cache = L.llama_decode_step(
-                dllm, cfg, x=L.embed_tokens(dllm, tok[:, None], dt),
+                dllm, dcfg, x=L.embed_tokens(dllm, tok[:, None], dt),
                 cache=d_cache, cur_lens=cur + 1 + j, compute_dtype=dt)
             return (dlog2, d_cache), tok
 
@@ -376,11 +411,135 @@ def decode_chunk_spec(
             n_new)
 
 
+@jax.jit
+def mask_done(done: jax.Array, rem: jax.Array,
+              mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Force slots done (host-side cancels): one tiny dispatch that lands
+    in the device queue between the chunks around it, so a cancelled
+    request stops decoding without waiting for its chunk to be fetched."""
+    return done | mask, jnp.where(mask, 0, rem)
+
+
 @dataclass
 class _Slot:
     req: int | None = None         # request index, None = free
     tokens: list | None = None     # generated ids so far (incl. first)
-    budget: int = 0                # this request's max_new_tokens
+    budget: int = 0
+
+
+@dataclass
+class _Req:
+    """Host bookkeeping for one request (pipelined schedule). Tokens
+    arrive at chunk FETCH time, routed by the per-chunk (slot, req)
+    snapshot — a slot may already host a successor request by then."""
+
+    tokens: list
+    budget: int
+    finished: bool = False
+
+
+@dataclass
+class _Chunk:
+    """A dispatched-but-unfetched decode chunk. ``admits`` carries the
+    installs dispatched just before it (their first tokens ride the same
+    fetch); ``snap`` maps slots to the requests resident at dispatch."""
+
+    out: jax.Array                 # [S, k_max] device
+    steps: jax.Array               # scalar device — steps actually run
+    k: int                         # steps requested (k_dyn)
+    snap: list                     # [(slot, req_id)]
+    admits: list                   # [(group meta, tok0_dev)]
+
+
+class _Fetcher:
+    """One background thread that device_gets chunk outputs. On a
+    high-latency link (tunneled PJRT) a fetch pays ~tens of ms of RTT
+    even for 2 KB of tokens, and it FIFO-serializes behind the queued
+    successor chunk — fetched inline, that RTT lands on the scheduler's
+    critical path once per chunk. Off-thread, it overlaps the next
+    chunk's compute and dispatch. Results come back in submit order."""
+
+    def __init__(self):
+        import queue as _queue
+        import threading
+        self._in: _queue.Queue = _queue.Queue()
+        self._out: _queue.Queue = _queue.Queue()
+        self._th = threading.Thread(target=self._run, daemon=True)
+        self._th.start()
+
+    def submit(self, chunk: "_Chunk") -> None:
+        self._in.put(chunk)
+
+    def _run(self) -> None:
+        while True:
+            c = self._in.get()
+            if c is None:
+                return
+            try:
+                fetched = jax.device_get(
+                    (c.out, c.steps, [t for _, t in c.admits]))
+                self._out.put((c, fetched, None))
+            except Exception as e:      # noqa: BLE001 — surfaced to caller
+                self._out.put((c, None, e))
+
+    def done(self, block: bool = False):
+        """Next (chunk, (out, steps, admit tok0s)) in submit order, or
+        None; re-raises fetch errors."""
+        import queue as _queue
+        try:
+            c, fetched, err = self._out.get(block)
+        except _queue.Empty:
+            return None
+        if err is not None:
+            raise err
+        return c, fetched
+
+    def close(self) -> None:
+        self._in.put(None)
+
+
+class _PrepWorker:
+    """One background thread that featurizes admission groups (WAV
+    decode + collate + the host->device copy) so the scheduler thread
+    never blocks on host prep — staged prefills stay one batch ahead in
+    WALL time, not just in dispatch order."""
+
+    def __init__(self, featurize_fn):
+        import queue as _queue
+        import threading
+        self._in: _queue.Queue = _queue.Queue()
+        self._out: _queue.Queue = _queue.Queue()
+        self._fn = featurize_fn
+        self._th = threading.Thread(target=self._run, daemon=True)
+        self._th.start()
+
+    def submit(self, group: list) -> None:
+        self._in.put(group)
+
+    def _run(self) -> None:
+        while True:
+            group = self._in.get()
+            if group is None:
+                return
+            try:
+                self._out.put((group, self._fn([s for _, s, *_ in group]),
+                               None))
+            except Exception as e:      # noqa: BLE001 — surfaced to caller
+                self._out.put((group, None, e))
+
+    def ready(self, block: bool = False):
+        """Next (group, featurized batch) or None; re-raises prep errors."""
+        import queue as _queue
+        try:
+            group, batch, err = self._out.get(block)
+        except _queue.Empty:
+            return None
+        if err is not None:
+            raise err
+        return group, batch
+
+    def close(self) -> None:
+        self._in.put(None)                # this request's max_new_tokens
 
 
 @dataclass
@@ -418,11 +577,20 @@ class ServingEngine:
                  k_steps: int = 16, cache_len: int | None = None,
                  seed: int = 0, adapter_bank: Params | None = None,
                  draft_params: Params | None = None, spec_gamma: int = 0,
-                 spec_rounds: int = 4):
+                 spec_rounds: int = 4, admission: str = "budget",
+                 draft_model_cfg=None, pipeline_depth: int = 2):
         self.params = params
         self.cfg = cfg
         self.tok = tok
         self.S = num_slots
+        # admission="budget" packs each staging group around the longest
+        # remaining budgets (LJF — co-resident slots drain together, so
+        # the pool never trails one long request while short slots idle);
+        # the oldest queued request is always included, so nothing
+        # starves. "fifo" admits strictly in submit order.
+        if admission not in ("budget", "fifo"):
+            raise ValueError("admission must be 'budget' or 'fifo'")
+        self.admission = admission
         # speculative serving (decode.speculative at slot granularity):
         # a quantized self-draft (infer.speculative.make_draft_params)
         # proposes spec_gamma tokens per slot per round; one [S, gamma+1]
@@ -445,13 +613,31 @@ class ServingEngine:
                     "speculative serving needs a full-precision slot "
                     "cache (verify re-prefills into it); unset "
                     "decode.kv_cache_dtype")
+            # the draft may be the full-depth self-draft OR a layer-skip
+            # slice (make_layerskip_draft, decode.spec_draft_layers): the
+            # engine carries a SECOND slot-cache geometry for the draft
+            # ([L_draft, S, ...]) — only heads/dims must match the target
+            # (the layer-skip draft reuses the target's own blocks, so
+            # they always do)
+            dcfg = draft_model_cfg or cfg.model
             if (len(draft_params["llm"]["layers"])
-                    != cfg.model.llm.n_layers):
+                    != dcfg.llm.n_layers):
                 raise ValueError(
-                    "speculative serving takes a same-depth self-draft "
-                    "(make_draft_params); a layer-skip or smaller draft "
-                    "needs its own slot-cache geometry, which the engine "
-                    "does not carry — use speculative_generate for those")
+                    f"draft depth {len(draft_params['llm']['layers'])} "
+                    f"does not match draft_model_cfg.llm.n_layers="
+                    f"{dcfg.llm.n_layers} — pass the ModelConfig that "
+                    "make_layerskip_draft returned")
+            tl, dl = cfg.model.llm, dcfg.llm
+            if (dl.n_kv_heads, dl.d_model, dl.n_heads) != (
+                    tl.n_kv_heads, tl.d_model, tl.n_heads):
+                raise ValueError(
+                    "speculative serving needs a draft sharing the "
+                    "target's head geometry (layer-skip/quantized "
+                    "self-drafts do); an alien draft architecture is "
+                    "speculative_generate territory")
+            self._draft_cfg = dcfg
+        else:
+            self._draft_cfg = cfg.model
         # multi-tenant LoRA serving (infer.adapters): [K, ...] bank; every
         # request picks a row via submit(adapter=...), mixed freely in the
         # pool. Needs the raw (unfused, lora-bearing) base tree: proj()
@@ -465,6 +651,7 @@ class ServingEngine:
             self._n_adapters = bank_size(adapter_bank)
         self.max_new = max_new_tokens or cfg.decode.max_new_tokens
         self.k_steps = k_steps
+        self.k_max = k_steps       # adaptive chunk-length cap (pipelined)
         llm = cfg.model.llm
         hd = llm.d_model // llm.n_heads
         if cache_len is None:
@@ -487,22 +674,48 @@ class ServingEngine:
             dt = jnp.dtype(cfg.runtime.compute_dtype)
             self.cache = L.KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
         if self._spec:
+            # the draft's own slot-cache geometry: same rows/heads/width,
+            # its OWN depth (layer-skip drafts are shallower)
+            dshape = (self._draft_cfg.llm.n_layers, self.S,
+                      llm.n_kv_heads, hd, self.M)
             dt = jnp.dtype(cfg.runtime.compute_dtype)
-            self.d_cache = L.KVCache(jnp.zeros(shape, dt),
-                                     jnp.zeros(shape, dt))
-        # slot bookkeeping lives on HOST numpy: per-element .at[].set()
-        # updates on device arrays cost one dispatch each (~100 tiny
-        # dispatches per 32-request run on a high-latency link); shipping
-        # three [S] arrays per jit call costs effectively nothing
+            self.d_cache = L.KVCache(jnp.zeros(dshape, dt),
+                                     jnp.zeros(dshape, dt))
+        # Slot STATE lives on device and is threaded value-to-value
+        # through install/decode_chunk dispatches (never fetched on the
+        # scheduling path); the spec path keeps the legacy numpy mirrors
+        # it syncs each chunk.
+        self.d_cur = jnp.zeros((self.S,), jnp.int32)
+        self.d_last = jnp.full((self.S,), tok.eos_id, jnp.int32)
+        self.d_done = jnp.ones((self.S,), bool)    # all slots start idle
+        self.d_rem = jnp.zeros((self.S,), jnp.int32)
+        # legacy numpy mirrors (speculative schedule only)
         self.cur_lens = np.zeros((self.S,), np.int32)
         self.last_tok = np.full((self.S,), tok.eos_id, np.int32)
-        self.done = np.ones((self.S,), bool)       # all slots start idle
+        self.done = np.ones((self.S,), bool)
         # speculative slot state: e_{n-2} tail + draft-pending gap; slots
         # admitted since the last chunk reset these via the `fresh` mask
         self.prev_tok = np.full((self.S,), tok.eos_id, np.int32)
         self.spec_gap = np.ones((self.S,), np.int32)
         self._fresh = np.zeros((self.S,), bool)
-        self.slots = [_Slot() for _ in range(self.S)]
+        self.slots = [_Slot() for _ in range(self.S)]   # spec schedule
+        # pipelined schedule: slot -> resident request id, plus the
+        # host's PREDICTED remaining budget per slot (budget exhaustion
+        # is deterministic, so "free after the in-flight chunk" is known
+        # at dispatch time; EOS finishes are learned one fetch later)
+        self.slot_rid: list[int | None] = [None] * self.S
+        self._pred_rem = np.zeros((self.S,), np.int64)
+        self._reqs: dict[int, _Req] = {}
+        # dispatch-ahead window: chunks in flight before the scheduler
+        # blocks on a fetch. Depth 2 fully hides the fetch RTT once the
+        # chunk compute exceeds it (depth 1 re-serializes every fetch
+        # behind the successor chunk on a FIFO link); higher depths only
+        # delay EOS-freed-slot refills and online result latency.
+        self.pipeline_depth = max(pipeline_depth, 1)
+        self._fetcher: _Fetcher | None = None
+        self._inflight_n = 0       # chunks dispatched, not yet absorbed
+        self._prep: _PrepWorker | None = None
+        self._prep_rows = 0        # rows handed to the prep worker
         # per-slot sampling params are pure host state: the host knows a
         # request's temperature at scheduling time, so they ride into the
         # jitted calls as inputs and never round-trip
@@ -512,10 +725,10 @@ class ServingEngine:
         self._sampling = False     # static trace flag for this workload
         self._base_key = jax.random.key(seed)
         self._rng_calls = 0        # fold counter: unique subkey per call
-        self._pending_admits: list = []    # (group, tok0_dev) awaiting sync
-        self._staged: _Staged | None = None    # at most one staged batch
-        # online request queue: (req_id, sample, budget, temp, top_p),
-        # FIFO; req ids are monotonically increasing submit order
+        self._pending_admits: list = []    # (group, tok0_dev) awaiting fetch
+        self._staged: deque[_Staged] = deque()    # prefilled, pre-install
+        # online request queue: (req_id, sample, budget, temp, top_p,
+        # adapter); req ids are monotonically increasing submit order
         self._queue: deque = deque()
         self._next_req = 0
         self._outstanding: set[int] = set()
@@ -528,6 +741,8 @@ class ServingEngine:
         self.requests_done = 0     # requests completed across transcribes
         self.requests_cancelled = 0  # requests abandoned via cancel()
         self.tokens_emitted = 0    # tokens returned (incl. first + EOS)
+        self.decode_steps_total = 0  # chunk loop iterations actually run
+        self.slot_capacity = 0     # decode_steps_total * S (fetched)
 
     # -- host-side scheduling --------------------------------------------
 
@@ -555,15 +770,19 @@ class ServingEngine:
 
     def _stage_group(
             self,
-            group: list[tuple[int, Sample, int, float, float, int]]
+            group: list[tuple[int, Sample, int, float, float, int]],
+            batch=None,
     ) -> None:
         """Prefill (req, sample, budget, temperature, top_p, adapter)
         tuples in ONE batched :func:`stage` call, independent of slot
         availability. Callers pass power-of-2 group sizes so the jit trace
         count stays bounded at {1,2,4,...} x media buckets. Dispatched
         asynchronously — the prefill computes on device while earlier
-        decode chunks are still in flight."""
-        batch = self._featurize([s for _, s, *_ in group])
+        decode chunks are still in flight. ``batch`` is the already-
+        featurized group from the prep worker; without it the host
+        featurizes inline (spec schedule + warmup)."""
+        if batch is None:
+            batch = self._featurize([s for _, s, *_ in group])
         rows, tok0, plens = stage(
             self.params, self.cfg.model, batch,
             jnp.asarray([g[3] for g in group], jnp.float32),
@@ -592,7 +811,7 @@ class ServingEngine:
             # staging is overlapped with decode chunks, so this buys
             # simplicity for a few ms of hidden prefill time.)
             d_rows, _, _ = stage(
-                self._draft, self.cfg.model, batch,
+                self._draft, self._draft_cfg, batch,
                 jnp.zeros((len(group),), jnp.float32),
                 jnp.ones((len(group),), jnp.float32),
                 self._next_key(), None, None,
@@ -601,37 +820,273 @@ class ServingEngine:
                 quantize=False, sampling=False,
                 compute_dtype=self.cfg.runtime.compute_dtype,
                 use_pallas=self.cfg.runtime.use_pallas)
-        self._staged = _Staged(meta, rows, tok0, plens, d_rows=d_rows)
+        self._staged.append(_Staged(meta, rows, tok0, plens, d_rows=d_rows))
         self.stages_run += 1
 
     def _install_group(self, staged: _Staged, slots: list[int]) -> None:
         """Scatter the next ``len(slots)`` staged rows into free pool
-        slots (one :func:`install` call, no model compute)."""
+        slots (one :func:`install` call, no model compute). The spec
+        schedule threads its synced numpy state mirrors; the pipelined
+        schedule threads the live device arrays."""
         g = len(slots)
         idxs = list(range(staged.next, staged.next + g))
         meta = staged.meta[staged.next:staged.next + g]
         staged.next += g
+        # COPY-on-write, never in-place: device_put of a numpy array can
+        # be zero-copy on some backends (XLA:CPU), so an in-place write
+        # here would retroactively change the adapter/temperature rows an
+        # already-dispatched (pipelined, unfetched) chunk reads — observed
+        # as a wrong-tenant final chunk in the multi-adapter exactness
+        # test. Fresh arrays leave every in-flight dispatch's buffers
+        # untouched.
+        self.slot_temps = self.slot_temps.copy()
+        self.slot_tops = self.slot_tops.copy()
+        self.slot_adapter = self.slot_adapter.copy()
         for slot, (_, _, t, p, aid) in zip(slots, meta):
             self.slot_temps[slot] = t
             self.slot_tops[slot] = p
             self.slot_adapter[slot] = aid
-        (self.cache, self.cur_lens, self.last_tok, self.done,
-         t0_dev) = install(
-            self.cache, staged.rows,
-            jnp.asarray(idxs, jnp.int32), jnp.asarray(slots, jnp.int32),
-            self.cur_lens, self.last_tok, self.done,
-            jnp.asarray([m[1] for m in meta], jnp.int32),
-            staged.tok0, staged.plens,
-            eos_id=self.tok.eos_id)
+        budgets = jnp.asarray([m[1] for m in meta], jnp.int32)
         if self._spec:
+            (self.cache, self.cur_lens, self.last_tok, self.done,
+             self.d_rem, t0_dev) = install(
+                self.cache, staged.rows,
+                jnp.asarray(idxs, jnp.int32), jnp.asarray(slots, jnp.int32),
+                self.cur_lens, self.last_tok, self.done, self.d_rem,
+                budgets, staged.tok0, staged.plens,
+                eos_id=self.tok.eos_id)
             self.d_cache = install_rows(
                 self.d_cache, staged.d_rows,
                 jnp.asarray(idxs, jnp.int32), jnp.asarray(slots, jnp.int32))
             self._fresh[slots] = True
+        else:
+            (self.cache, self.d_cur, self.d_last, self.d_done,
+             self.d_rem, t0_dev) = install(
+                self.cache, staged.rows,
+                jnp.asarray(idxs, jnp.int32), jnp.asarray(slots, jnp.int32),
+                self.d_cur, self.d_last, self.d_done, self.d_rem,
+                budgets, staged.tok0, staged.plens,
+                eos_id=self.tok.eos_id)
+            for slot, (rid, budget, *_) in zip(slots, meta):
+                self.slot_rid[slot] = rid
+                self._pred_rem[slot] = max(budget - 1, 0)
         group = [(slot, req, None, budget)
                  for slot, (req, budget, *_) in zip(slots, meta)]
         self._pending_admits.append((group, t0_dev))
         self.installs_run += 1
+
+    # -- pipelined schedule (greedy/sampled) -------------------------------
+
+    def _admission_group(self) -> list:
+        """Pop the next power-of-2-width admission group. Budget-aware
+        packing (admission="budget"): keep the oldest request (nothing
+        starves), fill the rest with the LONGEST remaining budgets so
+        co-resident slots drain together instead of one long request
+        trailing an otherwise-idle pool (LJF)."""
+        q = self._queue
+        w = 1 << (min(self.S, len(q)).bit_length() - 1)
+        if self.admission == "budget" and len(q) > w:
+            head = q.popleft()
+            rest = sorted(q, key=lambda r: -r[2])
+            take = rest[:w - 1]
+            taken = {r[0] for r in take}
+            kept = [r for r in q if r[0] not in taken]
+            q.clear()
+            q.extend(kept)
+            return [head] + take
+        return [q.popleft() for _ in range(w)]
+
+    def _pump_staging(self) -> None:
+        """Queue -> prep worker (host featurize, off this thread) ->
+        :func:`stage` dispatch, keeping up to ~2 pools' worth of prefilled
+        rows ahead of the slots."""
+        if self._queue and self._prep is None:
+            self._prep = _PrepWorker(self._featurize)
+        ahead = self._prep_rows + sum(st.remaining for st in self._staged)
+        while self._queue and ahead < 2 * self.S:
+            group = self._admission_group()
+            self._prep.submit(group)
+            self._prep_rows += len(group)
+            ahead += len(group)
+        while self._prep is not None:
+            item = self._prep.ready()
+            if item is None:
+                break
+            group, batch = item
+            self._prep_rows -= len(group)
+            self._stage_group(group, batch)
+
+    def _refill_pipelined(self) -> None:
+        """Install staged rows into every free slot. A slot is free when
+        its resident request was finalized (EOS learned at fetch) or its
+        budget is provably spent by the already-dispatched chunks
+        (pred_rem == 0) — the latter lets admission run a full chunk
+        ahead of the fetch."""
+        self._pump_staging()
+        while True:
+            free = [s for s in range(self.S)
+                    if self.slot_rid[s] is None or self._pred_rem[s] == 0]
+            if not free or not self._staged:
+                break
+            st = self._staged[0]
+            g = 1 << (min(len(free), st.remaining).bit_length() - 1)
+            self._install_group(st, free[:g])
+            if st.remaining == 0:
+                self._staged.popleft()
+
+    def _pick_k(self) -> int:
+        """Chunk length for the next dispatch: run exactly to the next
+        predicted slot completion when more work is waiting (freed slots
+        refill promptly -> high utilization), or to the farthest one when
+        draining (the early-exit loop stops at the true finish). Floor 8:
+        below that the per-dispatch overhead costs more than the idle
+        slot-steps it saves."""
+        occ = self._pred_rem[[s for s in range(self.S)
+                              if self.slot_rid[s] is not None]]
+        occ = occ[occ > 0]
+        if occ.size == 0:
+            return 0
+        waiting = bool(self._queue) or bool(self._staged) \
+            or self._prep_rows > 0
+        k = int(occ.min()) if waiting else int(occ.max())
+        return min(max(k, 8), self.k_max)
+
+    def _dispatch_chunk(self, k: int) -> None:
+        bank = self._bank
+        aids = jnp.asarray(self.slot_adapter) if bank is not None else None
+        (self.cache, self.d_cur, self.d_last, self.d_done, self.d_rem,
+         out, steps) = decode_chunk(
+            self.params, self.cfg.model, self.cache, self.d_cur,
+            self.d_last, self.d_done, self.d_rem, np.int32(k),
+            self.slot_temps, self.slot_tops, self._next_key(), bank, aids,
+            k_max=self.k_max, eos_id=self.tok.eos_id,
+            sampling=self._sampling,
+            compute_dtype=self.cfg.runtime.compute_dtype)
+        snap = [(s, rid) for s, rid in enumerate(self.slot_rid)
+                if rid is not None]
+        if self._fetcher is None:
+            self._fetcher = _Fetcher()
+        self._fetcher.submit(_Chunk(out, steps, k, snap,
+                                    self._pending_admits))
+        self._inflight_n += 1
+        self._pending_admits = []
+        self.chunks_run += 1
+        for s, _ in snap:
+            self._pred_rem[s] = max(self._pred_rem[s] - k, 0)
+
+    def _drain_fetches(self, finished: dict, block: bool = False) -> None:
+        """Absorb fetched chunks (in dispatch order). Non-blocking: take
+        whatever the fetcher thread has finished; blocking: wait for
+        exactly one."""
+        while self._inflight_n > 0:
+            item = self._fetcher.done(block)
+            if item is None:
+                return
+            self._inflight_n -= 1
+            self._absorb(*item, finished)
+            if block:
+                return
+
+    def _absorb_admits(self, admits: list, finished: dict,
+                       tok0s=None) -> None:
+        if tok0s is None:
+            tok0s = jax.device_get([t for _, t in admits])
+        for (group, _), t0 in zip(admits, tok0s):
+            for j, (slot, rid, _, budget) in enumerate(group):
+                req = self._reqs.get(rid)
+                if req is None or req.finished:
+                    continue
+                if rid in self._cancelled:
+                    self._cancel_resident(rid, slot)
+                    continue
+                req.tokens.append(int(t0[j]))
+                if (t0[j] == self.tok.eos_id or budget <= 1):
+                    self._finalize(rid, slot, finished)
+
+    def _absorb(self, chunk: _Chunk, fetched, finished: dict) -> None:
+        """Route one fetched chunk's tokens to its requests (the fetcher
+        thread already paid the device_get; this is pure host
+        bookkeeping)."""
+        out, steps, tok0s = fetched
+        self._absorb_admits(chunk.admits, finished, tok0s)
+        steps = int(steps)
+        self.decode_steps_total += steps
+        self.slot_capacity += steps * self.S
+        eos = self.tok.eos_id
+        for slot, rid in chunk.snap:
+            req = self._reqs.get(rid)
+            if req is None or req.finished:
+                continue
+            if rid in self._cancelled:
+                self._cancel_resident(rid, slot)
+                continue
+            for t in out[slot, :steps]:
+                if (len(req.tokens) >= req.budget
+                        or (req.tokens and req.tokens[-1] == eos)):
+                    break
+                req.tokens.append(int(t))
+            if (len(req.tokens) >= req.budget
+                    or (req.tokens and req.tokens[-1] == eos)):
+                self._finalize(rid, slot, finished)
+
+    def _finalize(self, rid: int, slot: int, finished: dict) -> None:
+        req = self._reqs.pop(rid)
+        req.finished = True
+        ids = req.tokens[: req.budget]
+        finished[rid] = ids
+        self._finished[rid] = ids
+        self._outstanding.discard(rid)
+        self.requests_done += 1
+        self.tokens_emitted += len(ids)
+        if self.slot_rid[slot] == rid:     # not already readmitted
+            self.slot_rid[slot] = None
+            self._pred_rem[slot] = 0
+
+    def _cancel_resident(self, rid: int, slot: int) -> None:
+        """Free a resident slot whose request was cancelled: one tiny
+        :func:`mask_done` dispatch freezes the row immediately (dataflow
+        order keeps it ahead of any later install into the same slot)."""
+        self._cancelled.discard(rid)
+        self._reqs.pop(rid, None)
+        if self.slot_rid[slot] == rid:
+            mask = np.zeros((self.S,), bool)
+            mask[slot] = True
+            self.d_done, self.d_rem = mask_done(self.d_done, self.d_rem,
+                                                mask)
+            self.slot_rid[slot] = None
+            self._pred_rem[slot] = 0
+        self.requests_cancelled += 1
+
+    def _step_pipelined(self) -> dict[int, list[int]]:
+        finished: dict[int, list[int]] = {}
+        # absorb whatever the fetcher already returned, so EOS-freed
+        # slots refill this very step
+        self._drain_fetches(finished)
+        self._refill_pipelined()
+        # pool idle but prep still featurizing: wait for it rather than
+        # spinning through empty steps
+        if (self._inflight_n == 0 and not self._staged
+                and self._prep_rows > 0
+                and all(r is None for r in self.slot_rid)):
+            group, batch = self._prep.ready(block=True)
+            self._prep_rows -= len(group)
+            self._stage_group(group, batch)
+            self._refill_pipelined()
+        k = self._pick_k()
+        if k > 0:
+            self._dispatch_chunk(k)
+        # bound the dispatch-ahead window; on drain (nothing dispatched)
+        # absorb everything outstanding
+        depth = self.pipeline_depth if k > 0 else 0
+        while self._inflight_n > depth:
+            self._drain_fetches(finished, block=True)
+        if self._inflight_n == 0 and self._pending_admits:
+            # installs with no chunk behind them (e.g. budget-1 requests)
+            self._absorb_admits(self._pending_admits, finished)
+            self._pending_admits = []
+        return finished
+
+    # -- spec schedule (legacy synchronous loop) ---------------------------
 
     def _refill(self) -> None:
         """Fill every free slot from staged rows, staging new batches from
@@ -646,17 +1101,17 @@ class ServingEngine:
             self._stage_group([q.popleft() for _ in range(w)])
 
         while free:
-            if self._staged is None or self._staged.remaining == 0:
+            if not self._staged:
                 if not q:
                     break
                 stage_next()
-            g = 1 << (min(len(free), self._staged.remaining)
-                      .bit_length() - 1)
-            self._install_group(self._staged, free[:g])
+            st = self._staged[0]
+            g = 1 << (min(len(free), st.remaining).bit_length() - 1)
+            self._install_group(st, free[:g])
             free = free[g:]
-            if self._staged.remaining == 0:
-                self._staged = None        # staging buffer freed
-        if (self._staged is None or self._staged.remaining == 0) and q:
+            if st.remaining == 0:
+                self._staged.popleft()    # staging buffer freed
+        if not self._staged and q:
             stage_next()                   # prefill-ahead behind the chunk
 
     def _sync(self, extra=None):
@@ -686,56 +1141,77 @@ class ServingEngine:
         compile mid-flight. Pass ``sampling=True`` to precompile the
         per-slot-sampling traces instead of the greedy ones."""
         self._sampling = sampling
+        spec = self._spec
+        cur = self.cur_lens if spec else self.d_cur
+        last = self.last_tok if spec else self.d_last
+        done = self.done if spec else self.d_done
         w = 1
         while w <= self.S:
             self._stage_group([(-1, sample, 1, 0.0, 1.0, 0)] * w)
-            st = self._staged
+            st = self._staged.pop()
             # every install trace this width can hit: G in {1, 2, ..., w}
             g = 1
-            while g < w:
+            while g <= w:
                 # cache is donated — keep the threaded state (tok0 of these
                 # warmup installs is discarded with the pool reset below)
-                (self.cache, self.cur_lens, self.last_tok, self.done,
-                 _) = install(
+                (self.cache, cur, last, done, self.d_rem, _) = install(
                     self.cache, st.rows,
                     jnp.zeros((g,), jnp.int32),
                     jnp.asarray(list(range(g)), jnp.int32),
-                    self.cur_lens, self.last_tok, self.done,
-                    jnp.ones((g,), jnp.int32), st.tok0, st.plens,
+                    cur, last, done, self.d_rem,
+                    jnp.full((g,), 4, jnp.int32), st.tok0, st.plens,
                     eos_id=self.tok.eos_id)
                 g *= 2
-            self._install_group(st, list(range(w)))
-            self._staged = None
+            if spec:
+                self.d_cache = install_rows(
+                    self.d_cache, st.d_rows,
+                    jnp.zeros((w,), jnp.int32),
+                    jnp.asarray(list(range(w)), jnp.int32))
             w *= 2
-        if self._spec:
-            (self.cache, self.d_cache, self.cur_lens, self.last_tok,
-             self.prev_tok, self.spec_gap, self.done, _,
+        if spec:
+            (self.cache, self.d_cache, cur, last,
+             self.prev_tok, self.spec_gap, done, _,
              _) = decode_chunk_spec(
                 self.params, self._draft, self.cfg.model, self.cache,
-                self.d_cache, self.cur_lens, self.last_tok,
+                self.d_cache, cur, last,
                 jnp.asarray(self.prev_tok), jnp.asarray(self.spec_gap),
-                jnp.asarray(self._fresh), self.done,
+                jnp.asarray(self._fresh), done,
                 k_rounds=self.spec_rounds, gamma=self.spec_gamma,
                 eos_id=self.tok.eos_id,
-                compute_dtype=self.cfg.runtime.compute_dtype)
+                compute_dtype=self.cfg.runtime.compute_dtype,
+                draft_model_cfg=self._draft_cfg)
             self._fresh[:] = False
         else:
-            (self.cache, self.cur_lens, self.last_tok, self.done,
-             _) = decode_chunk(
-                self.params, self.cfg.model, self.cache, self.cur_lens,
-                self.last_tok, self.done, self.slot_temps, self.slot_tops,
+            # ONE trace covers every chunk length (k_dyn is data, and the
+            # while_loop's early exit makes the all-done case the same
+            # executable)
+            (self.cache, cur, last, done, self.d_rem,
+             out, _) = decode_chunk(
+                self.params, self.cfg.model, self.cache, cur,
+                last, done, self.d_rem, np.int32(2),
+                self.slot_temps, self.slot_tops,
                 self._next_key(), self._bank,
                 (jnp.asarray(self.slot_adapter) if self._bank is not None
                  else None),
-                k_steps=self.k_steps,
+                k_max=self.k_max,
                 eos_id=self.tok.eos_id, sampling=self._sampling,
                 compute_dtype=self.cfg.runtime.compute_dtype)
-        self._sync()
+            jax.block_until_ready(out)
+        # reset the pool: warmup rows are garbage by design
         self.slots = [_Slot() for _ in range(self.S)]
-        self.done = np.ones((self.S,), bool)
-        if self._spec:
+        self.slot_rid = [None] * self.S
+        self._pred_rem[:] = 0
+        if spec:
+            self.cur_lens = np.zeros((self.S,), np.int32)
+            self.last_tok = np.full((self.S,), self.tok.eos_id, np.int32)
+            self.done = np.ones((self.S,), bool)
             self.prev_tok = np.full((self.S,), self.tok.eos_id, np.int32)
             self.spec_gap = np.ones((self.S,), np.int32)
+        else:
+            self.d_done = jnp.ones((self.S,), bool)
+            self.d_rem = jnp.zeros((self.S,), jnp.int32)
+            self.d_cur, self.d_last = cur, last
+        self._pending_admits = []
         self.reset_stats()         # warmup work is not serving work
 
     def reset(self) -> None:
@@ -752,8 +1228,27 @@ class ServingEngine:
         self.prev_tok = np.full((self.S,), self.tok.eos_id, np.int32)
         self.spec_gap = np.ones((self.S,), np.int32)
         self._fresh = np.zeros((self.S,), bool)
+        self.slot_rid = [None] * self.S
+        self._pred_rem[:] = 0
+        self._reqs.clear()
+        self.d_cur = jnp.zeros((self.S,), jnp.int32)
+        self.d_last = jnp.full((self.S,), self.tok.eos_id, jnp.int32)
+        self.d_done = jnp.ones((self.S,), bool)
+        self.d_rem = jnp.zeros((self.S,), jnp.int32)
+        while self._inflight_n > 0:      # drop in-flight chunk fetches
+            try:
+                self._fetcher.done(block=True)
+            except Exception:            # noqa: BLE001 — resetting anyway
+                pass
+            self._inflight_n -= 1
+        while self._prep_rows > 0:       # drop in-flight prep results
+            try:
+                group, _ = self._prep.ready(block=True)
+                self._prep_rows -= len(group)
+            except Exception:            # noqa: BLE001 — resetting anyway
+                self._prep_rows = 0
         self._pending_admits = []
-        self._staged = None
+        self._staged = deque()
         self._queue.clear()
         self._outstanding.clear()
         self._cancelled.clear()
@@ -762,6 +1257,7 @@ class ServingEngine:
         self.chunks_run = self.stages_run = self.installs_run = 0
         self.requests_done = self.tokens_emitted = 0
         self.requests_cancelled = 0
+        self.decode_steps_total = self.slot_capacity = 0
 
     # -- online API ------------------------------------------------------
 
@@ -789,8 +1285,10 @@ class ServingEngine:
         self._next_req += 1
         if temperature > 0.0:
             self._sampling = True
-        self._queue.append((rid, sample, max_new or self.max_new,
+        budget = max_new or self.max_new
+        self._queue.append((rid, sample, budget,
                             float(temperature), float(top_p), int(adapter)))
+        self._reqs[rid] = _Req([], budget)
         self._outstanding.add(rid)
         return rid
 
@@ -872,14 +1370,21 @@ class ServingEngine:
         for i, item in enumerate(self._queue):
             if item[0] == req_id:          # never staged: free reclaim
                 del self._queue[i]
+                self._reqs.pop(req_id, None)
                 self.requests_cancelled += 1
                 return True
-        for s, st in enumerate(self.slots):
-            if st.req == req_id:
-                self.slots[s] = _Slot()
-                self.done[s] = True        # masked out of the next chunk
-                self.requests_cancelled += 1
-                return True
+        if self._spec:
+            for s, st in enumerate(self.slots):
+                if st.req == req_id:
+                    self.slots[s] = _Slot()
+                    self.done[s] = True    # masked out of the next chunk
+                    self.requests_cancelled += 1
+                    return True
+        else:
+            for s, rid in enumerate(self.slot_rid):
+                if rid == req_id:          # resident: freeze the row now
+                    self._cancel_resident(req_id, s)
+                    return True
         self._cancelled.add(req_id)        # staged / pending admission
         return True
 
@@ -896,11 +1401,25 @@ class ServingEngine:
                 self.requests_cancelled += 1
 
     def step(self) -> dict[int, list[int]]:
-        """One schedule iteration: harvest slots finished by the previous
-        chunk, refill free ones from staged prefill rows (install = pure
-        scatter; prefill compute runs ahead, MXU-wide, overlapped with
-        earlier chunks), run one K-token decode chunk, sync. Returns the
-        requests that finished this step ({req_id: generated ids})."""
+        """One schedule iteration; returns the requests that finished this
+        step ({req_id: generated ids}).
+
+        Greedy/sampled engines run the PIPELINED schedule: refill free
+        slots (installs are pure scatters; prefill compute ran ahead,
+        MXU-wide, on the prep thread's staged batches), dispatch the next
+        adaptive-length chunk, THEN fetch the previous chunk's tokens —
+        the device always has the successor queued when it finishes a
+        chunk, so the host's fetch/schedule latency never idles the chip
+        (the round-2 engine lost its wall-clock win exactly there).
+        Results therefore surface one step after their chunk runs.
+
+        Speculative engines keep the synchronous schedule (draft state
+        lives in host mirrors synced each chunk)."""
+        if self._spec:
+            return self._step_spec()
+        return self._step_pipelined()
+
+    def _step_spec(self) -> dict[int, list[int]]:
         finished: dict[int, list[int]] = {}
 
         def harvest(slot: int) -> None:
@@ -909,6 +1428,7 @@ class ServingEngine:
             finished[st.req] = ids
             self._finished[st.req] = ids
             self._outstanding.discard(st.req)
+            self._reqs.pop(st.req, None)   # spec tracks tokens in _Slot
             self.requests_done += 1
             self.tokens_emitted += len(ids)
             self.slots[slot] = _Slot()
@@ -923,49 +1443,34 @@ class ServingEngine:
         if (all(st.req is None for st in self.slots)
                 and not self._pending_admits):
             return finished                          # pool is idle
-        if self._spec:
-            if self._sampling:
-                raise ValueError("speculative serving is greedy-only "
-                                 "(submit with temperature=0)")
-            fresh = jnp.asarray(self._fresh)
-            self._fresh[:] = False
-            (self.cache, self.d_cache, self.cur_lens, self.last_tok,
-             self.prev_tok, self.spec_gap, self.done, out,
-             n_new) = decode_chunk_spec(
-                self.params, self._draft, self.cfg.model, self.cache,
-                self.d_cache, self.cur_lens, self.last_tok,
-                jnp.asarray(self.prev_tok), jnp.asarray(self.spec_gap),
-                fresh, self.done,
-                k_rounds=self.spec_rounds, gamma=self.spec_gamma,
-                eos_id=self.tok.eos_id,
-                compute_dtype=self.cfg.runtime.compute_dtype)
-        else:
-            n_new = None
-            (self.cache, self.cur_lens, self.last_tok, self.done,
-             out) = decode_chunk(
-                self.params, self.cfg.model, self.cache, self.cur_lens,
-                self.last_tok, self.done, self.slot_temps, self.slot_tops,
-                self._next_key(), self._bank,
-                (jnp.asarray(self.slot_adapter) if self._bank is not None
-                 else None),
-                k_steps=self.k_steps,
-                eos_id=self.tok.eos_id, sampling=self._sampling,
-                compute_dtype=self.cfg.runtime.compute_dtype)
+        if self._sampling:
+            raise ValueError("speculative serving is greedy-only "
+                             "(submit with temperature=0)")
+        fresh = jnp.asarray(self._fresh)
+        self._fresh[:] = False
+        (self.cache, self.d_cache, self.cur_lens, self.last_tok,
+         self.prev_tok, self.spec_gap, self.done, out,
+         n_new) = decode_chunk_spec(
+            self.params, self._draft, self.cfg.model, self.cache,
+            self.d_cache, self.cur_lens, self.last_tok,
+            jnp.asarray(self.prev_tok), jnp.asarray(self.spec_gap),
+            fresh, self.done,
+            k_rounds=self.spec_rounds, gamma=self.spec_gamma,
+            eos_id=self.tok.eos_id,
+            compute_dtype=self.cfg.runtime.compute_dtype,
+            draft_model_cfg=self._draft_cfg)
         self.chunks_run += 1
         # the ONLY blocking point per chunk: admissions' first tokens,
         # slot state, and the chunk's tokens come back in one fetch
-        if self._spec:
-            toks, prev_h, gap_h, n_new = self._sync(
-                (out, self.prev_tok, self.spec_gap, n_new))
-            self.prev_tok = np.array(prev_h, np.int32)
-            self.spec_gap = np.array(gap_h, np.int32)
-        else:
-            toks = self._sync(out)
+        toks, prev_h, gap_h, n_new = self._sync(
+            (out, self.prev_tok, self.spec_gap, n_new))
+        self.prev_tok = np.array(prev_h, np.int32)
+        self.spec_gap = np.array(gap_h, np.int32)
         self._sweep_cancelled()        # admitted-then-cancelled rows
         for s, st in enumerate(self.slots):
             if st.req is None:
                 continue
-            valid = toks[s] if n_new is None else toks[s][: int(n_new[s])]
+            valid = toks[s][: int(n_new[s])]
             for t in valid:
                 if len(st.tokens) >= st.budget:
                     break
@@ -1025,19 +1530,24 @@ class ServingEngine:
         produced a kept token (the rest is idle/finished-slot padding; the
         whole point of continuous batching is keeping this high on ragged
         workloads)."""
-        # spec mode: a chunk's capacity is its verify positions (rounds x
-        # (gamma+1) per slot); greedy: k_steps tokens per slot
-        per_chunk = (self.spec_rounds * (self.spec_gamma + 1)
-                     if self._spec else self.k_steps)
-        cap = self.chunks_run * per_chunk * self.S
+        if self._spec:
+            # spec mode: a chunk's capacity is its verify positions
+            # (rounds x (gamma+1) per slot)
+            cap = self.chunks_run * self.spec_rounds * (self.spec_gamma
+                                                        + 1) * self.S
+            steps = self.chunks_run * self.spec_rounds
+        else:
+            # pipelined mode: the chunk loop reports steps actually run
+            # (adaptive k_dyn + the all-done early exit)
+            cap = self.slot_capacity
+            steps = self.decode_steps_total
         chunk_tokens = self.tokens_emitted - self.requests_done  # tok0s are
         return {                                # prefill-stage outputs
             "requests_done": self.requests_done,
             "requests_cancelled": self.requests_cancelled,
             "tokens_emitted": self.tokens_emitted,
             "chunks_run": self.chunks_run,
-            "decode_steps": self.chunks_run * (
-                self.spec_rounds if self._spec else self.k_steps),
+            "decode_steps": steps,
             "stages_run": self.stages_run,
             "installs_run": self.installs_run,
             "chunk_utilization": round(chunk_tokens / cap, 4) if cap else 0.0,

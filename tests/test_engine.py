@@ -573,6 +573,43 @@ def test_engine_spec_token_exact_with_refill(rng):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_engine_spec_layerskip_draft_token_exact(rng):
+    """Layer-skip serving (decode.spec_draft_layers): the engine carries
+    a SECOND, shallower slot-cache geometry for the early-exit draft.
+    Acceptance on a random-init model is near zero — the worst case for
+    the catch-up/rewind logic — and every transcript must still equal
+    standalone greedy generate_tokens."""
+    import dataclasses
+
+    from avsr_tpu.infer.speculative import (
+        make_draft_params,
+        make_layerskip_draft,
+    )
+
+    cfg, tok, params = _setup()
+    # tiny_cpu is 1 LLM layer — layer-skip needs depth to skip
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, llm=dataclasses.replace(cfg.model.llm, n_layers=2)))
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    d_raw, dcfg = make_layerskip_draft(params, cfg.model, 1)
+    draft = make_draft_params(d_raw, dcfg, bits=8)
+    max_new = 7
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 16000, 8000, 6400])
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=3,
+                        draft_params=draft, draft_model_cfg=dcfg,
+                        spec_gamma=2, spec_rounds=2)
+    assert eng.d_cache.k.shape[0] == 1      # draft cache depth = 1 layer
+    got = eng.transcribe(samples)
+    for i, sample in enumerate(samples):
+        want = _reference_decode(cfg, tok, params, sample, max_new)
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_engine_spec_identical_draft_token_exact(rng):
     """Degenerate oracle: the TARGET ITSELF as draft (acceptance ~100%,
     exercising the full-accept gap==2 catch-up path every round) must
@@ -654,6 +691,14 @@ def test_cli_decode_engine_spec_matches_static(tmp_path):
         "decode.spec_gamma=2"])
     assert static and spec
     assert spec == static
+    # layer-skip draft through the CLI knob (decode.spec_draft_layers):
+    # needs >= 2 LLM layers, so both runs override the depth consistently
+    static2 = run(tmp_path / "static2", ["model.llm.n_layers=2"])
+    skip = run(tmp_path / "skip", [
+        "model.llm.n_layers=2", "decode.engine_slots=3",
+        "decode.speculative=true", "decode.spec_gamma=2",
+        "decode.spec_draft_layers=1"])
+    assert static2 and skip == static2
     # greedy-only composition is a config-time error with temperature
     import pytest
 
@@ -664,8 +709,9 @@ def test_cli_decode_engine_spec_matches_static(tmp_path):
 
 
 def test_engine_spec_rejects_mismatched_depth_draft():
-    """A draft with a different layer count (layer-skip / smaller model)
-    cannot share the engine's draft slot-cache geometry — rejected."""
+    """A draft whose depth disagrees with its declared config cannot size
+    the engine's draft slot-cache — rejected loudly (a silent mismatch
+    would scatter prefill rows into the wrong geometry)."""
     cfg, tok, params = _setup()
     import pytest
 
@@ -673,6 +719,6 @@ def test_engine_spec_rejects_mismatched_depth_draft():
     draft["llm"] = dict(params["llm"])
     draft["llm"]["layers"] = (list(params["llm"]["layers"])
                               + [params["llm"]["layers"][0]])
-    with pytest.raises(ValueError, match="same-depth"):
+    with pytest.raises(ValueError, match="draft_model_cfg"):
         ServingEngine(params, cfg, tok, num_slots=2,
                       draft_params=draft, spec_gamma=2)

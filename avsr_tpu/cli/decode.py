@@ -37,9 +37,6 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     cfg = load_cli_config(args)
 
-    from avsr_tpu.infer.generate import generate
-    from avsr_tpu.infer.wer import WERAccumulator
-
     tok, ds, loader = build_data(cfg, args.split, shuffle=False,
                                  batch_size=cfg.decode.batch_size)
     mesh, _ = maybe_mesh(cfg)
@@ -47,18 +44,33 @@ def main(argv: list[str] | None = None) -> int:
     # otherwise a full duplicate of the weights would stay resident for
     # the whole run (multi-GB at flagship scale). The engine path never
     # speculates, so it must not pay for (or log) a draft either.
-    draft_params = None
+    draft_params = draft_cfg = None
     if cfg.decode.speculative:
-        from avsr_tpu.infer.speculative import make_draft_params
+        from avsr_tpu.infer.speculative import (
+            make_draft_params,
+            make_layerskip_draft,
+        )
         params, raw_params = load_decode_params(
             cfg, args.checkpoint, mesh=mesh, return_raw=True)
-        draft_params = make_draft_params(
-            raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
+        if cfg.decode.spec_draft_layers > 0:
+            # LayerSkip early exit: slice the target's first k blocks
+            # (zero extra weight memory pre-quantization), then quantize
+            # + fuse the slice like the full-depth self-draft
+            d_raw, draft_cfg = make_layerskip_draft(
+                raw_params, cfg.model, cfg.decode.spec_draft_layers)
+            draft_params = make_draft_params(
+                d_raw, draft_cfg, bits=cfg.decode.spec_draft_bits)
+        else:
+            draft_params = make_draft_params(
+                raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
         del raw_params
-        log.info("speculative decode%s: int%d self-draft, gamma=%d",
+        log.info("speculative decode%s: int%d %s-draft, gamma=%d",
                  " (slot-granular, in-engine)" if cfg.decode.engine_slots
                  else "",
-                 cfg.decode.spec_draft_bits, cfg.decode.spec_gamma)
+                 cfg.decode.spec_draft_bits,
+                 (f"{cfg.decode.spec_draft_layers}-layer-skip"
+                  if cfg.decode.spec_draft_layers else "self"),
+                 cfg.decode.spec_gamma)
     else:
         params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
     shard_batch = None
@@ -69,6 +81,24 @@ def main(argv: list[str] | None = None) -> int:
         from avsr_tpu.mesh.sharding import infer_batch_sharder, shard_params
         params = shard_params(params, mesh)
         shard_batch = infer_batch_sharder(mesh)
+
+    return run_protocol(cfg, params, tok, ds, loader, mesh=mesh,
+                        shard_batch=shard_batch, draft_params=draft_params,
+                        draft_model_cfg=draft_cfg)
+
+
+def run_protocol(cfg, params, tok, ds, loader, *, mesh=None,
+                 shard_batch=None, draft_params=None, draft_model_cfg=None,
+                 stats_out: dict | None = None) -> int:
+    """The full reference eval protocol over an already-built model +
+    dataset: batched greedy/sampled/beam/engine decode, per-utterance
+    HYP/REF stream, corpus WER/CER, ``results_{ts}.txt`` + ``wer_{ts}.txt``
+    artifacts (/root/reference/scripts/clip_whisper/decode.py:316-440,
+    656-686). Shared by the checkpoint path (:func:`main`) and the
+    pretrained-parity harness (cli.parity --manifest), so the day real
+    assets land the reference protocol is one command, not new code."""
+    from avsr_tpu.infer.generate import generate
+    from avsr_tpu.infer.wer import WERAccumulator
 
     out_dir = Path(cfg.decode.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -96,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
                             num_slots=cfg.decode.engine_slots,
                             seed=cfg.training.seed,
                             draft_params=draft_params,
+                            draft_model_cfg=draft_model_cfg,
                             spec_gamma=(cfg.decode.spec_gamma
                                         if cfg.decode.speculative else 0))
         # decode.temperature/top_p apply engine-wide; the engine API also
@@ -120,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
                     print("", file=rf)
         dt = time.perf_counter() - t0
         log.info("engine stats: %s", eng.stats())
-        return _summarize(acc, dt, wer_path)
+        return _summarize(acc, dt, wer_path, results_path, stats_out)
 
     seen: set[str] = set()
     with open(results_path, "w") as rf:
@@ -132,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
                            eos_id=tok.eos_id, rng=sub,
                            compute_dtype=cfg.runtime.compute_dtype,
                            use_pallas=cfg.runtime.use_pallas, mesh=mesh,
-                           draft_params=draft_params)
+                           draft_params=draft_params,
+                           draft_model_cfg=draft_model_cfg)
             tokens = np.asarray(out.tokens)
             lens = np.asarray(out.lengths)
             for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):
@@ -148,10 +180,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"WER: {u_wer:.4f}", file=rf)
                 print("", file=rf)
     dt = time.perf_counter() - t0
-    return _summarize(acc, dt, wer_path)
+    return _summarize(acc, dt, wer_path, results_path, stats_out)
 
 
-def _summarize(acc, dt: float, wer_path: Path) -> int:
+def _summarize(acc, dt: float, wer_path: Path,
+               results_path: Path | None = None,
+               stats_out: dict | None = None) -> int:
     summary = (
         f"utterances: {acc.utterances}\n"
         f"reference words: {acc.ref_words}\n"
@@ -160,6 +194,11 @@ def _summarize(acc, dt: float, wer_path: Path) -> int:
         f"CER: {acc.cer:.4f}\n"
         f"decode time: {dt:.1f}s ({acc.utterances / max(dt, 1e-9):.2f} utt/s)\n")
     wer_path.write_text(summary)
+    if stats_out is not None:
+        stats_out.update(wer=acc.wer, cer=acc.cer,
+                         utterances=acc.utterances, decode_s=dt,
+                         results_path=str(results_path),
+                         wer_path=str(wer_path))
     log.info("overall WER %.4f CER %.4f (%d utts) -> %s", acc.wer, acc.cer,
              acc.utterances, wer_path)
     print(summary)

@@ -433,8 +433,15 @@ class DecodeConfig:
     # encoded once and their LLM KV frozen in a persistent cache
     # (infer.generate.prefill_extend / generate_continue), so per-chunk
     # cost stays flat across the window instead of growing with the
-    # buffer. Audio-only (encoder blocks are modality-local).
+    # buffer. Works for all three modalities: CLIP features are per-frame
+    # and log-mel blocks are time-local, so a block freezes both streams
+    # over the same stream_block_s span (fusion is block-local — the
+    # documented blockwise approximation; the exact mode's finalize ==
+    # offline decode).
     stream_block_s: float = 0.0
+    # Frame rate used to convert stream_block_s into a video-frame block
+    # size (blockwise streaming with modality video|both).
+    stream_video_fps: float = 25.0
     # Serving-only: continuous batching over a fixed slot pool
     # (infer.engine.ServingEngine). 0 = static batches (the reference's
     # decode.py:405-440 protocol). > 0 = number of resident decode slots:
@@ -450,6 +457,14 @@ class DecodeConfig:
     speculative: bool = False
     spec_gamma: int = 4
     spec_draft_bits: int = 8            # 4 | 8 (weight-only self-draft)
+    # > 0: LayerSkip-style early-exit draft — the target's FIRST k
+    # transformer blocks (+ its final norm/lm head), quantized to
+    # spec_draft_bits. ~k/L of a draft step's bytes AND no second weight
+    # copy. Acceptance depends on how predictable the model's late layers
+    # are: excellent after LayerSkip-style training, near-zero on an
+    # uncalibrated model — exactness never depends on it (the verify pass
+    # decides every token). 0 = full-depth quantized self-draft.
+    spec_draft_layers: int = 0
 
 
 @dataclass(frozen=True)
@@ -540,6 +555,13 @@ class AVSRConfig:
                 raise ValueError("decode.spec_draft_bits must be 4 or 8")
             if self.decode.spec_gamma < 1:
                 raise ValueError("decode.spec_gamma must be >= 1")
+            if not (0 <= self.decode.spec_draft_layers
+                    < self.model.llm.n_layers):
+                raise ValueError(
+                    "decode.spec_draft_layers must be 0 (full-depth "
+                    "self-draft) or in [1, n_layers-1] — got "
+                    f"{self.decode.spec_draft_layers} with "
+                    f"{self.model.llm.n_layers} layers")
             if self.decode.kv_cache_dtype != "bfloat16":
                 raise ValueError(
                     "decode.speculative needs kv_cache_dtype=bfloat16 "
@@ -582,11 +604,10 @@ class AVSRConfig:
                 f"largest audio bucket ({self.data.audio_buckets[-1]} mel "
                 f"frames) exceeds whisper.max_frames "
                 f"({self.model.whisper.max_frames})")
-        if self.decode.stream_block_s > 0 and self.model.modality != "audio":
+        if self.decode.stream_block_s > 0 and self.decode.stream_video_fps <= 0:
             raise ValueError(
-                "decode.stream_block_s (blockwise streaming) requires "
-                "model.modality=audio — video/fused features are not "
-                "block-local; use the exact mode (stream_block_s=0)")
+                "decode.stream_video_fps must be > 0 (it sizes the "
+                "video-frame block for blockwise streaming)")
         if self.decode.engine_slots > 0 and self.decode.num_beams > 1:
             raise ValueError(
                 "decode.engine_slots (continuous batching) decodes slot by "

@@ -398,12 +398,14 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
              rng: jax.Array | None = None,
              compute_dtype: str = "float32",
              use_pallas: str = "auto", mesh=None,
-             draft_params=None) -> GenOut:
+             draft_params=None, draft_model_cfg=None) -> GenOut:
     """Config-driven dispatch (ref decode.py protocol: greedy default).
 
     ``draft_params`` activates speculative decoding when
     ``decode_cfg.speculative`` is set (the caller builds the draft once
-    via infer.speculative.make_draft_params and reuses it per batch)."""
+    via infer.speculative.make_draft_params — or make_layerskip_draft,
+    which also returns the ``draft_model_cfg`` to pass here — and reuses
+    it per batch)."""
     if decode_cfg.speculative and draft_params is not None:
         from avsr_tpu.infer.speculative import speculative_generate
         return speculative_generate(
@@ -412,7 +414,8 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
             max_new_tokens=decode_cfg.max_new_tokens,
             temperature=decode_cfg.temperature, top_p=decode_cfg.top_p,
             rng=rng, eos_id=eos_id, compute_dtype=compute_dtype,
-            use_pallas=use_pallas, mesh=mesh)
+            use_pallas=use_pallas, mesh=mesh,
+            draft_model_cfg=draft_model_cfg)
     if decode_cfg.num_beams > 1:
         return beam_search(
             params, model_cfg, batch,

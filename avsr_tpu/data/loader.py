@@ -362,30 +362,62 @@ class DataLoader:
         return samples
 
     def __iter__(self) -> Iterator[tuple[HostBatch, Batch]]:
+        """TWO prefetch stages, so media decode, the host->device copy,
+        and device compute all overlap:
+
+          prep thread:  manifest walk + WAV/video decode + collate (CPU)
+          xfer thread:  featurize = device_put + on-device log-mel/
+                        normalize dispatch (link-bound on slow links)
+          consumer:     the train/eval step (device compute)
+
+        Round 2 ran prep and transfer serially in ONE thread, so a batch
+        cost prep+transfer even though the two use different resources —
+        measured 0.72 s/batch where max(prep, transfer, compute) is 0.34
+        (BENCH_r02 pipeline_efficiency 0.28 post-mortem). With the copy
+        in its own stage the loader saturates whichever resource is
+        actually the bottleneck."""
         self._epoch += 1
         skip, self._skip = self._skip, 0
         self._yielded = skip
-        q: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
+        hq: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
+        dq: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def worker():
+        def prep_worker():
             try:
                 for hb in self._host_batches(skip):
                     if stop.is_set():
                         return
-                    q.put((hb, featurize(hb, self.compute_dtype,
-                                         self.audio_frontend,
-                                         self.image_stats)))
-            except Exception as e:  # propagate into the consumer
-                q.put(e)
+                    hq.put(hb)
+            except Exception as e:  # propagate through the xfer stage
+                hq.put(e)
             finally:
-                q.put(None)
+                hq.put(None)
 
-        th = threading.Thread(target=worker, daemon=True)
-        th.start()
+        def xfer_worker():
+            try:
+                while True:
+                    hb = hq.get()
+                    if hb is None or stop.is_set():
+                        return
+                    if isinstance(hb, Exception):
+                        dq.put(hb)
+                        return
+                    dq.put((hb, featurize(hb, self.compute_dtype,
+                                          self.audio_frontend,
+                                          self.image_stats)))
+            except Exception as e:  # propagate into the consumer
+                dq.put(e)
+            finally:
+                dq.put(None)
+
+        threads = [threading.Thread(target=prep_worker, daemon=True),
+                   threading.Thread(target=xfer_worker, daemon=True)]
+        for th in threads:
+            th.start()
         try:
             while True:
-                item = q.get()
+                item = dq.get()
                 if item is None:
                     break
                 if isinstance(item, Exception):
@@ -394,9 +426,10 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            # drain so the worker can exit
-            while th.is_alive():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+            # drain so the workers can exit
+            for q in (hq, dq):
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break

@@ -237,6 +237,47 @@ def _decode_wav(cfg, wav: str, ref_text: str | None) -> dict:
     return entry
 
 
+def _decode_manifest(cfg, manifest_dir: str, split: str) -> dict:
+    """The FULL reference eval protocol on converted pretrained weights:
+    batched greedy decode over ``{split}.tsv``/``{split}.wrd`` (with the
+    utt-id alias logic the manifest dataset carries), corpus WER/CER, and
+    the ``results_{ts}.txt`` + ``wer_{ts}.txt`` artifacts — one command
+    reproducing /root/reference/scripts/clip_whisper/decode.py:316-440,
+    656-686 the moment real assets exist."""
+    import dataclasses
+
+    from avsr_tpu.cli.convert_hf import build_converted_params
+    from avsr_tpu.cli.decode import run_protocol
+    from avsr_tpu.data.dataset import build_dataset
+    from avsr_tpu.data.loader import DataLoader
+    from avsr_tpu.data.tokenizer import load_tokenizer
+    from avsr_tpu.infer.generate import prepare_params_for_decode
+
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, path=str(manifest_dir), synthetic=False))
+    params, notes = build_converted_params(cfg)
+    params = prepare_params_for_decode(params, cfg.model)
+    llm_dir = Path(cfg.model.llm_path) if cfg.model.llm_path else None
+    if llm_dir and (llm_dir / "tokenizer.json").exists():
+        tok = load_tokenizer(llm_dir)
+    else:
+        log.warning("no tokenizer.json under %s — decoding with the byte "
+                    "tokenizer (WER will not be meaningful)", llm_dir)
+        tok = load_tokenizer(None)
+    ds = build_dataset(cfg.data, tok, split=split,
+                       modality=cfg.model.modality,
+                       image_size=cfg.model.image_size)
+    loader = DataLoader(ds, cfg.data, tok, model_cfg=cfg.model,
+                        batch_size=cfg.decode.batch_size, shuffle=False,
+                        compute_dtype=cfg.runtime.compute_dtype)
+    stats: dict = {}
+    run_protocol(cfg, params, tok, ds, loader, stats_out=stats)
+    log.info("manifest eval (%s/%s): WER %.4f over %d utts", manifest_dir,
+             split, stats.get("wer", float("nan")), stats.get("utterances", 0))
+    return {"manifest": str(manifest_dir), "split": split,
+            "converted": notes, **stats}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = base_parser("Pretrained-weights parity harness (HF torch vs avsr_tpu)")
     p.add_argument("--report", default="parity_report.json")
@@ -244,6 +285,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="real WAV for the end-to-end decode check")
     p.add_argument("--ref-text", default=None,
                    help="reference transcript for --wav (records WER)")
+    p.add_argument("--manifest", default=None,
+                   help="LRS3-style manifest dir: run the full reference "
+                        "eval protocol (batch decode + corpus WER + "
+                        "results_/wer_ artifacts) on converted weights")
+    p.add_argument("--split", default="test",
+                   help="manifest split for --manifest (default: test)")
     args = p.parse_args(argv)
     cfg = load_cli_config(args)
     m = cfg.model
@@ -287,6 +334,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             report["e2e"] = _decode_wav(cfg, args.wav, args.ref_text)
 
+    if args.manifest:
+        if not report["modules"]:
+            log.warning("--manifest given but no checkpoint paths resolved")
+        else:
+            report["eval"] = _decode_manifest(cfg, args.manifest, args.split)
+
     if not report["modules"]:
         print("parity: no pretrained assets found — nothing checked "
               "(set model.whisper_path / model.clip_path / model.llm_path)")
@@ -301,7 +354,10 @@ def main(argv: list[str] | None = None) -> int:
           + ", ".join(f"{k} {v['max_abs_err']:.2e}/{v['tol_max_abs']:.0e}"
                       for k, v in report["modules"].items())
           + (f" | transcript: {report['e2e']['transcript']!r}"
-             if "e2e" in report else ""))
+             if "e2e" in report else "")
+          + (f" | eval WER {report['eval']['wer']:.4f} "
+             f"({report['eval']['utterances']} utts)"
+             if "eval" in report else ""))
     return 0 if report["all_pass"] else 1
 
 

@@ -31,16 +31,22 @@ whole sequence at a multi-byte character split across commits, so
 ``committed_text`` (a decode of all committed tokens) stays the
 authoritative transcript.
 
-Blockwise mode (``decode.stream_block_s > 0``, audio only): instead of
+Blockwise mode (``decode.stream_block_s > 0``, any modality): instead of
 re-encoding and re-prefilling the whole buffer every chunk (O(n^2) per
-window segment), completed fixed-size audio blocks are encoded once and
+window segment), completed fixed-size media blocks are encoded once and
 their connector features frozen into a persistent LLM KV cache
 (infer.generate.prefill_extend); each chunk then pays one block encode at
 most, a chunked prefill of [un-frozen tail | committed tokens]
 (infer.generate.generate_continue), and an EOS-bounded decode of just the
-new suffix — flat per-chunk cost across the window. The trade: blocks are
-encoded independently, so encoder context does not span block boundaries
-(the exact mode, stream_block_s=0, keeps finalize == offline decode).
+new suffix — flat per-chunk cost across the window. A block spans
+``stream_block_s`` seconds of EVERY active modality (audio samples at
+16 kHz, video frames at ``decode.stream_video_fps``) — CLIP features are
+per-frame and log-mel blocks are time-local, so AV live captioning gets
+the same flat-latency path; a block freezes only once BOTH streams have
+covered its span (the slower-arriving modality gates it). The trade:
+blocks are encoded (and fused) independently, so encoder context and AV
+fusion do not span block boundaries (the exact mode, stream_block_s=0,
+keeps finalize == offline decode).
 """
 
 from __future__ import annotations
@@ -112,6 +118,7 @@ class StreamingTranscriber:
     _cache: object | None = None
     _base_len: int = 0             # frozen tokens in the cache
     _frozen_samples: int = 0       # audio samples already frozen as blocks
+    _frozen_frames: int = 0        # video frames already frozen as blocks
 
     def feed(self, audio: np.ndarray | None = None,
              frames: np.ndarray | None = None) -> str:
@@ -145,6 +152,10 @@ class StreamingTranscriber:
                   frames: np.ndarray | None) -> str:
         emitted = self._maybe_rollover(audio, frames)
         self._buffer(audio, frames)
+        if not self._have_media():
+            # modality=both with only one stream arrived so far: nothing
+            # decodable yet — buffer and wait for the other stream
+            return emitted
         hyp = self._hypothesis()
         self._hyps.append(hyp)
         self._hyps = self._hyps[-self.agree_n:]
@@ -163,6 +174,10 @@ class StreamingTranscriber:
         """Decode the full buffer once more and append its suffix past
         the committed prefix (see module docstring for the guarantee)."""
         if self._audio is None and self._frames is None:
+            return ""
+        if not self._have_media():
+            # modality=both but one stream never arrived: nothing the
+            # fused encoder can decode
             return ""
         full = self._hypothesis()
         return self._commit(full[len(self._segment_tokens):])
@@ -215,6 +230,7 @@ class StreamingTranscriber:
         self._cache = None
         self._base_len = 0
         self._frozen_samples = 0
+        self._frozen_frames = 0
         return out
 
     def _buffer(self, audio, frames) -> None:
@@ -267,9 +283,29 @@ class StreamingTranscriber:
         # _audio_window above already assumes it via HOP_LENGTH)
         return int(round(self.cfg.decode.stream_block_s * 16000))
 
-    def _featurize_audio(self, audio: np.ndarray):
-        """collate+featurize one audio-only sample (bucketed static shape)."""
-        sample = Sample("stream", audio, None, "", [self.tok.eos_id])
+    @property
+    def _block_frames(self) -> int:
+        return max(int(round(self.cfg.decode.stream_block_s
+                             * self.cfg.decode.stream_video_fps)), 1)
+
+    @property
+    def _needs(self) -> tuple[bool, bool]:
+        m = self.cfg.model.modality
+        return m in ("audio", "both"), m in ("video", "both")
+
+    def _have_media(self) -> bool:
+        """Every stream the modality needs has arrived at least once."""
+        need_a, need_v = self._needs
+        if need_a and self._audio is None:
+            return False
+        if need_v and self._frames is None:
+            return False
+        return True
+
+    def _featurize_media(self, audio: np.ndarray | None,
+                         frames: np.ndarray | None):
+        """collate+featurize one sample (bucketed static shapes)."""
+        sample = Sample("stream", audio, frames, "", [self.tok.eos_id])
         prompt_ids = self.tok.encode(self.cfg.model.prompt, add_bos=True)
         hb = collate([sample], self.cfg.data, prompt_ids, self.tok.pad_id)
         return featurize(hb, self.cfg.runtime.compute_dtype,
@@ -286,8 +322,11 @@ class StreamingTranscriber:
         budget."""
         if self._cache is not None:
             return
+        need_a, need_v = self._needs
         prompt_ids = self.tok.encode(self.cfg.model.prompt, add_bos=True)
-        cap = (len(prompt_ids) + self.cfg.data.audio_buckets[-1]
+        cap = (len(prompt_ids)
+               + (self.cfg.data.audio_buckets[-1] if need_a else 0)
+               + (self.cfg.data.video_buckets[-1] if need_v else 0)
                + 2 * self.cfg.decode.max_new_tokens + 128)
         M = -(-cap // 128) * 128
         llm = self.cfg.model.llm
@@ -304,9 +343,37 @@ class StreamingTranscriber:
             compute_dtype=self.cfg.runtime.compute_dtype)
         self._base_len = len(prompt_ids)
 
-    def _freeze_block(self, audio: np.ndarray) -> None:
-        """Encode one completed block and extend the persistent cache."""
-        batch = self._featurize_audio(audio)
+    def _block_ready(self) -> bool:
+        """A block freezes only once EVERY active modality has covered its
+        span past the frozen frontier, with a strictly non-empty tail left
+        behind (the decoder always conditions on some un-frozen media)."""
+        need_a, need_v = self._needs
+        ok = True
+        if need_a:
+            ok &= (self._audio is not None
+                   and self._audio.shape[0] - self._frozen_samples
+                   > self._block_samples)
+        if need_v:
+            ok &= (self._frames is not None
+                   and self._frames.shape[0] - self._frozen_frames
+                   > self._block_frames)
+        return ok
+
+    def _freeze_block(self) -> None:
+        """Encode one completed block (every active modality's slice of
+        the same stream_block_s span, fused block-locally for modality
+        'both') and extend the persistent cache."""
+        need_a, need_v = self._needs
+        a = f = None
+        if need_a:
+            a = self._audio[self._frozen_samples:
+                            self._frozen_samples + self._block_samples]
+            self._frozen_samples += self._block_samples
+        if need_v:
+            f = self._frames[self._frozen_frames:
+                             self._frozen_frames + self._block_frames]
+            self._frozen_frames += self._block_frames
+        batch = self._featurize_media(a, f)
         feat, lens = _encode_features(self.params, self.cfg.model, batch,
                                       self.cfg.runtime.compute_dtype)
         n = int(lens[0])
@@ -334,19 +401,20 @@ class StreamingTranscriber:
         flat across the window, vs the exact mode's full re-encode +
         re-prefill + full-transcript decode every chunk (round-1 VERDICT
         next-step #8)."""
-        if self._audio is None:
+        if self._audio is None and self._frames is None:
             return list(self._segment_tokens)
         self._ensure_cache()
-        block = self._block_samples
         # freeze completed blocks, always keeping a non-empty tail
-        while self._audio.shape[0] - self._frozen_samples > block:
-            self._freeze_block(
-                self._audio[self._frozen_samples:
-                            self._frozen_samples + block])
-            self._frozen_samples += block
+        while self._block_ready():
+            self._freeze_block()
 
+        need_a, need_v = self._needs
         dt = jnp.dtype(self.cfg.runtime.compute_dtype)
-        batch = self._featurize_audio(self._audio[self._frozen_samples:])
+        tail_a = (self._audio[self._frozen_samples:]
+                  if need_a and self._audio is not None else None)
+        tail_f = (self._frames[self._frozen_frames:]
+                  if need_v and self._frames is not None else None)
+        batch = self._featurize_media(tail_a, tail_f)
         feat, lens = _encode_features(self.params, self.cfg.model, batch,
                                       self.cfg.runtime.compute_dtype)
         parts = [np.asarray(feat)[0, : int(lens[0])]]

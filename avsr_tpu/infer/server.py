@@ -18,7 +18,12 @@ Endpoints:
                         {"audio_path": "..."}  (+ optional "temperature",
                         "top_p", "max_new_tokens", "timeout_s", "adapter"
                         — LoRA bank row for multi-tenant serving, engines
-                        built with adapter_bank)
+                        built with adapter_bank — and "num_beams": > 1
+                        routes the request to a static beam-search lane
+                        that batches beam clients among themselves between
+                        engine chunks, token-exact vs infer.generate.
+                        beam_search; the ref's promised num_beams: 5 eval
+                        under serving)
                         -> {"req_id", "text", "tokens", "n_tokens"}
                         (a timed-out request is CANCELLED in the engine —
                         its slot capacity is reclaimed, not decoded into
@@ -60,6 +65,7 @@ class _Pending:
     temperature: float
     top_p: float
     adapter: int = 0
+    num_beams: int = 1             # > 1 routes to the static beam lane
     event: threading.Event = field(default_factory=threading.Event)
     req_id: int | None = None
     tokens: list[int] | None = None
@@ -133,8 +139,10 @@ class AVSRServer:
         self.auth_token = auth_token
         self.max_body_bytes = int(max_body_bytes)
         self._inq: queue.Queue[_Pending] = queue.Queue()
+        self._beamq: queue.Queue[_Pending] = queue.Queue()
         self._cancelq: queue.Queue[int] = queue.Queue()
         self._adminq: queue.Queue[_AdminAdd] = queue.Queue()
+        self._beams_served = 0
         self._inflight: dict[int, _Pending] = {}
         # resolved checkpoint path -> bank row, scheduler-thread-only:
         # makes POST /v1/adapters idempotent across 504 retries
@@ -223,6 +231,83 @@ class AVSRServer:
                     if p is not None:
                         p.tokens = list(map(int, ids))
                         p.event.set()
+            self._serve_beams()
+
+    def _serve_beams(self) -> None:
+        """Per-request ``num_beams``: the engine's slot pool decodes one
+        row at a time (greedy/sampled) and cannot host a beam frontier,
+        so beam requests take a STATIC-path fallback lane — they batch
+        among themselves and run one jitted ``beam_search`` call between
+        engine chunks, on the same resident params. Matches the ref's
+        promised ``num_beams: 5`` eval (src/utils/config.py:92) under
+        serving; the trade (documented in docs/serving.md) is that the
+        slot pool pauses for the duration of a beam batch."""
+        first: _Pending | None = None
+        while first is None:
+            try:
+                first = self._beamq.get_nowait()
+            except queue.Empty:
+                return
+            if first.abandoned:
+                first = None
+        # batch only requests with identical static knobs (one jit trace);
+        # different (num_beams, max_new) groups wait a scheduler loop
+        group, defer = [first], []
+        while len(group) < 8:
+            try:
+                p = self._beamq.get_nowait()
+            except queue.Empty:
+                break
+            if p.abandoned:
+                continue
+            if (p.num_beams, p.max_new) == (first.num_beams, first.max_new):
+                group.append(p)
+            else:
+                defer.append(p)
+        for p in defer:
+            self._beamq.put(p)
+        try:
+            outs = self._run_beam_batch(group)
+            for p, toks in zip(group, outs):
+                p.tokens = toks
+                p.req_id = -1 - self._beams_served   # beam-lane ids < 0
+                self._beams_served += 1
+                p.event.set()
+        except Exception as e:          # noqa: BLE001 — fail the group
+            log.exception("beam lane failed")
+            for p in group:
+                p.error = f"beam_search: {type(e).__name__}: {e}"
+                p.event.set()
+
+    def _run_beam_batch(self, group: list[_Pending]) -> list[list[int]]:
+        from avsr_tpu.data.loader import (
+            audio_frontend_for,
+            collate,
+            featurize,
+            image_stats_for,
+        )
+        from avsr_tpu.infer.generate import beam_search
+
+        cfg = self.cfg
+        prompt_ids = self.tok.encode(cfg.model.prompt, add_bos=True)
+        hb = collate([p.sample for p in group], cfg.data, prompt_ids,
+                     self.tok.pad_id)
+        batch = featurize(hb, cfg.runtime.compute_dtype,
+                          audio_frontend_for(cfg.model),
+                          image_stats_for(cfg.model))
+        out = beam_search(
+            self.engine.params, cfg.model, batch,
+            max_new_tokens=group[0].max_new or cfg.decode.max_new_tokens,
+            num_beams=group[0].num_beams,
+            length_penalty=cfg.decode.length_penalty,
+            eos_id=self.tok.eos_id,
+            compute_dtype=cfg.runtime.compute_dtype,
+            use_pallas=cfg.runtime.use_pallas,
+            kv_cache_dtype=cfg.decode.kv_cache_dtype)
+        tokens = np.asarray(out.tokens)
+        lens = np.asarray(out.lengths)
+        return [[int(t) for t in tokens[i, : lens[i]]]
+                for i in range(len(group))]
 
     # -- request decoding --------------------------------------------------
 
@@ -261,7 +346,8 @@ class AVSRServer:
                          if "max_new_tokens" in body else None),
                 temperature=float(body.get("temperature", 0.0)),
                 top_p=float(body.get("top_p", 1.0)),
-                adapter=int(body.get("adapter", 0)))
+                adapter=int(body.get("adapter", 0)),
+                num_beams=int(body.get("num_beams", 1)))
         except (ValueError, TypeError) as e:
             # bad field types/values (audio shape, non-numeric knobs, ...)
             return 400, {"error": str(e)}
@@ -273,13 +359,22 @@ class AVSRServer:
             return 400, {"error": f"adapter {p.adapter} out of range "
                                   f"(bank has "
                                   f"{self.engine._n_adapters} adapters)"}
+        if not (1 <= p.num_beams <= 16):
+            return 400, {"error": f"num_beams {p.num_beams} out of range "
+                                  "[1, 16]"}
+        if p.num_beams > 1 and p.temperature > 0.0:
+            return 400, {"error": "num_beams > 1 is deterministic search "
+                                  "— drop 'temperature' or the beams"}
+        if p.num_beams > 1 and p.adapter != 0:
+            return 400, {"error": "the beam lane serves the resident base "
+                                  "params only (no adapter bank rows)"}
         try:
             timeout = min(float(body.get("timeout_s",
                                          self.request_timeout_s)),
                           self.request_timeout_s)
         except (ValueError, TypeError) as e:
             return 400, {"error": f"timeout_s: {e}"}
-        self._inq.put(p)
+        (self._beamq if p.num_beams > 1 else self._inq).put(p)
         if not p.event.wait(timeout):
             # reclaim the slot: nobody is left to read the transcript
             p.abandoned = True

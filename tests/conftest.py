@@ -35,3 +35,30 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Deterministic suite sharding: AVSR_TEST_SHARD=i/n keeps only items
+    whose stable hash lands in shard i. The full serial suite (~25 min)
+    outlives this environment's ~19-25 min process cap, so CI-style
+    verification runs it as N independent pytest processes:
+
+        AVSR_TEST_SHARD=0/2 python -m pytest tests/ -q
+        AVSR_TEST_SHARD=1/2 python -m pytest tests/ -q
+
+    Sharding is per test FILE (zlib.crc32 of the module path), keeping
+    module-scoped fixtures (tiny HF checkpoints, HTTP servers) and jit
+    trace reuse within one process.
+    """
+    import zlib
+
+    spec = os.environ.get("AVSR_TEST_SHARD")
+    if not spec:
+        return
+    idx, n = (int(x) for x in spec.split("/"))
+    keep, drop = [], []
+    for item in items:
+        path = str(item.fspath)
+        (keep if zlib.crc32(path.encode()) % n == idx else drop).append(item)
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)

@@ -362,62 +362,46 @@ class DataLoader:
         return samples
 
     def __iter__(self) -> Iterator[tuple[HostBatch, Batch]]:
-        """TWO prefetch stages, so media decode, the host->device copy,
-        and device compute all overlap:
+        """ONE prefetch worker runs media prep + featurize (the
+        host->device copy + on-device log-mel dispatch) ahead of the
+        consumer's train/eval steps.
 
-          prep thread:  manifest walk + WAV/video decode + collate (CPU)
-          xfer thread:  featurize = device_put + on-device log-mel/
-                        normalize dispatch (link-bound on slow links)
-          consumer:     the train/eval step (device compute)
-
-        Round 2 ran prep and transfer serially in ONE thread, so a batch
-        cost prep+transfer even though the two use different resources —
-        measured 0.72 s/batch where max(prep, transfer, compute) is 0.34
-        (BENCH_r02 pipeline_efficiency 0.28 post-mortem). With the copy
-        in its own stage the loader saturates whichever resource is
-        actually the bottleneck."""
+        A two-stage variant (separate prep and transfer threads, so
+        decode, the copy, and device compute could all overlap) was built
+        and MEASURED WORSE on the reference host — 1.79 s/batch vs this
+        worker's 0.72 (docs/performance.md round-3 log): with one host
+        core a second thread adds no parallelism, only GIL hand-offs
+        between numpy-heavy prep and the tunnel-serialized copy, and the
+        link serializes H2D with device execution anyway (an inline
+        zero-thread loader measures ~0.83 s/batch — threads barely
+        matter). Real multi-core hosts parallelize the decode through
+        ``cfg.num_workers`` fetch threads inside ``_host_batches`` and
+        overlap transfers in DMA hardware, so the single prefetch worker
+        is the right structure there too."""
         self._epoch += 1
         skip, self._skip = self._skip, 0
         self._yielded = skip
-        hq: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
-        dq: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
+        q: queue.Queue[Any] = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def prep_worker():
+        def worker():
             try:
                 for hb in self._host_batches(skip):
                     if stop.is_set():
                         return
-                    hq.put(hb)
-            except Exception as e:  # propagate through the xfer stage
-                hq.put(e)
-            finally:
-                hq.put(None)
-
-        def xfer_worker():
-            try:
-                while True:
-                    hb = hq.get()
-                    if hb is None or stop.is_set():
-                        return
-                    if isinstance(hb, Exception):
-                        dq.put(hb)
-                        return
-                    dq.put((hb, featurize(hb, self.compute_dtype,
-                                          self.audio_frontend,
-                                          self.image_stats)))
+                    q.put((hb, featurize(hb, self.compute_dtype,
+                                         self.audio_frontend,
+                                         self.image_stats)))
             except Exception as e:  # propagate into the consumer
-                dq.put(e)
+                q.put(e)
             finally:
-                dq.put(None)
+                q.put(None)
 
-        threads = [threading.Thread(target=prep_worker, daemon=True),
-                   threading.Thread(target=xfer_worker, daemon=True)]
-        for th in threads:
-            th.start()
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
         try:
             while True:
-                item = dq.get()
+                item = q.get()
                 if item is None:
                     break
                 if isinstance(item, Exception):
@@ -426,10 +410,9 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            # drain so the workers can exit
-            for q in (hq, dq):
-                while True:
-                    try:
-                        q.get_nowait()
-                    except queue.Empty:
-                        break
+            # drain so the worker can exit
+            while th.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -274,17 +274,31 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
                          + VIDEO_FRAMES * 224 * 224 * 3)     # frames u8
                 ) / 1e6
     link_utts = link_mbs / batch_mb * BATCH
+    # Two ceilings: min(compute, link) assumes the H2D copy overlaps
+    # device execution (true of PCIe DMA on a real TPU VM host); this
+    # tunneled link SERIALIZES transfers with execution (measured —
+    # docs/performance.md round-3 log), so the ceiling it actually
+    # permits is 1/(transfer + compute) per batch. The framework's
+    # overlap quality is loader-fed vs the serialized ceiling; the
+    # overlap-assuming ratio quantifies what a DMA-capable host recovers.
     ceiling = min(device_utts_per_sec, link_utts)
     eff_adj = utts / ceiling
+    ceil_serial = BATCH / (batch_mb / link_mbs
+                           + BATCH / device_utts_per_sec)
+    eff_serial = utts / ceil_serial
     log(f"pipeline: {n} loader-fed steps in {dt:.2f}s -> {utts:.2f} utt/s "
         f"(efficiency {eff:.2f} vs device-only, {eff_adj:.2f} vs "
-        f"min(compute, link={link_utts:.1f} utt/s) ceiling); host-only "
+        f"min(compute, link={link_utts:.1f} utt/s) overlap ceiling, "
+        f"{eff_serial:.2f} vs this link's serialized ceiling "
+        f"{ceil_serial:.1f} utt/s); host-only "
         f"prep {host_utts:.1f} utt/s (headroom {host_eff:.2f}); "
         f"link {link_mbs:.0f} MB/s at {batch_mb:.0f} MB/batch")
     return {"pipeline_utts_per_sec": round(utts, 3),
             "pipeline_efficiency": round(eff, 3),
             "pipeline_efficiency_link_adjusted": round(eff_adj, 3),
+            "pipeline_efficiency_vs_serialized_link": round(eff_serial, 3),
             "pipeline_link_ceiling_utts_per_sec": round(link_utts, 3),
+            "pipeline_serialized_ceiling_utts_per_sec": round(ceil_serial, 3),
             "pipeline_host_prep_utts_per_sec": round(host_utts, 3),
             "pipeline_host_headroom": round(host_eff, 3),
             "pipeline_link_mb_per_s": round(link_mbs, 1)}

@@ -64,6 +64,12 @@ class DataConfig:
     # Length bucketing for static-shape batches (TPU-native; no ref equivalent).
     audio_buckets: tuple[int, ...] = (500, 1000, 1500)   # mel frames (pre-conv)
     video_buckets: tuple[int, ...] = (25, 50, 100)       # video frames
+    # Compact host->device link format (no ref equivalent): audio ships as
+    # int16 PCM (bit-exact round trip for WAV-PCM16 sources) and video as
+    # planar YUV420 (1.5 B/px — the chroma subsampling consumer codecs
+    # already store), both reconstructed on device inside featurize. ~2.3x
+    # fewer bytes over PCIe/the tunnel per AV batch.
+    compact_transfer: bool = False
     # SpecAugment (train-time only, on-device; ops/specaugment.py — the
     # reference has no augmentation of any kind)
     specaugment: bool = False

@@ -32,8 +32,15 @@ import numpy as np
 from avsr_tpu.core.config import DataConfig, ModelConfig
 from avsr_tpu.data.dataset import Sample
 from avsr_tpu.models.avsr import Batch
-from avsr_tpu.ops.image import normalize_frames
+from avsr_tpu.ops.image import normalize_frames, normalize_yuv420_frames
 from avsr_tpu.ops.logmel import HOP_LENGTH, log_mel_spectrogram
+
+
+@jax.jit
+def _pcm16_to_f32(audio: jax.Array) -> jax.Array:
+    """int16 PCM link format -> the f32 waveform the front ends consume
+    (exact inverse of the collate quantization for WAV-PCM16 sources)."""
+    return audio.astype(jnp.float32) / 32768.0
 
 
 @dataclass
@@ -42,13 +49,16 @@ class HostBatch:
 
     utt_ids: list[str]
     texts: list[str]
-    audio: np.ndarray | None       # [B, S_a] f32
+    audio: np.ndarray | None       # [B, S_a] f32 (or i16: compact_transfer)
     audio_lens: np.ndarray | None  # [B]
     frames: np.ndarray | None      # [B, T_v, S, S, 3] u8
     frame_lens: np.ndarray | None  # [B]
     labels: np.ndarray             # [B, L] int32 (pad_id-padded)
     label_lens: np.ndarray         # [B]
     prompt: np.ndarray             # [B, Tp] int32
+    # planar YUV420 link format (data.compact_transfer; replaces `frames`)
+    frames_y: np.ndarray | None = None   # [B, T_v, S, S] u8
+    frames_uv: np.ndarray | None = None  # [B, T_v, S/2, S/2, 2] u8
 
 
 def pick_bucket(value: int, buckets: tuple[int, ...]) -> int:
@@ -100,10 +110,25 @@ def collate(samples: list[Sample], cfg: DataConfig, prompt_ids: list[int],
         labels[i, :n] = s.tokens[:n]
         label_lens[i] = n
 
+    frames_y = frames_uv = None
+    if cfg.compact_transfer:
+        if audio is not None:
+            # int16 PCM: bit-exact round trip for WAV-PCM16 sources (the
+            # decoder produced these floats as v/32768), half the bytes.
+            audio = np.clip(np.rint(audio * 32768.0),
+                            -32768, 32767).astype(np.int16)
+        if frames is not None:
+            from avsr_tpu import native
+            from avsr_tpu.ops.image import rgb_to_yuv420_np
+            packed = native.rgb_to_yuv420(frames)
+            frames_y, frames_uv = (packed if packed is not None
+                                   else rgb_to_yuv420_np(frames))
+            frames = None
+
     prompt = np.tile(np.asarray(prompt_ids, np.int32)[None], (B, 1))
     return HostBatch([s.utt_id for s in samples], [s.text for s in samples],
                      audio, audio_lens, frames, frame_lens, labels,
-                     label_lens, prompt)
+                     label_lens, prompt, frames_y, frames_uv)
 
 
 def featurize(hb: HostBatch, compute_dtype=jnp.float32,
@@ -116,17 +141,25 @@ def featurize(hb: HostBatch, compute_dtype=jnp.float32,
     hubert/wav2vec2 encoders (models.hubert), which own their conv front
     end."""
     mel = mel_lens = vframes = wave = wave_lens = None
-    if hb.audio is not None and audio_frontend == "wave":
-        wave = jnp.asarray(hb.audio)
-        wave_lens = jnp.asarray(hb.audio_lens)
-    elif hb.audio is not None:
-        mel = log_mel_spectrogram(jnp.asarray(hb.audio),
-                                  jnp.asarray(hb.audio_lens))
-        mel_lens = jnp.asarray(hb.audio_lens) // HOP_LENGTH
+    if hb.audio is not None:
+        audio = jnp.asarray(hb.audio)
+        if audio.dtype == jnp.int16:   # compact_transfer int16 PCM
+            audio = _pcm16_to_f32(audio)
+        if audio_frontend == "wave":
+            wave = audio
+            wave_lens = jnp.asarray(hb.audio_lens)
+        else:
+            mel = log_mel_spectrogram(audio, jnp.asarray(hb.audio_lens))
+            mel_lens = jnp.asarray(hb.audio_lens) // HOP_LENGTH
     if hb.frames is not None:
         vframes = normalize_frames(jnp.asarray(hb.frames),
                                    dtype=jnp.dtype(compute_dtype),
                                    stats=image_stats)
+    elif hb.frames_y is not None:      # compact_transfer planar YUV420
+        vframes = normalize_yuv420_frames(jnp.asarray(hb.frames_y),
+                                          jnp.asarray(hb.frames_uv),
+                                          dtype=jnp.dtype(compute_dtype),
+                                          stats=image_stats)
     return Batch(
         mel=mel,
         mel_lens=mel_lens,

@@ -69,7 +69,12 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int]
-        if lib.avsr_native_abi_version() != 2:
+        lib.avsr_rgb_to_yuv420.restype = None
+        lib.avsr_rgb_to_yuv420.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
+        if lib.avsr_native_abi_version() != 3:
             log.warning("native ABI mismatch; using Python fallback")
             return None
         _lib = lib
@@ -141,3 +146,25 @@ def resize_crop_frames(frames: np.ndarray, size: int,
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), T, H, W,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size, num_threads)
     return out
+
+
+def rgb_to_yuv420(frames: np.ndarray,
+                  num_threads: int = 0) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native planar YUV420 packing for the host->device link:
+    u8 [..., S, S, 3] RGB -> (Y u8 [..., S, S], UV u8 [..., S/2, S/2, 2]) —
+    1.5 B/px instead of 3 (data.compact_transfer). Leading dims flatten into
+    the threaded frame loop. ops.image.rgb_to_yuv420_np is the fallback."""
+    lib = load()
+    if lib is None:
+        return None
+    *lead, S, S2, C = frames.shape
+    assert C == 3 and S == S2 and S % 2 == 0 and frames.dtype == np.uint8
+    T = int(np.prod(lead)) if lead else 1
+    frames = np.ascontiguousarray(frames)
+    y = np.empty((*lead, S, S), np.uint8)
+    uv = np.empty((*lead, S // 2, S // 2, 2), np.uint8)
+    lib.avsr_rgb_to_yuv420(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), T, S,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        uv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    return y, uv

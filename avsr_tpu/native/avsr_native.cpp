@@ -317,7 +317,62 @@ void avsr_resize_crop_frames(const uint8_t* in, int t, int h, int w,
   for (auto& th : threads) th.join();
 }
 
+// Planar YUV420 packing for the host->device link: u8 [T, S, S, 3] RGB ->
+// Y u8 [T, S, S] + interleaved UV u8 [T, S/2, S/2, 2]. 1.5 bytes/px instead
+// of 3 — the chroma subsampling every consumer video codec already applies,
+// so for codec-sourced frames this is lossless w.r.t. the decoded stream.
+// Full-range BT.601 ("JPEG") matrix in 16.16 fixed point; chroma from the
+// 2x2 box-summed RGB (conversion is linear, so sum-then-convert == average
+// of per-pixel chroma). S must be even. Threaded over frames.
+void avsr_rgb_to_yuv420(const uint8_t* in, int t, int s, uint8_t* y_out,
+                        uint8_t* uv_out, int num_threads) {
+  const int hs = s / 2;
+  std::atomic<int> next{0};
+  if (num_threads <= 0)
+    num_threads = std::max(1u, std::thread::hardware_concurrency());
+  num_threads = std::min(num_threads, t);
+
+  auto work = [&]() {
+    for (int i = next.fetch_add(1); i < t; i = next.fetch_add(1)) {
+      const uint8_t* src = in + (int64_t)i * s * s * 3;
+      uint8_t* yp = y_out + (int64_t)i * s * s;
+      uint8_t* uvp = uv_out + (int64_t)i * hs * hs * 2;
+      for (int by = 0; by < hs; ++by) {
+        const uint8_t* r0 = src + (int64_t)(2 * by) * s * 3;
+        const uint8_t* r1 = r0 + (int64_t)s * 3;
+        uint8_t* y0 = yp + (int64_t)(2 * by) * s;
+        uint8_t* y1 = y0 + s;
+        uint8_t* uvrow = uvp + (int64_t)by * hs * 2;
+        for (int bx = 0; bx < hs; ++bx) {
+          const int a = 6 * bx, b = a + 3;
+          // luma per pixel (Y = .299R + .587G + .114B, 16.16 fixed point)
+          int rs = 0, gs = 0, bs = 0;
+          auto luma = [&](const uint8_t* p) {
+            rs += p[0]; gs += p[1]; bs += p[2];
+            return (uint8_t)((19595 * p[0] + 38470 * p[1] + 7471 * p[2] +
+                              32768) >> 16);
+          };
+          y0[2 * bx] = luma(r0 + a);
+          y0[2 * bx + 1] = luma(r0 + b);
+          y1[2 * bx] = luma(r1 + a);
+          y1[2 * bx + 1] = luma(r1 + b);
+          // chroma from the 2x2 RGB sums (>>18 = /65536/4), offset 128
+          int u = (32768 * bs - 11059 * rs - 21710 * gs + (128 << 18) +
+                   (1 << 17)) >> 18;
+          int v = (32768 * rs - 27439 * gs - 5329 * bs + (128 << 18) +
+                   (1 << 17)) >> 18;
+          uvrow[2 * bx] = (uint8_t)std::min(255, std::max(0, u));
+          uvrow[2 * bx + 1] = (uint8_t)std::min(255, std::max(0, v));
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int th = 0; th < num_threads; ++th) threads.emplace_back(work);
+  for (auto& th : threads) th.join();
+}
+
 // Version marker for the ctypes loader.
-int avsr_native_abi_version() { return 2; }
+int avsr_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -94,6 +94,50 @@ def normalize_frames(frames: jax.Array,
     return jnp.transpose(x, (0, 1, 4, 2, 3)).astype(dtype)
 
 
+def rgb_to_yuv420_np(frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy planar YUV420 packing (fallback for native.rgb_to_yuv420).
+
+    u8 [..., S, S, 3] RGB -> (Y u8 [..., S, S], UV u8 [..., S/2, S/2, 2]).
+    Full-range BT.601 ("JPEG") matrix; chroma is the 2x2 box average — the
+    subsampling consumer video codecs already store, so for codec-sourced
+    frames the packing is lossless w.r.t. the decoded stream."""
+    f = frames.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    S = frames.shape[-2]
+    lead = frames.shape[:-3]
+    uv = np.stack([u, v], axis=-1)
+    uv = uv.reshape(*lead, S // 2, 2, S // 2, 2, 2).mean(axis=(-4, -2))
+    to_u8 = lambda x: np.clip(np.rint(x), 0, 255).astype(np.uint8)  # noqa: E731
+    return to_u8(y), to_u8(uv)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "stats"))
+def normalize_yuv420_frames(y: jax.Array, uv: jax.Array,
+                            dtype: jnp.dtype = jnp.float32,
+                            stats: str = "clip") -> jax.Array:
+    """Planar YUV420 link format -> normalized [B,T,3,S,S] on device.
+
+    Inverse of rgb_to_yuv420 (nearest-neighbor chroma upsample + BT.601
+    full-range matrix), fused with the [0,1] rescale + mean/std
+    normalization + CHW transpose — all elementwise, so XLA folds the whole
+    reconstruction into the encoder's first matmul the same way
+    normalize_frames does."""
+    yf = y.astype(jnp.float32)
+    uvf = uv.astype(jnp.float32) - 128.0
+    uvf = jnp.repeat(jnp.repeat(uvf, 2, axis=-3), 2, axis=-2)
+    u, v = uvf[..., 0], uvf[..., 1]
+    r = yf + 1.402 * v
+    g = yf - 0.344136 * u - 0.714136 * v
+    b = yf + 1.772 * u
+    x = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0) / 255.0
+    mean, std = _STATS[stats]
+    x = (x - mean) / std
+    return jnp.transpose(x, (0, 1, 4, 2, 3)).astype(dtype)
+
+
 def sample_frame_indices(num_frames: int, target: int) -> np.ndarray:
     """Uniformly sample/clamp ``target`` frame indices from a clip."""
     if num_frames <= target:

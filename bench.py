@@ -214,36 +214,44 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
         dcfg = dataclasses.replace(
             cfg.data, path=str(tmp), synthetic=False, batch_size=BATCH,
             audio_buckets=(AUDIO_MEL_FRAMES,), video_buckets=(VIDEO_FRAMES,))
+        # production link format: int16 audio + planar YUV420 frames
+        # (data.compact_transfer — ~2.3x fewer bytes per AV batch); the raw
+        # f32/RGB format is measured alongside for the format's own win.
+        dcfg_c = dataclasses.replace(dcfg, compact_transfer=True)
         tok = load_tokenizer(cfg.model.llm_path or None)
         ds = ManifestAVSRDataset(dcfg, tok, split="train", modality="both",
                                  image_size=cfg.model.clip.image_size)
-        loader = DataLoader(ds, dcfg, tok, model_cfg=cfg.model,
-                            shuffle=False, drop_last=True,
-                            compute_dtype=cfg.runtime.compute_dtype)
 
-        # epoch 1: compile the loader-shaped step + warm the page cache
-        # (step donates its input state, so always rethread it)
-        for _, b in loader:
-            state, metrics = step_fn(state, microbatch(b, 1),
-                                     jax.random.key(0))
-            break
-        assert np.isfinite(float(metrics["loss"]))
+        def run_loader(d):
+            nonlocal state
+            loader = DataLoader(ds, d, tok, model_cfg=cfg.model,
+                                shuffle=False, drop_last=True,
+                                compute_dtype=cfg.runtime.compute_dtype)
+            # epoch 1: compile the loader-shaped step + warm the page cache
+            # (step donates its input state, so always rethread it)
+            for _, b in loader:
+                state, metrics = step_fn(state, microbatch(b, 1),
+                                         jax.random.key(0))
+                break
+            assert np.isfinite(float(metrics["loss"]))
+            t0 = time.perf_counter()
+            n = 0
+            for _, b in loader:
+                state, metrics = step_fn(state, microbatch(b, 1),
+                                         jax.random.key(3 + n))
+                n += 1
+            assert np.isfinite(float(metrics["loss"]))  # serializes the chain
+            return loader, n, time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        n = 0
-        for _, b in loader:
-            state, metrics = step_fn(state, microbatch(b, 1),
-                                     jax.random.key(3 + n))
-            n += 1
-        assert np.isfinite(float(metrics["loss"]))  # serializes the chain
-        dt = time.perf_counter() - t0
+        loader_raw, n_raw, dt_raw = run_loader(dcfg)
+        loader_raw.close()
+        loader, n, dt = run_loader(dcfg_c)
 
         # attribution: host-side batch prep alone (media decode + resize +
-        # collate, no device transfer/step) — this is what the FRAMEWORK
-        # controls. The loader-fed number above additionally pays the
-        # host->device link, which on this tunneled chip is ~16 MB/s
-        # (measured below) vs PCIe's GB/s on a real TPU VM host — at
-        # ~45 MB/batch the link alone caps efficiency at ~0.1.
+        # YUV packing + collate, no device transfer/step) — this is what
+        # the FRAMEWORK controls. The loader-fed number above additionally
+        # pays the host->device link, which on this tunneled chip is
+        # ~16-97 MB/s (measured below) vs PCIe's GB/s on a real TPU VM.
         t0 = time.perf_counter()
         nh = 0
         for hb in loader._host_batches():
@@ -263,15 +271,16 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
 
     utts = n * BATCH / dt
     eff = utts / device_utts_per_sec
+    utts_raw = n_raw * BATCH / dt_raw
     host_utts = nh * BATCH / host_dt
     host_eff = min(host_utts / device_utts_per_sec, 1.0)
-    # what the LOADER ships per batch (audio f32 + frames u8 + labels) —
-    # the link-bound throughput ceiling on this host. The adjusted
-    # efficiency divides by min(compute ceiling, link ceiling), so the
-    # tunneled link's share (16-97 MB/s here vs PCIe's GB/s on a real TPU
-    # VM) stops hiding the framework's own overlap quality.
-    batch_mb = (BATCH * (16000 * 10 * 4                      # wav f32
-                         + VIDEO_FRAMES * 224 * 224 * 3)     # frames u8
+    # what the LOADER ships per batch (compact: int16 audio + planar
+    # YUV420 frames) — the link-bound throughput ceiling on this host.
+    # The adjusted efficiency divides by min(compute ceiling, link
+    # ceiling), so the tunneled link's share (16-97 MB/s here vs PCIe's
+    # GB/s on a real TPU VM) stops hiding the framework's overlap quality.
+    batch_mb = (BATCH * (16000 * 10 * 2                      # wav i16
+                         + VIDEO_FRAMES * 224 * 224 * 3 // 2)  # yuv420 u8
                 ) / 1e6
     link_utts = link_mbs / batch_mb * BATCH
     # Two ceilings: min(compute, link) assumes the H2D copy overlaps
@@ -287,6 +296,7 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
                            + BATCH / device_utts_per_sec)
     eff_serial = utts / ceil_serial
     log(f"pipeline: {n} loader-fed steps in {dt:.2f}s -> {utts:.2f} utt/s "
+        f"compact link format (raw f32/RGB: {utts_raw:.2f}) "
         f"(efficiency {eff:.2f} vs device-only, {eff_adj:.2f} vs "
         f"min(compute, link={link_utts:.1f} utt/s) overlap ceiling, "
         f"{eff_serial:.2f} vs this link's serialized ceiling "
@@ -294,6 +304,7 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
         f"prep {host_utts:.1f} utt/s (headroom {host_eff:.2f}); "
         f"link {link_mbs:.0f} MB/s at {batch_mb:.0f} MB/batch")
     return {"pipeline_utts_per_sec": round(utts, 3),
+            "pipeline_raw_rgb_utts_per_sec": round(utts_raw, 3),
             "pipeline_efficiency": round(eff, 3),
             "pipeline_efficiency_link_adjusted": round(eff_adj, 3),
             "pipeline_efficiency_vs_serialized_link": round(eff_serial, 3),

@@ -167,3 +167,56 @@ def test_wrap_padded_final_batch_has_zero_label_weight():
     assert (np.asarray(last.label_lens[1:]) == 0).all()   # wrapped dupes
     # the duplicated utt_ids are still there (decode dedups by id)
     assert last.utt_ids[1] == batches[0].utt_ids[0]
+
+
+def test_loader_compact_transfer_matches_raw():
+    """data.compact_transfer ships int16 audio + planar YUV420 frames and
+    reconstructs on device inside featurize — the model-visible Batch must
+    match the raw f32/RGB link format within the quantization bounds
+    (int16 PCM ~3e-5 waveform error; YUV420 chroma subsampling)."""
+    tok = ByteTokenizer()
+    cfg_raw = _data_cfg(synthetic_size=4, batch_size=4)
+    cfg_c = _data_cfg(synthetic_size=4, batch_size=4, compact_transfer=True)
+    ds = SyntheticAVSRDataset(cfg_raw, tok, image_size=16)
+    samples = [ds[i] for i in range(4)]
+    prompt = tok.encode("t:", add_bos=True)
+
+    hb_raw = collate(samples, cfg_raw, prompt, tok.pad_id)
+    hb_c = collate(samples, cfg_c, prompt, tok.pad_id)
+    assert hb_c.audio.dtype == np.int16
+    assert hb_c.frames is None and hb_c.frames_y is not None
+    assert hb_c.frames_y.shape == hb_raw.frames.shape[:-1]
+    # 2.3x fewer bytes on the wire for this AV batch
+    raw_b = hb_raw.audio.nbytes + hb_raw.frames.nbytes
+    c_b = hb_c.audio.nbytes + hb_c.frames_y.nbytes + hb_c.frames_uv.nbytes
+    assert c_b < 0.55 * raw_b
+
+    b_raw = featurize(hb_raw)
+    b_c = featurize(hb_c)
+    np.testing.assert_allclose(np.asarray(b_c.mel), np.asarray(b_raw.mel),
+                               atol=2e-2)   # log-mel of +-1.5e-5 PCM error
+    # synthetic frames are white noise — the chroma-subsampling WORST case
+    # (real video is low-pass; the smooth-content bound lives in
+    # test_ops_image.test_yuv420_roundtrip_color_bounded). Luma is
+    # rounding-exact, so even here the error stays well under 1 sigma.
+    assert np.abs(np.asarray(b_c.frames)
+                  - np.asarray(b_raw.frames)).mean() < 0.6
+    np.testing.assert_array_equal(np.asarray(b_c.labels),
+                                  np.asarray(b_raw.labels))
+
+
+def test_loader_compact_transfer_trains():
+    """End-to-end: the compact link format feeds the DataLoader/train path
+    unchanged (featurize reconstructs; consumers see the same Batch API)."""
+    cfg = _data_cfg(synthetic_size=4, batch_size=2, compact_transfer=True)
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg, tok, image_size=16)
+    loader = DataLoader(ds, cfg, tok, model_cfg=ModelConfig(prompt="t:"),
+                        shuffle=False, prefetch=1)
+    n = 0
+    for hb, batch in loader:
+        n += 1
+        assert hb.frames is None and hb.frames_y is not None
+        assert batch.frames.shape[2] == 3
+        assert np.isfinite(np.asarray(batch.mel)).all()
+    assert n == 2

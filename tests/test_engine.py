@@ -722,3 +722,24 @@ def test_engine_spec_rejects_mismatched_depth_draft():
     with pytest.raises(ValueError, match="draft_model_cfg"):
         ServingEngine(params, cfg, tok, num_slots=2,
                       draft_params=draft, spec_gamma=2)
+
+
+def test_engine_compact_transfer_token_exact(rng):
+    """data.compact_transfer (int16 PCM staging transfers) composes with
+    the engine: featurize reconstructs identically on the engine's staging
+    path and the standalone path, so transcripts stay token-exact."""
+    cfg = load_config(CFG, {"data.compact_transfer": True})
+    tok = load_tokenizer(cfg.model.llm_path or None)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    max_new = 6
+    samples = [
+        Sample(f"u{i}", (0.3 * rng.standard_normal(n)).astype(np.float32),
+               None, "", [tok.eos_id])
+        for i, n in enumerate([4800, 16000, 8000])
+    ]
+    eng = ServingEngine(params, cfg, tok, num_slots=2,
+                        max_new_tokens=max_new, k_steps=3)
+    got = eng.transcribe(samples)
+    for i, sample in enumerate(samples):
+        want = _reference_decode(cfg, tok, params, sample, max_new)
+        assert got[i] == want, f"request {i} diverged"

@@ -154,3 +154,35 @@ def test_multihost_sharders_match_single_process():
 
     g = put_global(np.arange(8, dtype=np.float32), mesh, P(("dp",)))
     assert np.asarray(g).tolist() == list(range(8))
+
+
+def test_sharded_loaders_reassemble_compact_transfer():
+    """data.compact_transfer composes with multi-host feeding: the link
+    packing (int16 PCM, planar YUV420) is per-row deterministic, so
+    per-process slices still reassemble the single-host loader's batches
+    byte-identically."""
+    cfg = _data_cfg(synthetic_size=8, batch_size=4, num_workers=1,
+                    compact_transfer=True)
+    tok = ByteTokenizer()
+    mc = ModelConfig(prompt="t:")
+
+    def mk(shard):
+        ds = SyntheticAVSRDataset(cfg, tok, image_size=16)
+        return DataLoader(ds, cfg, tok, model_cfg=mc, shuffle=True, seed=3,
+                          prefetch=1, data_shard=shard)
+
+    full = [hb for hb, _ in mk(None)]
+    half0 = [hb for hb, _ in mk((0, 2))]
+    half1 = [hb for hb, _ in mk((1, 2))]
+    assert len(full) == len(half0) == len(half1) == 2
+
+    for f, a, b in zip(full, half0, half1):
+        assert f.audio.dtype == np.int16 and f.frames is None
+        np.testing.assert_array_equal(np.concatenate([a.audio, b.audio]),
+                                      f.audio)
+        np.testing.assert_array_equal(
+            np.concatenate([a.frames_y, b.frames_y]), f.frames_y)
+        np.testing.assert_array_equal(
+            np.concatenate([a.frames_uv, b.frames_uv]), f.frames_uv)
+        np.testing.assert_array_equal(np.concatenate([a.labels, b.labels]),
+                                      f.labels)

@@ -101,18 +101,28 @@ def main() -> int:
     log(f"{STEPS} steps in {dt:.2f}s -> {utts_per_sec:.2f} utt/s "
         f"({dt / STEPS * 1e3:.0f} ms/step)")
 
-    mfu = bench_mfu(step_fn, state, mb, dt / STEPS)
+    t_start = time.perf_counter()
 
-    dec = bench_decode(cfg, state.params, batch)
-    qdec = bench_decode_quantized(cfg, state.params, batch)
-    beam = bench_beam(cfg, state.params, batch,
-                      dec.get("decode_new_tokens_per_sec"))
-    spec = bench_speculative(cfg, state.params, batch,
-                             dec.get("decode_new_tokens_per_sec"))
-    eng = bench_engine(cfg, state.params, batch)
-    mlora = bench_multilora(cfg, state.params)
-    stream = bench_streaming(state.params)
-    pipe = bench_pipeline(cfg, state, step_fn, utts_per_sec)
+    def section(name, fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        log(f"[section {name}: {time.perf_counter() - t0:.0f}s, "
+            f"total {time.perf_counter() - t_start:.0f}s]")
+        return out
+
+    mfu = section("mfu", bench_mfu, step_fn, state, mb, dt / STEPS)
+    dec = section("decode", bench_decode, cfg, state.params, batch)
+    qdec = section("decode_quant", bench_decode_quantized,
+                   cfg, state.params, batch)
+    beam = section("beam", bench_beam, cfg, state.params, batch,
+                   dec.get("decode_new_tokens_per_sec"))
+    spec = section("speculative", bench_speculative, cfg, state.params,
+                   batch, dec.get("decode_new_tokens_per_sec"))
+    eng = section("engine", bench_engine, cfg, state.params, batch)
+    mlora = section("multilora", bench_multilora, cfg, state.params)
+    stream = section("streaming", bench_streaming, state.params)
+    pipe = section("pipeline", bench_pipeline, cfg, state, step_fn,
+                   utts_per_sec)
 
     print(json.dumps({
         "metric": "train_utts_per_sec_per_chip",
@@ -411,9 +421,14 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
     params = prepare_params_for_decode(params, cfg.model)
     W, max_new = 5, 100
 
-    def run():
+    def run(prev=None):
+        # chain on the previous output and END with a value fetch —
+        # redispatching one executable with IDENTICAL buffers reports
+        # impossible times on this link (observed 0.001 ms/sample-token)
+        b = batch if prev is None else batch._replace(
+            prompt_tokens=batch.prompt_tokens + prev * 0)
         return beam_search(
-            params, cfg.model, batch, max_new_tokens=max_new, num_beams=W,
+            params, cfg.model, b, max_new_tokens=max_new, num_beams=W,
             eos_id=-1,  # no EOS in random-init vocab: full 100 tokens
             compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
 
@@ -422,11 +437,11 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
     log(f"beam W={W} compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     def timed(n_batches: int) -> float:
+        prev = jnp.zeros((), jnp.int32)
         t0 = time.perf_counter()
-        out = None
         for _ in range(n_batches):
-            out = run()
-        jax.block_until_ready(out.tokens)
+            prev = run(prev).tokens[0, 0, 0]
+        assert int(prev) >= 0
         return time.perf_counter() - t0
 
     timed(1)                            # absorb queued stragglers
@@ -465,12 +480,13 @@ def bench_speculative(cfg, params, batch, greedy_toks_per_sec) -> dict:
     )
 
     max_new = 100
-    # (label, bits, gamma, skip_layers): the comparability config first,
-    # then the predicted-profitable int4 short-gamma ones, then the
-    # layer-skip knob proof at L/4
+    # (label, bits, gamma, skip_layers): the shipped recommendation config
+    # + the layer-skip knob proof at L/4. The full 4-config sweep (also
+    # int4_g2 485 tok/s, int4_g3 411 tok/s — measured 2026-08, identical
+    # verdict) was trimmed from the bench because the whole run must fit
+    # this environment's ~19-min process cap; the sweep table and its
+    # economics live in docs/serving.md "Measured honesty".
     sweep = [("int8_g4", 8, 4, 0),
-             ("int4_g2", 4, 2, 0),
-             ("int4_g3", 4, 3, 0),
              ("skip4_int8_g4", 8, 4, cfg.model.llm.n_layers // 4)]
     res: dict = {}
     best = (None, -1.0)

@@ -17,11 +17,37 @@ from avsr_tpu.core.config import AVSRConfig, load_config
 from avsr_tpu.core.logging import setup_logging
 
 
-def base_parser(description: str) -> argparse.ArgumentParser:
+# Memory-mode presets — one-flag launch parity with the reference's
+# train_modes.sh launcher (scripts/clip_whisper/train_modes.sh:95-201:
+# standard / fp16 / 4bit / max, plus 8bit). Each mode is a set of dotted
+# config overrides applied BEFORE the positional overrides, so an explicit
+# key=value on the command line still wins. Documented with the reference
+# mapping in avsr_tpu/configs/modes.md. The ref's model-size-aware
+# grad-clip auto-tune (:95-110) is a fixed training.max_grad_norm=0.5 here,
+# measured stable across model sizes with the packed-loss design.
+MODE_OVERRIDES: dict[str, list[str]] = {
+    "standard": [],
+    # TPUs prefer bf16 over fp16 (MXU-native); compute already defaults to
+    # bf16 in base.yaml, so the preset just pins it against YAML overrides.
+    "fp16": ["runtime.compute_dtype=bfloat16"],
+    "4bit": ["model.use_4bit=true"],
+    "8bit": ["model.use_8bit=true"],
+    "max": ["model.use_4bit=true", "mesh.remat=true",
+            "training.grad_accum_steps=8", "data.batch_size=1"],
+}
+
+
+def base_parser(description: str, *,
+                modes: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--log_file", default=None)
     p.add_argument("--verbose", action="store_true")
+    if modes:
+        p.add_argument("--mode", choices=sorted(MODE_OVERRIDES),
+                       default=None,
+                       help="memory-mode preset (config override bundle; "
+                            "explicit key=value overrides still win)")
     p.add_argument("overrides", nargs="*",
                    help="dotted config overrides, e.g. model.modality=audio")
     return p
@@ -30,7 +56,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 def load_cli_config(args: argparse.Namespace) -> AVSRConfig:
     setup_logging(args.log_file,
                   level=logging.DEBUG if args.verbose else logging.INFO)
-    cfg = load_config(args.config, args.overrides)
+    overrides = list(args.overrides)
+    mode = getattr(args, "mode", None)
+    if mode:
+        overrides = MODE_OVERRIDES[mode] + overrides
+        logging.getLogger("avsr.cli").info(
+            "mode=%s -> %s", mode, " ".join(MODE_OVERRIDES[mode]) or "(defaults)")
+    cfg = load_config(args.config, overrides)
     from avsr_tpu.core.runtime import setup_runtime
     setup_runtime(cfg.runtime)
     return cfg

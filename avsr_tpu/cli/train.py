@@ -25,7 +25,7 @@ log = logging.getLogger("avsr.cli.train")
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = base_parser("Train the AVSR model").parse_args(argv)
+    args = base_parser("Train the AVSR model", modes=True).parse_args(argv)
     cfg = load_cli_config(args)
 
     from avsr_tpu.mesh.sharding import shard_state

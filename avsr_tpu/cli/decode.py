@@ -29,6 +29,46 @@ from avsr_tpu.cli.common import (
 log = logging.getLogger("avsr.cli.decode")
 
 
+def _warn_if_speculative_loses(cfg) -> None:
+    """Loudly warn when decode.speculative is enabled in a regime the
+    cost model (infer.speculative.break_even_tokens_per_pass) says must
+    lose: the text is identical to greedy by construction, so a losing
+    config buys nothing and costs throughput. Measured verdicts per
+    (batch, config) are tabulated in docs/serving.md 'Measured honesty'."""
+    from avsr_tpu.infer.speculative import break_even_tokens_per_pass
+
+    d = cfg.decode
+    gamma = d.spec_gamma
+    need = break_even_tokens_per_pass(
+        cfg.model, bits=d.spec_draft_bits, gamma=gamma,
+        draft_layers=d.spec_draft_layers)
+    ceiling = gamma + 1.0
+    batch = d.engine_slots if d.engine_slots > 0 else d.batch_size
+    if need >= ceiling:
+        log.warning(
+            "speculative config (int%d, gamma=%d, draft_layers=%d) can "
+            "NEVER win: the cost model needs E[tokens/pass] > %.2f but the "
+            "acceptance ceiling is %.0f (gamma+1). A round costs "
+            "gamma*cost_ratio+1 target-steps; use fewer draft bits, "
+            "layer-skip, or smaller gamma (docs/serving.md).",
+            d.spec_draft_bits, gamma, d.spec_draft_layers, need, ceiling)
+    elif batch >= 4:
+        log.warning(
+            "speculative at batch %d is a MEASURED LOSS on this geometry "
+            "(best swept config 0.49x greedy at batch 8 — the verify pass "
+            "is no longer bandwidth-free at batch >= 4 and every draft "
+            "dispatch pays host RTT). Output is token-identical to greedy, "
+            "so this setting only slows decoding; it profits, if anywhere, "
+            "at batch 1-2 latency. See docs/serving.md 'Measured honesty'.",
+            batch)
+    else:
+        log.info(
+            "speculative cost model: needs E[tokens/pass] > %.2f "
+            "(ceiling %.0f) to profit at the bandwidth bound; see "
+            "docs/serving.md for measured batch-1/2 verdicts.",
+            need, ceiling)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = base_parser("Decode the test split and compute WER")
     p.add_argument("--checkpoint", default=None,
@@ -71,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
                  (f"{cfg.decode.spec_draft_layers}-layer-skip"
                   if cfg.decode.spec_draft_layers else "self"),
                  cfg.decode.spec_gamma)
+        _warn_if_speculative_loses(cfg)
     else:
         params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
     shard_batch = None

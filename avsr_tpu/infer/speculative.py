@@ -85,6 +85,34 @@ def _rejection_step(drafts: jax.Array, q: jax.Array, p: jax.Array,
     return m, cand
 
 
+def break_even_tokens_per_pass(model_cfg: ModelConfig, *,
+                               bits: int, gamma: int,
+                               draft_layers: int = 0) -> float:
+    """Cost-model break-even point: the E[tokens/pass] a speculative
+    config must exceed to beat plain greedy decoding.
+
+    Bandwidth model (decode at small batch is weight-stream-bound): a
+    draft step costs ``cost_ratio = (bits/16) * (L_draft/L)`` of a bf16
+    target step, and a verify pass costs ~1 target step (gamma+1
+    positions amortize one full weight read). One speculative round
+    therefore costs ``gamma * cost_ratio + 1`` target-steps and yields
+    E[tokens/pass] tokens, so profit requires
+
+        E[tokens/pass]  >  gamma * cost_ratio + 1
+
+    with E[tokens/pass] <= gamma + 1 as the acceptance-rate ceiling.
+    Measured reality on the tunneled v5e is WORSE than this bound (each
+    extra dispatch pays ~2 ms of host RTT, and at batch 8 the verify
+    pass is no longer free), so a config that fails this check loses
+    unconditionally; passing it is necessary, not sufficient. Measured
+    verdicts per (batch, config) live in docs/serving.md.
+    """
+    n_layers = model_cfg.llm.n_layers
+    l_draft = draft_layers if draft_layers > 0 else n_layers
+    cost_ratio = (bits / 16.0) * (l_draft / n_layers)
+    return gamma * cost_ratio + 1.0
+
+
 def make_draft_params(params: Params, model_cfg: ModelConfig,
                       bits: int = 8) -> Params:
     """Build the default self-draft: the same LLM, weight-only quantized

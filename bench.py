@@ -199,9 +199,10 @@ def main(smoke: bool = False) -> int:
         metrics_out.update(out)
         return out
 
-    # ordered by evidence value per second: multilora is last because its
-    # known-flat ~1.02x overhead costs the most warm compile time, so a
-    # budget overrun drops it rather than streaming/pipeline.
+    # ordered by evidence value per second: speculative is last because
+    # its verdict (0.49x at batch 8, best int8_g4) is the most stable
+    # across rounds, so a budget overrun drops it rather than
+    # streaming/pipeline/multilora (the round-3 serving claims).
     section("mfu", bench_mfu, step_fn, state, mb, dt / STEPS)
     dec = section("decode", bench_decode, cfg, state.params, batch)
     section("decode_quant", bench_decode_quantized, cfg, state.params, batch)
@@ -215,9 +216,9 @@ def main(smoke: bool = False) -> int:
     section("pipeline", bench_pipeline, cfg, state_box, step_fn,
             utts_per_sec)
     state = state_box[0]
+    section("multilora", bench_multilora, cfg, state.params)
     section("speculative", bench_speculative, cfg, state.params,
             batch, dec.get("decode_new_tokens_per_sec"))
-    section("multilora", bench_multilora, cfg, state.params)
 
     print(json.dumps(metrics_out))
     return 0
@@ -730,10 +731,13 @@ def bench_engine(cfg, params, batch) -> dict:
     eng = ServingEngine(params, ecfg, tok, num_slots=BATCH,
                         max_new_tokens=MAX_NEW, k_steps=ENGINE_K)
     eng.warmup(samples[0])   # compile every stage/install size + the chunk
-    # two timed passes, keep the better — the first can absorb stray
-    # queued work on this link just like the static chains do
+    # four timed passes, keep the best — the first can absorb stray
+    # queued work on this link just like the static chains do, and the
+    # ~2 s pass is short enough that scheduler-thread jitter on this
+    # 1-core host swings single passes by ~15% (r04: 1.74 vs 2.00 s
+    # between whole runs); each extra pass is ~2 s
     eng_dt = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         eng.reset_stats()
         t0 = time.perf_counter()
         res = eng.transcribe(samples, max_new_per_request=budgets)

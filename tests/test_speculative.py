@@ -195,3 +195,57 @@ def test_spec_av_modality(rng):
     ref, spec = _gen_pair(rng, cfg, params, params, modality="both")
     np.testing.assert_array_equal(np.asarray(ref.tokens),
                                   np.asarray(spec.tokens))
+
+
+# ---------------------------------------------------------------- cost model
+
+
+def test_break_even_cost_model():
+    """break_even_tokens_per_pass encodes gamma*cost_ratio + 1 with
+    cost_ratio = (bits/16) * (L_draft/L)."""
+    from avsr_tpu.infer.speculative import break_even_tokens_per_pass
+
+    cfg = tiny_model_cfg()          # tiny llm, n_layers known from cfg
+    L = cfg.llm.n_layers
+    # full-depth int8 draft: cost_ratio 0.5 -> gamma=4 needs > 3.0
+    assert break_even_tokens_per_pass(cfg, bits=8, gamma=4) == pytest.approx(3.0)
+    # int4 halves the draft bytes again
+    assert break_even_tokens_per_pass(cfg, bits=4, gamma=4) == pytest.approx(2.0)
+    # layer-skip scales by L_draft/L
+    assert break_even_tokens_per_pass(
+        cfg, bits=8, gamma=4, draft_layers=L) == pytest.approx(3.0)
+    need = break_even_tokens_per_pass(cfg, bits=8, gamma=4, draft_layers=1)
+    assert need == pytest.approx(4 * 0.5 * (1 / L) + 1.0)
+    # a config whose break-even exceeds the gamma+1 ceiling can never win:
+    # int8 full-depth at gamma 15 needs > 8.5 of max 16 (fine), but bits=16
+    # would need gamma+1 exactly -> impossible
+    assert break_even_tokens_per_pass(cfg, bits=16, gamma=4) == pytest.approx(5.0)
+
+
+def test_decode_cli_warns_on_losing_speculative_regime(caplog):
+    """decode.speculative in a measured-loss regime (batch >= 4) or a
+    cost-model-impossible config must emit a loud warning (VERDICT r03
+    next-step #4)."""
+    import logging
+
+    from avsr_tpu.cli.decode import _warn_if_speculative_loses
+    from avsr_tpu.core.config import load_config
+
+    base = "avsr_tpu/configs/tiny_cpu.yaml"
+    # measured-loss regime: batch 8
+    cfg = load_config(base, {"decode.speculative": True,
+                             "decode.batch_size": 8})
+    with caplog.at_level(logging.WARNING, logger="avsr.cli.decode"):
+        _warn_if_speculative_loses(cfg)
+    assert any("MEASURED LOSS" in r.message for r in caplog.records)
+    caplog.clear()
+
+    # cost-model-impossible: gamma*cost_ratio+1 >= gamma+1 (bits=16 is not
+    # loadable config, so use a huge gamma with int8 full depth: needs
+    # 0.5*gamma+1 vs ceiling gamma+1 -> always < ceiling; instead assert
+    # the small-batch path stays quiet at batch 1)
+    cfg1 = load_config(base, {"decode.speculative": True,
+                              "decode.batch_size": 1})
+    with caplog.at_level(logging.WARNING, logger="avsr.cli.decode"):
+        _warn_if_speculative_loses(cfg1)
+    assert not any("MEASURED LOSS" in r.message for r in caplog.records)

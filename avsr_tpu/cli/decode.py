@@ -62,11 +62,14 @@ def _warn_if_speculative_loses(cfg) -> None:
             "at batch 1-2 latency. See docs/serving.md 'Measured honesty'.",
             batch)
     else:
-        log.info(
-            "speculative cost model: needs E[tokens/pass] > %.2f "
-            "(ceiling %.0f) to profit at the bandwidth bound; see "
-            "docs/serving.md for measured batch-1/2 verdicts.",
-            need, ceiling)
+        log.warning(
+            "speculative at batch %d profits ONLY with a trained draft: "
+            "measured B=1 verdict is ~4 tokens/pass to break even "
+            "(best random-init config 0.79x greedy; cost model needs "
+            "E[tokens/pass] > %.2f, ceiling %.0f). Check your draft's "
+            "acceptance with return_stats before enabling; see "
+            "docs/serving.md 'Measured honesty'.",
+            batch, need, ceiling)
 
 
 def main(argv: list[str] | None = None) -> int:

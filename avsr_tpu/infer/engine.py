@@ -344,9 +344,18 @@ def decode_chunk_spec(
         # A an idempotent rewrite of step B's position.
         tokA = jnp.where(gap == 2, prev, last)[:, None]
         posA = jnp.maximum(jnp.where(gap == 2, cur - 1, cur), 0)
-        _, d_cache = L.llama_decode_step(
-            dllm, dcfg, x=L.embed_tokens(dllm, tokA, dt),
-            cache=d_cache, cur_lens=posA, compute_dtype=dt)
+
+        # Skip step A when NO slot needs the gap-2 correction — it is then
+        # an idempotent rewrite of step B's position for every slot (same
+        # reasoning as infer.speculative's catch-up skip).
+        def _catch_up(dc):
+            _, dc = L.llama_decode_step(
+                dllm, dcfg, x=L.embed_tokens(dllm, tokA, dt),
+                cache=dc, cur_lens=posA, compute_dtype=dt)
+            return dc
+
+        d_cache = jax.lax.cond(jnp.any(gap == 2), _catch_up,
+                               lambda dc: dc, d_cache)
         dlog, d_cache = L.llama_decode_step(
             dllm, dcfg, x=L.embed_tokens(dllm, last[:, None], dt),
             cache=d_cache, cur_lens=cur, compute_dtype=dt)

@@ -240,12 +240,12 @@ def test_decode_cli_warns_on_losing_speculative_regime(caplog):
     assert any("MEASURED LOSS" in r.message for r in caplog.records)
     caplog.clear()
 
-    # cost-model-impossible: gamma*cost_ratio+1 >= gamma+1 (bits=16 is not
-    # loadable config, so use a huge gamma with int8 full depth: needs
-    # 0.5*gamma+1 vs ceiling gamma+1 -> always < ceiling; instead assert
-    # the small-batch path stays quiet at batch 1)
+    # batch 1: not the batch->=4 measured loss, but still a warning — the
+    # measured B=1 verdict (docs/serving.md) is that only a trained draft
+    # with >~4 tokens/pass acceptance profits
     cfg1 = load_config(base, {"decode.speculative": True,
                               "decode.batch_size": 1})
     with caplog.at_level(logging.WARNING, logger="avsr.cli.decode"):
         _warn_if_speculative_loses(cfg1)
     assert not any("MEASURED LOSS" in r.message for r in caplog.records)
+    assert any("trained draft" in r.message for r in caplog.records)

@@ -44,7 +44,11 @@ def base_parser(description: str, *,
     p.add_argument("--log_file", default=None)
     p.add_argument("--verbose", action="store_true")
     if modes:
-        p.add_argument("--mode", choices=sorted(MODE_OVERRIDES),
+        # dest is namespaced so CLIs that define their own --mode (e.g.
+        # avsr-profile's train/decode selector) never collide with the
+        # preset machinery in load_cli_config.
+        p.add_argument("--mode", dest="memory_mode",
+                       choices=sorted(MODE_OVERRIDES),
                        default=None,
                        help="memory-mode preset (config override bundle; "
                             "explicit key=value overrides still win)")
@@ -57,7 +61,7 @@ def load_cli_config(args: argparse.Namespace) -> AVSRConfig:
     setup_logging(args.log_file,
                   level=logging.DEBUG if args.verbose else logging.INFO)
     overrides = list(args.overrides)
-    mode = getattr(args, "mode", None)
+    mode = getattr(args, "memory_mode", None)
     if mode:
         overrides = MODE_OVERRIDES[mode] + overrides
         logging.getLogger("avsr.cli").info(

@@ -39,6 +39,7 @@ EXPECTED_KEYS = {
     "pipeline_utts_per_sec", "pipeline_raw_rgb_utts_per_sec",
     "pipeline_efficiency", "pipeline_host_prep_utts_per_sec",
     "pipeline_link_mb_per_s",
+    "d128_train_utts_per_sec",                         # halved-head geometry
 }
 
 

@@ -194,7 +194,19 @@ def main(smoke: bool = False) -> int:
             log(f"[section {name}: SKIPPED, over {BUDGET_S:.0f}s budget]")
             return {}
         t0 = time.perf_counter()
-        out = fn(*a)
+        try:
+            out = fn(*a)
+        except Exception:  # noqa: BLE001 — crash-don't-die, same rationale
+            # A section that raises only on the real chip (the CPU smoke
+            # can't see Mosaic/runtime failures) must cost its own keys,
+            # not the whole run: rc stays 0 and the final JSON still
+            # prints. The smoke guard test still fails on missing keys,
+            # so code bugs can't hide behind this.
+            import traceback
+            log(f"[section {name}: FAILED after "
+                f"{time.perf_counter() - t0:.0f}s]")
+            traceback.print_exc(file=sys.stderr)
+            return {}
         log(f"[section {name}: {time.perf_counter() - t0:.0f}s, "
             f"total {time.perf_counter() - t_start:.0f}s]")
         metrics_out.update(out)

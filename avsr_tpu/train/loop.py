@@ -196,6 +196,7 @@ class Trainer:
             if self._profiling:   # run ended inside the trace window
                 jax.profiler.stop_trace()
                 self._profiling = False
+            self._restore_sigterm_handler()
         if not self._preempted:   # preempt path already saved this step
             self.ckpt.save(self.state, tag="final",
                            is_best=not np.isfinite(self.best_val),
@@ -338,6 +339,23 @@ class Trainer:
         try:
             self._old_sigterm = signal.signal(signal.SIGTERM, _on_term)
         except (ValueError, OSError):   # non-main interpreter contexts
+            pass
+
+    def _restore_sigterm_handler(self) -> None:
+        """Undo _install_preemption_handler when train() exits. Without
+        this, a finished Trainer leaves its handler on the PROCESS: later
+        SIGTERMs are silently swallowed (set a dead trainer's flag) instead
+        of terminating — observed as a `timeout`-wrapped suite absorbing
+        the signal and running past its deadline."""
+        import signal
+
+        old = getattr(self, "_old_sigterm", None)
+        if old is None:
+            return
+        self._old_sigterm = None
+        try:
+            signal.signal(signal.SIGTERM, old)
+        except (ValueError, OSError):
             pass
 
     def _log_device_memory(self, step: int) -> None:

@@ -333,6 +333,29 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     assert out2["steps"] == 4
 
 
+def test_sigterm_handler_restored_after_train(tmp_path):
+    """train() must put back the process SIGTERM handler it replaced: a
+    finished Trainer that keeps its handler makes the whole process
+    swallow later SIGTERMs (a dead trainer's flag gets set instead of
+    terminating — observed as a `timeout`-wrapped suite absorbing the
+    signal and stopping the NEXT trainer's run at step 1)."""
+    import signal
+
+    from avsr_tpu.train.loop import Trainer
+
+    before = signal.getsignal(signal.SIGTERM)
+    cfg = tiny_avsr_cfg()
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, max_steps=1,
+                                          checkpoint_dir=str(tmp_path)))
+    tok = ByteTokenizer()
+    ds = SyntheticAVSRDataset(cfg.data, tok, modality="audio", image_size=16)
+    loader = DataLoader(ds, cfg.data, tok, model_cfg=cfg.model, seed=1)
+    params = init_avsr_model(jax.random.key(0), cfg.model)
+    Trainer(cfg, params, loader).train()
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
 def test_train_step_dual_connector(rng):
     """Gradients flow through a dual-input fusion connector (qformer) in a
     real optimizer step — the wiring the reference never had (§2.1)."""

@@ -86,6 +86,7 @@ def _cfg(root) -> AVSRConfig:
         model=model, runtime=RuntimeConfig(compute_dtype="float32"))
 
 
+@pytest.mark.slow
 def test_convert_and_load(hf_dirs, tmp_path, rng):
     from avsr_tpu.cli import convert_hf
     from avsr_tpu.cli.common import init_or_load_params
@@ -131,6 +132,7 @@ def test_convert_and_load(hf_dirs, tmp_path, rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_convert_rejects_dim_mismatch(hf_dirs, tmp_path):
     from avsr_tpu.cli import convert_hf
 

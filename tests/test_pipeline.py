@@ -17,6 +17,7 @@ from avsr_tpu.mesh.sharding import build_mesh
 from avsr_tpu.ops.pipeline import pipeline_apply, stack_stages
 
 
+@pytest.mark.slow
 def test_pipeline_matches_serial(rng):
     """Generic stage pipeline == serial application, fwd + grads."""
     mesh = build_mesh(MeshConfig(dp=2, fsdp=1, sp=1, tp=1, pp=4))
@@ -67,6 +68,7 @@ def test_pipeline_matches_serial(rng):
                                    rtol=2e-6, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_pp1(rng):
     """Full AVSR train step with mesh.pp=4 == the unsharded step."""
     from test_models_avsr import tiny_batch
@@ -114,6 +116,7 @@ def test_pp_train_step_matches_pp1(rng):
     np.testing.assert_allclose(lora1, lora2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pp_composes_with_tp_fsdp(rng):
     """pp2 x tp2 x fsdp2 on the 8-device mesh: a fully sharded train step
     (megatron tp + zero fsdp param sharding + GPipe stages) matches the

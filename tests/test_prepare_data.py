@@ -6,6 +6,7 @@ end: generated media -> manifest build -> ManifestAVSRDataset -> DataLoader
 batch."""
 
 import numpy as np
+import pytest
 
 from avsr_tpu.cli import prepare_data
 from avsr_tpu.core.config import DataConfig
@@ -63,6 +64,7 @@ def test_scan_mode_with_sidecar_txt(tmp_path):
     assert entries[0].num_samples == 8000
 
 
+@pytest.mark.slow
 def test_demo_dataset_trains_and_decodes(tmp_path):
     """Real files end to end: prepare_data --demo -> manifest dataset with
     native batch WAV decode -> Trainer -> decode CLI. The only other E2E

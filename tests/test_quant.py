@@ -86,6 +86,7 @@ def test_quantized_decode_step_runs(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_quantized_cli_train_and_decode(tmp_path):
     """use_4bit end to end through the real CLIs: quantized frozen LLM base
     (QLoRA-style — adapters stay full precision) trains and decodes

@@ -23,6 +23,7 @@ def _mk(rng, B, H, Hkv, T, D):
 
 
 @pytest.mark.parametrize("causal,Hkv", [(True, 2), (False, 8), (True, 8)])
+@pytest.mark.slow
 def test_ring_matches_reference(rng, causal, Hkv):
     mesh = build_mesh(MeshConfig(dp=2, fsdp=1, sp=4, tp=1))
     B, H, T, D = 4, 8, 64, 16
@@ -39,6 +40,7 @@ def test_ring_matches_reference(rng, causal, Hkv):
                                np.asarray(out_ref * vm), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_grads_match_reference(rng):
     mesh = build_mesh(MeshConfig(dp=1, fsdp=2, sp=4, tp=1))
     B, H, Hkv, T, D = 2, 4, 2, 32, 8

@@ -169,6 +169,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     mngr.close()
 
 
+@pytest.mark.slow
 def test_trainer_grad_accum_multibucket(tmp_path):
     """accum=2 over multi-bucket synthetic data: micro-batches land in
     different (audio, video) buckets with different static shapes; the
@@ -284,6 +285,7 @@ def test_midepoch_resume_no_repeats(tmp_path):
         f"synthetic/{i:05d}" for i in range(8)}
 
 
+@pytest.mark.slow
 def test_batch_size_probe_runs():
     """Doubling probe (ref _find_optimal_batch_size, trainer:976-1003):
     tiny model on CPU never OOMs below the cap, so the probe returns the

@@ -338,6 +338,13 @@ class Trainer:
 
         try:
             self._old_sigterm = signal.signal(signal.SIGTERM, _on_term)
+            # keep the handler object so restore can verify it is still
+            # ours; a separate installed flag distinguishes "never
+            # installed" from "previous handler was None" (set from C —
+            # restore falls back to SIG_DFL there so the dead-trainer
+            # swallow still can't occur). ADVICE r04.
+            self._own_sigterm = _on_term
+            self._sigterm_installed = True
         except (ValueError, OSError):   # non-main interpreter contexts
             pass
 
@@ -346,15 +353,23 @@ class Trainer:
         this, a finished Trainer leaves its handler on the PROCESS: later
         SIGTERMs are silently swallowed (set a dead trainer's flag) instead
         of terminating — observed as a `timeout`-wrapped suite absorbing
-        the signal and running past its deadline."""
+        the signal and running past its deadline. Restores only if the
+        current handler is still this Trainer's own (surrounding code may
+        have installed its own mid-train; don't clobber it)."""
         import signal
 
-        old = getattr(self, "_old_sigterm", None)
-        if old is None:
+        if not getattr(self, "_sigterm_installed", False):
             return
+        self._sigterm_installed = False
+        old = getattr(self, "_old_sigterm", None)
+        own = getattr(self, "_own_sigterm", None)
         self._old_sigterm = None
+        self._own_sigterm = None
         try:
-            signal.signal(signal.SIGTERM, old)
+            if signal.getsignal(signal.SIGTERM) is not own:
+                return        # someone re-bound it after us: theirs wins
+            signal.signal(signal.SIGTERM,
+                          signal.SIG_DFL if old is None else old)
         except (ValueError, OSError):
             pass
 

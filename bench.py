@@ -55,16 +55,29 @@ STREAM_WARM, STREAM_WIN = 6, 10   # latency windows past compile warmup
 PIPE_BATCHES = 6
 PIPE_SRC_PIXELS = 256       # stored video frame edge (decode+resize cost)
 SMOKE = False
-# Skip-remaining-sections wall-clock budget: a partial JSON line (sections
-# missing) beats a killed run with no line at all. Recalibrated for round 5
-# against the DRIVER's observed window, not this session's: the r04 driver
-# run was reaped at ~295 s wall (rc=124) — ~35 s init/compile + 258 s of
-# sections + a partial engine section (VERDICT r04 weak #1). 180 s of
-# section budget + ~40 s pre-section setup leaves ~75 s for the section in
-# flight when the check last passed. Raise via AVSR_BENCH_BUDGET_S for
-# manual full runs; the JSON line now also prints incrementally (see
-# _emit) so even a mid-section kill keeps every finished section.
-BUDGET_S = float(__import__("os").environ.get("AVSR_BENCH_BUDGET_S", 180))
+# Section budget: a partial JSON line (sections missing) beats a killed
+# run with no line at all. Recalibrated for round 5 against the DRIVER's
+# observed window: the r04 driver run was reaped at ~295 s wall (rc=124,
+# VERDICT r04 weak #1). Skipping is PROJECTION-based, not just elapsed-
+# based: each section carries a warm-cache time estimate (measured this
+# session right after the persistent cache was populated — the r05 session
+# discovered prior rounds never wrote the big axon executables to
+# ~/.cache/avsr_tpu_xla, so every driver run recompiled everything), the
+# observed-vs-expected ratio of the sections already run scales the
+# estimates (a cold cache or a slow tunnel day inflates both alike), and a
+# section is skipped when its PROJECTED end would overrun the budget. A
+# warm driver run therefore fits everything; a cold one sheds the
+# expensive tail early and still exits inside the window. The JSON line
+# also prints incrementally (_emit), so even a reaper kill keeps every
+# finished section.
+BUDGET_S = float(__import__("os").environ.get("AVSR_BENCH_BUDGET_S", 230))
+# Warm-cache per-section seconds (r05 session, one v5e behind the axon
+# tunnel). Cold multipliers observed: 1.8-6x.
+SECTION_EST = {
+    "mfu": 1, "decode": 33, "pipeline": 85, "decode_quant": 45,
+    "engine": 45, "beam": 25, "streaming": 45, "multilora": 60,
+    "speculative": 60, "d128": 20,
+}
 # Targeted reruns: AVSR_BENCH_SECTIONS="mfu,decode" runs only those
 # sections; AVSR_BENCH_OVERRIDES='{"model.llm.head_dim": 128}' merges
 # dotted-key config overrides (used for the D=128 MFU geometry experiment).
@@ -212,18 +225,27 @@ def main(smoke: bool = False) -> int:
     _emit()  # the standing train metric survives even a pre-section kill
 
     only = {s.strip() for s in SECTIONS.split(",") if s.strip()}
+    # environment-speed calibration for the projection skip: ratio of
+    # measured to estimated time over the sections run so far (>=1 — a
+    # fast day never projects sections CHEAPER than their warm estimate)
+    est_done = [0.0]
 
     def section(name, fn, *a):
         if only and name not in only:
             log(f"[section {name}: skipped by AVSR_BENCH_SECTIONS]")
             return {}
-        # skip-don't-die: a partial metrics line still reaches the driver
-        # if a cold-cache run approaches the environment's process reaper
-        if time.perf_counter() - t_start > BUDGET_S:
-            log(f"[section {name}: SKIPPED, over {BUDGET_S:.0f}s budget]")
+        # skip-don't-die: projection-based — a partial metrics line still
+        # reaches the driver if a cold-cache run approaches the reaper
+        elapsed = time.perf_counter() - t_start
+        ratio = max(1.0, elapsed / est_done[0]) if est_done[0] > 0 else 1.0
+        projected = elapsed + SECTION_EST.get(name, 60) * ratio
+        if not SMOKE and projected > BUDGET_S:
+            log(f"[section {name}: SKIPPED, projected end {projected:.0f}s "
+                f"(speed ratio {ratio:.1f}) over {BUDGET_S:.0f}s budget]")
             metrics_out.setdefault("skipped_sections", []).append(name)
             _emit()
             return {}
+        est_done[0] += SECTION_EST.get(name, 60)
         t0 = time.perf_counter()
         try:
             out = fn(*a)
@@ -472,8 +494,16 @@ def bench_pipeline(cfg, state_box, step_fn, device_utts_per_sec: float) -> dict:
             assert np.isfinite(float(metrics["loss"]))  # serializes the chain
             return loader, n, time.perf_counter() - t0
 
-        loader_raw, n_raw, dt_raw = run_loader(dcfg)
-        loader_raw.close()
+        # The raw-f32/RGB comparison epoch costs ~35 s on the chip for a
+        # number whose verdict is settled (compact won 1.58x r04; the r05
+        # session run measured the two within noise on a slow-host day) —
+        # smoke keeps the code path guarded, AVSR_BENCH_PIPELINE_RAW=1
+        # remeasures it on demand.
+        measure_raw = SMOKE or bool(
+            __import__("os").environ.get("AVSR_BENCH_PIPELINE_RAW"))
+        if measure_raw:
+            loader_raw, n_raw, dt_raw = run_loader(dcfg)
+            loader_raw.close()
         loader, n, dt = run_loader(dcfg_c)
 
         # attribution: host-side batch prep alone (media decode + resize +
@@ -501,7 +531,7 @@ def bench_pipeline(cfg, state_box, step_fn, device_utts_per_sec: float) -> dict:
 
     utts = n * BATCH / dt
     eff = utts / device_utts_per_sec
-    utts_raw = n_raw * BATCH / dt_raw
+    utts_raw = (n_raw * BATCH / dt_raw) if measure_raw else None
     host_utts = nh * BATCH / host_dt
     host_eff = min(host_utts / device_utts_per_sec, 1.0)
     # what the LOADER ships per batch (compact: int16 audio + planar
@@ -526,7 +556,8 @@ def bench_pipeline(cfg, state_box, step_fn, device_utts_per_sec: float) -> dict:
                            + BATCH / device_utts_per_sec)
     eff_serial = utts / ceil_serial
     log(f"pipeline: {n} loader-fed steps in {dt:.2f}s -> {utts:.2f} utt/s "
-        f"compact link format (raw f32/RGB: {utts_raw:.2f}) "
+        f"compact link format (raw f32/RGB: "
+        f"{f'{utts_raw:.2f}' if utts_raw is not None else 'not measured'}) "
         f"(efficiency {eff:.2f} vs device-only, {eff_adj:.2f} vs "
         f"min(compute, link={link_utts:.1f} utt/s) overlap ceiling, "
         f"{eff_serial:.2f} vs this link's serialized ceiling "
@@ -535,7 +566,8 @@ def bench_pipeline(cfg, state_box, step_fn, device_utts_per_sec: float) -> dict:
         f"link {link_mbs:.0f} MB/s at {batch_mb:.0f} MB/batch")
     state_box[0] = state
     return {"pipeline_utts_per_sec": round(utts, 3),
-            "pipeline_raw_rgb_utts_per_sec": round(utts_raw, 3),
+            **({"pipeline_raw_rgb_utts_per_sec": round(utts_raw, 3)}
+               if utts_raw is not None else {}),
             "pipeline_efficiency": round(eff, 3),
             "pipeline_efficiency_link_adjusted": round(eff_adj, 3),
             "pipeline_efficiency_vs_serialized_link": round(eff_serial, 3),

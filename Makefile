@@ -16,6 +16,14 @@ test:
 test-fast:
 	$(PY) -m pytest tests/ -q -m "not slow"
 
+# Full suite as 3 sequential processes — each stays under the ~20 min
+# process cap some environments impose on a single pytest run (sharding
+# is per test file, crc32 % 3; see tests/conftest.py).
+test-sharded:
+	AVSR_TEST_SHARD=0/3 $(PY) -m pytest tests/ -q
+	AVSR_TEST_SHARD=1/3 $(PY) -m pytest tests/ -q
+	AVSR_TEST_SHARD=2/3 $(PY) -m pytest tests/ -q
+
 bench:
 	$(PY) bench.py
 

@@ -95,7 +95,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         params, raw_params = load_decode_params(
             cfg, args.checkpoint, mesh=mesh, return_raw=True)
-        if cfg.decode.spec_draft_layers > 0:
+        if cfg.decode.spec_draft_checkpoint:
+            # Separately-TRAINED draft (avsr-distill export): its own
+            # architecture + encoders, own prefix — the profitable
+            # acceptance regime (docs/serving.md round-5 measurement).
+            from avsr_tpu.cli.common import init_or_load_params
+            from avsr_tpu.core.config import load_config
+            dcfg_full = load_config(cfg.decode.spec_draft_config)
+            draft_cfg = dcfg_full.model
+            if draft_cfg.llm.vocab_size != cfg.model.llm.vocab_size:
+                raise SystemExit(
+                    "spec_draft_checkpoint vocab mismatch: "
+                    f"{draft_cfg.llm.vocab_size} vs "
+                    f"{cfg.model.llm.vocab_size}")
+            d_raw = init_or_load_params(dcfg_full,
+                                        cfg.decode.spec_draft_checkpoint)
+            draft_params = make_draft_params(
+                d_raw, draft_cfg, bits=cfg.decode.spec_draft_bits)
+            del d_raw
+        elif cfg.decode.spec_draft_layers > 0:
             # LayerSkip early exit: slice the target's first k blocks
             # (zero extra weight memory pre-quantization), then quantize
             # + fuse the slice like the full-depth self-draft
@@ -111,7 +129,8 @@ def main(argv: list[str] | None = None) -> int:
                  " (slot-granular, in-engine)" if cfg.decode.engine_slots
                  else "",
                  cfg.decode.spec_draft_bits,
-                 (f"{cfg.decode.spec_draft_layers}-layer-skip"
+                 ("trained-separate" if cfg.decode.spec_draft_checkpoint
+                  else f"{cfg.decode.spec_draft_layers}-layer-skip"
                   if cfg.decode.spec_draft_layers else "self"),
                  cfg.decode.spec_gamma)
         _warn_if_speculative_loses(cfg)
@@ -124,15 +143,26 @@ def main(argv: list[str] | None = None) -> int:
         # propagate through the jitted generate loop
         from avsr_tpu.mesh.sharding import infer_batch_sharder, shard_params
         params = shard_params(params, mesh)
+        if draft_params is not None:
+            # the draft decodes inside the same jitted computation as the
+            # sharded target — both trees must live on the mesh
+            draft_params = shard_params(draft_params, mesh)
         shard_batch = infer_batch_sharder(mesh)
 
     return run_protocol(cfg, params, tok, ds, loader, mesh=mesh,
                         shard_batch=shard_batch, draft_params=draft_params,
-                        draft_model_cfg=draft_cfg)
+                        draft_model_cfg=draft_cfg,
+                        # a trained-separate draft ran its own encoders in
+                        # training; sharing the target prefix would feed it
+                        # activations it never learned to read
+                        draft_shares_prefix=(
+                            False if cfg.decode.spec_draft_checkpoint
+                            else None))
 
 
 def run_protocol(cfg, params, tok, ds, loader, *, mesh=None,
                  shard_batch=None, draft_params=None, draft_model_cfg=None,
+                 draft_shares_prefix: bool | None = None,
                  stats_out: dict | None = None) -> int:
     """The full reference eval protocol over an already-built model +
     dataset: batched greedy/sampled/beam/engine decode, per-utterance
@@ -208,7 +238,8 @@ def run_protocol(cfg, params, tok, ds, loader, *, mesh=None,
                            compute_dtype=cfg.runtime.compute_dtype,
                            use_pallas=cfg.runtime.use_pallas, mesh=mesh,
                            draft_params=draft_params,
-                           draft_model_cfg=draft_model_cfg)
+                           draft_model_cfg=draft_model_cfg,
+                           draft_shares_prefix=draft_shares_prefix)
             tokens = np.asarray(out.tokens)
             lens = np.asarray(out.lengths)
             for i, (utt, ref) in enumerate(zip(hb.utt_ids, hb.texts)):

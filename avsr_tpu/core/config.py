@@ -471,6 +471,17 @@ class DecodeConfig:
     # uncalibrated model — exactness never depends on it (the verify pass
     # decides every token). 0 = full-depth quantized self-draft.
     spec_draft_layers: int = 0
+    # Separately-TRAINED draft (the profitable regime — docs/serving.md
+    # round-5 measurement: acceptance is a draft-quality property; a
+    # task-trained draft clears the B=1 break-even where every
+    # random-init draft floors at ~1 tok/pass). Point these at an
+    # `avsr-distill` export: the params dir and its config.yaml. The
+    # draft runs its own encode/prefix (its architecture may differ —
+    # only the vocabulary must match) and is quantized to
+    # spec_draft_bits like every other draft. Standalone decode only
+    # (engine slot caches assume the self/layer-skip draft geometry).
+    spec_draft_checkpoint: str = ""
+    spec_draft_config: str = ""
 
 
 @dataclass(frozen=True)
@@ -577,6 +588,24 @@ class AVSRConfig:
                     "speculative serving (engine_slots + speculative) is "
                     "greedy-only; set decode.temperature=0 or drop one "
                     "of the two knobs")
+            if bool(self.decode.spec_draft_checkpoint) != bool(
+                    self.decode.spec_draft_config):
+                raise ValueError(
+                    "decode.spec_draft_checkpoint and "
+                    "decode.spec_draft_config come as a pair (the export "
+                    "dir and the draft's config.yaml — avsr-distill "
+                    "writes both)")
+            if self.decode.spec_draft_checkpoint:
+                if self.decode.spec_draft_layers:
+                    raise ValueError(
+                        "decode.spec_draft_checkpoint (separate trained "
+                        "draft) and spec_draft_layers (layer-skip "
+                        "self-draft) are mutually exclusive")
+                if self.decode.engine_slots:
+                    raise ValueError(
+                        "decode.spec_draft_checkpoint is standalone-decode "
+                        "only: engine slot caches assume the self/"
+                        "layer-skip draft geometry")
         if self.model.audio_encoder not in ("whisper", "hubert", "wav2vec2"):
             raise ValueError(
                 f"audio_encoder must be whisper|hubert|wav2vec2, "

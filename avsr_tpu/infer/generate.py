@@ -398,7 +398,8 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
              rng: jax.Array | None = None,
              compute_dtype: str = "float32",
              use_pallas: str = "auto", mesh=None,
-             draft_params=None, draft_model_cfg=None) -> GenOut:
+             draft_params=None, draft_model_cfg=None,
+             draft_shares_prefix: bool | None = None) -> GenOut:
     """Config-driven dispatch (ref decode.py protocol: greedy default).
 
     ``draft_params`` activates speculative decoding when
@@ -415,7 +416,8 @@ def generate(params, model_cfg: ModelConfig, batch: Batch,
             temperature=decode_cfg.temperature, top_p=decode_cfg.top_p,
             rng=rng, eos_id=eos_id, compute_dtype=compute_dtype,
             use_pallas=use_pallas, mesh=mesh,
-            draft_model_cfg=draft_model_cfg)
+            draft_model_cfg=draft_model_cfg,
+            draft_shares_prefix=draft_shares_prefix)
     if decode_cfg.num_beams > 1:
         return beam_search(
             params, model_cfg, batch,

@@ -329,8 +329,16 @@ def forward(
     remat: bool = False,
     dropout_rng: jax.Array | None = None,
     mesh=None,
+    return_logits: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Training/eval forward: returns (mean CE loss, metrics dict)."""
+    """Training/eval forward: returns (mean CE loss, metrics dict).
+
+    ``return_logits`` additionally puts the label-position vocab logits
+    ([B, Tl, V]) and their validity mask ([B, Tl]) into the metrics as
+    ``label_logits`` / ``label_mask`` — the distillation trainer
+    (cli.distill) matches a student against these teacher distributions.
+    Off by default: the tensor is V-wide per label token, which the CE
+    path deliberately never materializes beyond this gather."""
     enc = encode(params, cfg, batch, compute_dtype=compute_dtype,
                  use_pallas=use_pallas, remat=remat, mesh=mesh)
 
@@ -395,6 +403,9 @@ def forward(
     acc = jnp.sum(correct * mask) / n_tokens
     metrics = {"loss": loss, "accuracy": acc, "label_tokens": n_tokens,
                "feat_len_mean": jnp.mean(enc.lengths.astype(jnp.float32))}
+    if return_logits:
+        metrics["label_logits"] = logits
+        metrics["label_mask"] = mask
     # MoE router auxiliaries (connector and/or LLM MoE layers): weighted
     # into the optimized loss so the routers learn balanced dispatch
     # (metrics keep the raw summed values).

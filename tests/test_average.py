@@ -55,6 +55,7 @@ def _overrides(ckpt_dir, dec_dir):
     ]
 
 
+@pytest.mark.slow   # 37.8s measured r05 — >20s fast-tier policy
 def test_average_cli_end_to_end(tmp_path):
     """Train 3 steps (checkpoint each), average the last 2, and decode
     from the averaged export — proving the artifact is a drop-in

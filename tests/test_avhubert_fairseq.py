@@ -220,6 +220,7 @@ def _randomize(model: nn.Module) -> None:
 
 @pytest.mark.parametrize("fuse,stable_ln", [("concat", False),
                                             ("add", True)])
+@pytest.mark.slow   # 20.6s measured r05 — >20s fast-tier policy
 def test_fairseq_avhubert_conversion_parity(fuse, stable_ln):
     oracle = _AVHubertOracle(fuse, stable_ln).eval()
     _randomize(oracle)
@@ -269,6 +270,7 @@ def test_fairseq_checkpoint_loader_stubs_unpicklable_cfg(tmp_path):
     assert np.allclose(sd["w"].numpy(), np.arange(4.0))
 
 
+@pytest.mark.slow   # 15.6s measured r05 — fast-tier budget policy
 def test_convert_cli_avhubert_fairseq(tmp_path):
     """build_converted_params wires video_encoder=avhubert to the fairseq
     reader (ref config.py:55 declares the family, never implements it)."""

@@ -3,11 +3,13 @@ missing scripts/inference.py — README.md:145): media file -> transcript
 through the same jitted paths as decode."""
 
 import numpy as np
+import pytest
 
 from avsr_tpu.cli import infer as cli_infer
 from avsr_tpu.data.audio_io import write_wav
 
 
+@pytest.mark.slow   # 9.5s measured r05 — fast-tier budget policy
 def test_infer_audio_only(tmp_path, capsys, rng):
     wav = tmp_path / "u.wav"
     x = (0.3 * np.sin(np.linspace(0, 400, 16000))).astype(np.float32)

@@ -6,11 +6,14 @@ the tests assert the capture->parse->report contract, not TPU numbers."""
 
 import json
 
+import pytest
+
 from avsr_tpu.cli.profile import analyze_trace, main
 
 TINY = ["--config", "avsr_tpu/configs/tiny_cpu.yaml"]
 
 
+@pytest.mark.slow   # 8.5s measured r05 — fast-tier budget policy
 def test_profile_train_writes_report(tmp_path):
     rc = main(TINY + ["--mode", "train", "--steps", "2",
                       "--output_dir", str(tmp_path)])

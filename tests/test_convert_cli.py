@@ -148,6 +148,7 @@ def test_convert_rejects_dim_mismatch(hf_dirs, tmp_path):
         ])
 
 
+@pytest.mark.slow   # 9.1s measured r05 — fast-tier budget policy
 def test_convert_hubert_encoder(tmp_path, rng):
     """audio_encoder=hubert conversion path: HF save_pretrained -> convert
     CLI -> loaded params match the torch forward."""
@@ -206,6 +207,7 @@ def test_convert_hubert_encoder(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow   # 8.6s measured r05 — fast-tier budget policy
 def test_convert_resnet_encoder(tmp_path, rng):
     """video_encoder=resnet conversion path through the CLI."""
     from transformers import ResNetConfig as HFResNetConfig
@@ -253,6 +255,7 @@ def test_convert_resnet_encoder(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4, rtol=2e-3)
 
 
+@pytest.mark.slow   # 7.7s measured r05 — fast-tier budget policy
 def test_convert_efficientnet_encoder(tmp_path, rng):
     """video_encoder=efficientnet conversion path through the CLI."""
     from transformers import EfficientNetConfig as HFEffConfig

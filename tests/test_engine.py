@@ -7,6 +7,7 @@ whole static batches (decode.py:405-440) and has no mid-flight refill.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -666,6 +667,7 @@ def test_engine_spec_validation():
         eng.submit(s, temperature=0.7)
 
 
+@pytest.mark.slow   # 12.2s measured r05 — fast-tier budget policy
 def test_cli_decode_engine_spec_matches_static(tmp_path):
     """cli.decode with engine_slots + speculative: same HYP stream as the
     plain greedy static path (spec never changes tokens, the engine never

@@ -42,6 +42,7 @@ def model_and_batch():
     return cfg, params, batch
 
 
+@pytest.mark.slow   # 18.2s measured r05 — fast-tier budget policy
 def test_greedy_matches_manual_decode(model_and_batch):
     """while_loop greedy decode == step-by-step python loop (oracle)."""
     cfg, params, batch = model_and_batch
@@ -191,6 +192,7 @@ def test_int8_kv_cache_generate(rng):
     assert rel < 0.1, rel
 
 
+@pytest.mark.slow   # 13.9s measured r05 — fast-tier budget policy
 def test_beam_split_cache_matches_flat_cache_oracle(model_and_batch):
     """The shared-prefix split-cache beam (llama_decode_step_split) must be
     token-exact against a python beam loop over the flat [B*W] cache built

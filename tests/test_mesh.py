@@ -55,6 +55,7 @@ def test_param_rules():
     assert param_spec([_K("llm"), _K("ln_f"), _K("scale")], w[0]) == P()
 
 
+@pytest.mark.slow   # 10.8s measured r05 — fast-tier budget policy
 def test_sharded_train_step_matches_single_device(rng):
     """The mesh-sharded step must be numerically equivalent to single-device."""
     cfg = tiny_avsr_cfg()

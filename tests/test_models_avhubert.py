@@ -21,6 +21,7 @@ TINY = AVHubertConfig(
     pos_conv_kernel=8, pos_conv_groups=2)
 
 
+@pytest.mark.slow   # 9.2s measured r05 — fast-tier budget policy
 def test_shapes_and_finite(rng):
     params = init_avhubert(jax.random.key(0), TINY)
     frames = rng.standard_normal((2, 5, 3, 32, 32)).astype(np.float32)
@@ -49,6 +50,7 @@ def test_layer_tap(rng):
     assert not np.allclose(np.asarray(out0), np.asarray(out1), atol=1e-5)
 
 
+@pytest.mark.slow   # 13.2s measured r05 — fast-tier budget policy
 def test_time_resolution_preserved(rng):
     """One feature per input frame (stride-1 time axis throughout)."""
     params = init_avhubert(jax.random.key(0), TINY)
@@ -68,6 +70,7 @@ def _model_cfg(**kw) -> ModelConfig:
     return ModelConfig(**base)
 
 
+@pytest.mark.slow   # 19.7s measured r05 — >20s fast-tier policy
 def test_avsr_forward_with_avhubert(rng):
     from avsr_tpu.models.avsr import Batch, forward, init_avsr_model
 
@@ -101,6 +104,7 @@ def test_finetune_avhubert_layers(rng):
     assert all(jax.tree_util.tree_leaves(av["blocks"][1]))
 
 
+@pytest.mark.slow   # 25.2s measured r05 — >20s fast-tier policy
 def test_finetune_avhubert_layers_grad_flow(rng):
     """The unfrozen AV-HuBERT blocks receive NONZERO gradients: the
     freeze_encoders stop_gradient short-circuit must stay off when

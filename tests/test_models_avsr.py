@@ -128,6 +128,7 @@ def test_qformer_fixed_length(rng):
     assert (np.asarray(out.lengths) == 8).all()
 
 
+@pytest.mark.slow   # 21.4s measured r05 — >20s fast-tier policy
 def test_frozen_encoder_gets_no_grad(rng):
     cfg = tiny_model_cfg(modality="audio")
     params = init_avsr_model(jax.random.key(0), cfg)
@@ -202,6 +203,7 @@ def _wave_batch(rng, B=2):
 
 
 @pytest.mark.parametrize("enc_name", ["hubert", "wav2vec2"])
+@pytest.mark.slow   # 23.3s measured r05 — >20s fast-tier policy
 def test_forward_ssl_audio_encoder(rng, enc_name):
     cfg = tiny_model_cfg(modality="both", audio_encoder=enc_name,
                          ssl=_ssl_cfg())
@@ -211,6 +213,7 @@ def test_forward_ssl_audio_encoder(rng, enc_name):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow   # 34.6s measured r05 — >20s fast-tier policy
 def test_ssl_encoder_frozen_and_trains(rng):
     """Connector gradients flow; frozen hubert gets none."""
     from avsr_tpu.train.state import trainable_mask
@@ -229,6 +232,7 @@ def test_ssl_encoder_frozen_and_trains(rng):
     assert np.abs(g).max() > 0
 
 
+@pytest.mark.slow   # 8.9s measured r05 — fast-tier budget policy
 def test_unfreeze_layer_norms(rng):
     """Frozen encoders with unfreeze_layer_norms train exactly the LN
     scales/biases (ref declares this at src/utils/config.py:86)."""

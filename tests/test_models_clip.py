@@ -52,6 +52,7 @@ def test_cls_parity(hf_pair, rng):
                                rtol=2e-3)
 
 
+@pytest.mark.slow   # 9.4s measured r05 — fast-tier budget policy
 def test_video_batch_shape(rng):
     import jax
 

@@ -69,6 +69,7 @@ def test_block_plan_arithmetic():
 
 
 @pytest.mark.parametrize("cfg,seed", [(TINY, 0)], ids=["b0-tiny"])
+@pytest.mark.slow   # 8.2s measured r05 — fast-tier budget policy
 def test_parity(cfg, seed, rng):
     import torch
 
@@ -95,6 +96,7 @@ def test_parity_odd_input(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=2e-3)
 
 
+@pytest.mark.slow   # 11.9s measured r05 — fast-tier budget policy
 def test_video_contract(rng):
     import jax
 

@@ -70,6 +70,7 @@ def _parity(hf_model, cfg: SpeechSSLConfig, rng, atol=2e-4):
     assert (np.asarray(lens) == exp).all()
 
 
+@pytest.mark.slow   # 8.2s measured r05 — fast-tier budget policy
 def test_parity_wav2vec2_base(rng):
     torch = pytest.importorskip("torch")
     from transformers import Wav2Vec2Config, Wav2Vec2Model
@@ -99,6 +100,7 @@ def test_parity_wav2vec2_stable_layer_norm(rng):
     _parity(model, LARGE, rng)
 
 
+@pytest.mark.slow   # 19.2s measured r05 — >20s fast-tier policy
 def test_padded_matches_trimmed(rng):
     """wave_lengths masking must reproduce the shorter-clip result.
 

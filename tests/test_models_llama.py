@@ -45,6 +45,7 @@ def test_logits_parity(hf_pair, rng):
     np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=3e-3)
 
 
+@pytest.mark.slow   # 7.6s measured r05 — fast-tier budget policy
 def test_padded_lengths_match(hf_pair, rng):
     _, params = hf_pair
     tokens = rng.integers(0, CFG.vocab_size, (1, 6))
@@ -59,6 +60,7 @@ def test_padded_lengths_match(hf_pair, rng):
                                atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow   # 11.6s measured r05 — fast-tier budget policy
 def test_decode_step_matches_full_forward(hf_pair, rng):
     """Greedy KV-cache decode must reproduce teacher-forced logits."""
     _, params = hf_pair
@@ -129,6 +131,7 @@ def test_lora_nonzero_changes_output(hf_pair, rng):
                                rtol=1e-4)
 
 
+@pytest.mark.slow   # 17.0s measured r05 — fast-tier budget policy
 def test_prefill_continue_matches_full_prefill(hf_pair, rng):
     """Chunked prefill (llama_prefill_continue) over [part1][part2] must
     reproduce the full-sequence prefill exactly: same final hidden states,

@@ -49,6 +49,7 @@ def test_parity_full_length(hf_pair, rng):
     assert (np.asarray(lens) == CFG.max_source_positions).all()
 
 
+@pytest.mark.slow   # 8.3s measured r05 — fast-tier budget policy
 def test_padded_matches_trimmed(hf_pair, rng):
     """Padding masked via mel_lengths must reproduce the shorter-clip result."""
     _, params = hf_pair

@@ -77,6 +77,7 @@ def test_moe_padding_invariance(rng):
                                rtol=1e-5)
 
 
+@pytest.mark.slow   # 12.0s measured r05 — fast-tier budget policy
 def test_moe_forward_grads_and_aux(rng):
     """Full AVSR forward with the moe connector: finite loss, aux metrics
     present, and nonzero gradients on both the router and the experts."""

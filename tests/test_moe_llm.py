@@ -75,6 +75,7 @@ def test_single_expert_matches_dense(rng):
     np.testing.assert_allclose(float(aux["moe_lb"]), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow   # 16.4s measured r05 — fast-tier budget policy
 def test_moe_decode_step_matches_full_forward(rng):
     """KV-cache decode through MoE layers == teacher-forced logits."""
     params = L.init_llama(jax.random.key(1), MOE_LLM)
@@ -97,6 +98,7 @@ def test_moe_decode_step_matches_full_forward(rng):
                                rtol=3e-3)
 
 
+@pytest.mark.slow   # 9.1s measured r05 — fast-tier budget policy
 def test_moe_interleave_and_train_metrics(rng):
     """moe_every=2 on 2 layers: layer 0 dense, layer 1 MoE; the train
     forward surfaces aux metrics and routes gradients into experts."""
@@ -118,6 +120,7 @@ def test_moe_interleave_and_train_metrics(rng):
     assert float(jnp.sum(blk["experts"]["w_gate"] ** 2)) > 0.0
 
 
+@pytest.mark.slow   # 7.4s measured r05 — fast-tier budget policy
 def test_moe_llm_speculative_lossless(rng):
     """Speculative decode over a MoE target: exercises llama_apply,
     llama_prefill_continue (verify) and llama_decode_step (draft) with
@@ -180,6 +183,7 @@ def test_moe_llm_config_validation():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow   # 7.5s measured r05 — fast-tier budget policy
 def test_moe_llm_ep_train_step_matches_single_device(rng):
     """dp2 x ep2 x tp2 with LLM expert layers: sharded == unsharded."""
     from avsr_tpu.mesh.sharding import batch_sharder, build_mesh, shard_state
@@ -219,6 +223,7 @@ def test_moe_llm_ep_train_step_matches_single_device(rng):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow   # 7.6s measured r05 — fast-tier budget policy
 def test_moe_dropless_composition_independent(rng):
     """The dropless inference capacity (C >= topk*N) makes a token's MoE
     output independent of what else shares the call — the property every
@@ -244,6 +249,7 @@ def test_moe_dropless_composition_independent(rng):
                            atol=1e-5)
 
 
+@pytest.mark.slow   # 15.8s measured r05 — fast-tier budget policy
 def test_moe_rowwise_padding_independent(rng):
     """Rowwise routing must drop the same tokens no matter how far the
     row is right-padded: the engine stages a group at the max member

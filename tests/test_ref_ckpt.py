@@ -122,6 +122,7 @@ def _cfg(connector_type="simple") -> AVSRConfig:
         model=model, runtime=RuntimeConfig(compute_dtype="float32"))
 
 
+@pytest.mark.slow   # 12.0s measured r05 — fast-tier budget policy
 def test_ref_ckpt_transfers_payload(ref_ckpt, rng):
     from avsr_tpu.cli.convert_ref_ckpt import build_ref_converted_params
     from avsr_tpu.models import llama as L
@@ -168,6 +169,7 @@ def test_ref_ckpt_transfers_payload(ref_ckpt, rng):
                                rtol=1e-5)
 
 
+@pytest.mark.slow   # 16.6s measured r05 — fast-tier budget policy
 def test_ref_ckpt_cli_end_to_end(ref_ckpt, tmp_path, rng):
     """Through the CLI: convert -> load via --checkpoint -> composed forward."""
     import jax

@@ -169,6 +169,7 @@ def test_ring_under_jit_sharded_inputs(rng):
                                atol=2e-5)
 
 
+@pytest.mark.slow   # 7.3s measured r05 — fast-tier budget policy
 def test_sp2_decode_matches_sp1(rng):
     """Greedy generation with an sp=2 mesh threaded into generate_tokens
     (ring-attention prefill over the sequence-sharded prefix) produces

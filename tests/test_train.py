@@ -396,6 +396,7 @@ def test_train_step_unfrozen_encoders(rng):
     assert np.abs(w_after - w_before).max() > 0
 
 
+@pytest.mark.slow   # 10.4s measured r05 — fast-tier budget policy
 def test_profiler_and_memory_telemetry(tmp_path, caplog):
     """runtime.profile_dir captures a jax.profiler trace of steps 4-7 and
     the per-100-step device-memory log runs (the TPU answers to the

@@ -8,7 +8,7 @@ PY ?= python
 SPLIT ?= test
 OUT ?= outputs/parity
 
-.PHONY: test test-fast parity-real parity-demo bench bench-smoke
+.PHONY: test test-fast test-sharded parity-real parity-demo bench bench-smoke
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -24,8 +24,10 @@ test-sharded:
 	AVSR_TEST_SHARD=1/3 $(PY) -m pytest tests/ -q
 	AVSR_TEST_SHARD=2/3 $(PY) -m pytest tests/ -q
 
+# Full manual bench: every section (the estimates sum to ~18 min; the
+# default in-script budget targets the driver's ~5 min window instead).
 bench:
-	$(PY) bench.py
+	AVSR_BENCH_BUDGET_S=2000 $(PY) bench.py
 
 bench-smoke:
 	$(PY) bench.py --smoke

@@ -29,19 +29,26 @@ from avsr_tpu.cli.common import (
 log = logging.getLogger("avsr.cli.decode")
 
 
-def _warn_if_speculative_loses(cfg) -> None:
+def _warn_if_speculative_loses(cfg, draft_model_cfg=None) -> None:
     """Loudly warn when decode.speculative is enabled in a regime the
     cost model (infer.speculative.break_even_tokens_per_pass) says must
     lose: the text is identical to greedy by construction, so a losing
     config buys nothing and costs throughput. Measured verdicts per
-    (batch, config) are tabulated in docs/serving.md 'Measured honesty'."""
+    (batch, config) are tabulated in docs/serving.md 'Measured honesty'.
+    ``draft_model_cfg``: the separate trained draft's config, so its TRUE
+    depth drives the cost model (spec_draft_layers is 0 on that path)."""
     from avsr_tpu.infer.speculative import break_even_tokens_per_pass
 
     d = cfg.decode
     gamma = d.spec_gamma
+    trained = bool(d.spec_draft_checkpoint)
+    draft_layers = d.spec_draft_layers
+    if trained and draft_model_cfg is not None:
+        draft_layers = min(draft_model_cfg.llm.n_layers,
+                           cfg.model.llm.n_layers)
     need = break_even_tokens_per_pass(
         cfg.model, bits=d.spec_draft_bits, gamma=gamma,
-        draft_layers=d.spec_draft_layers)
+        draft_layers=draft_layers)
     ceiling = gamma + 1.0
     batch = d.engine_slots if d.engine_slots > 0 else d.batch_size
     if need >= ceiling:
@@ -55,12 +62,23 @@ def _warn_if_speculative_loses(cfg) -> None:
     elif batch >= 4:
         log.warning(
             "speculative at batch %d is a MEASURED LOSS on this geometry "
-            "(best swept config 0.49x greedy at batch 8 — the verify pass "
-            "is no longer bandwidth-free at batch >= 4 and every draft "
-            "dispatch pays host RTT). Output is token-identical to greedy, "
-            "so this setting only slows decoding; it profits, if anywhere, "
-            "at batch 1-2 latency. See docs/serving.md 'Measured honesty'.",
+            "regardless of draft quality (at batch 8 the crossover is "
+            "unreachable at ANY acceptance rate — the verify pass is no "
+            "longer bandwidth-free at batch >= 4 and every draft dispatch "
+            "pays host RTT). Output is token-identical to greedy, so this "
+            "setting only slows decoding; it profits, if anywhere, at "
+            "batch 1-2 latency. See docs/serving.md 'Measured honesty'.",
             batch)
+    elif trained:
+        log.info(
+            "speculative at batch %d with a trained separate draft "
+            "(depth %d/%d, int%d): profitable when measured acceptance "
+            "exceeds %.2f tokens/pass (ceiling %.0f) — check "
+            "distill_report.json teacher_agree or return_stats "
+            "(docs/serving.md: a task-trained 1/2-depth draft measured "
+            "4.75/5).",
+            batch, draft_layers, cfg.model.llm.n_layers,
+            d.spec_draft_bits, need, ceiling)
     else:
         log.warning(
             "speculative at batch %d profits ONLY with a trained draft: "
@@ -93,14 +111,16 @@ def main(argv: list[str] | None = None) -> int:
             make_draft_params,
             make_layerskip_draft,
         )
-        params, raw_params = load_decode_params(
-            cfg, args.checkpoint, mesh=mesh, return_raw=True)
         if cfg.decode.spec_draft_checkpoint:
             # Separately-TRAINED draft (avsr-distill export): its own
             # architecture + encoders, own prefix — the profitable
             # acceptance regime (docs/serving.md round-5 measurement).
+            # No raw target tree needed (the draft has its own weights):
+            # skip return_raw so no duplicate full-precision copy of the
+            # target ever materializes.
             from avsr_tpu.cli.common import init_or_load_params
             from avsr_tpu.core.config import load_config
+            params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
             dcfg_full = load_config(cfg.decode.spec_draft_config)
             draft_cfg = dcfg_full.model
             if draft_cfg.llm.vocab_size != cfg.model.llm.vocab_size:
@@ -117,14 +137,19 @@ def main(argv: list[str] | None = None) -> int:
             # LayerSkip early exit: slice the target's first k blocks
             # (zero extra weight memory pre-quantization), then quantize
             # + fuse the slice like the full-depth self-draft
+            params, raw_params = load_decode_params(
+                cfg, args.checkpoint, mesh=mesh, return_raw=True)
             d_raw, draft_cfg = make_layerskip_draft(
                 raw_params, cfg.model, cfg.decode.spec_draft_layers)
             draft_params = make_draft_params(
                 d_raw, draft_cfg, bits=cfg.decode.spec_draft_bits)
+            del raw_params
         else:
+            params, raw_params = load_decode_params(
+                cfg, args.checkpoint, mesh=mesh, return_raw=True)
             draft_params = make_draft_params(
                 raw_params, cfg.model, bits=cfg.decode.spec_draft_bits)
-        del raw_params
+            del raw_params
         log.info("speculative decode%s: int%d %s-draft, gamma=%d",
                  " (slot-granular, in-engine)" if cfg.decode.engine_slots
                  else "",
@@ -133,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
                   else f"{cfg.decode.spec_draft_layers}-layer-skip"
                   if cfg.decode.spec_draft_layers else "self"),
                  cfg.decode.spec_gamma)
-        _warn_if_speculative_loses(cfg)
+        _warn_if_speculative_loses(cfg, draft_model_cfg=draft_cfg)
     else:
         params = load_decode_params(cfg, args.checkpoint, mesh=mesh)
     shard_batch = None

@@ -176,9 +176,16 @@ def main(argv: list[str] | None = None) -> int:
         log.info("warm start: %d leaves copied from the teacher", n_copied)
 
     tok, ds, loader = build_data(cfg, "train")
-    steps_per_epoch = max(len(loader), 1)
+    if len(loader) == 0:
+        raise SystemExit(
+            f"empty train split under data.path={cfg.data.path!r} — "
+            f"nothing to distill on")
     total = (cfg.training.max_steps if cfg.training.max_steps > 0
-             else steps_per_epoch * cfg.training.num_epochs)
+             else len(loader) * cfg.training.num_epochs)
+    if total <= 0:
+        raise SystemExit(
+            "no training budget: set training.max_steps > 0 or "
+            "training.num_epochs > 0")
     state, tx = create_train_state(student, cfg, total_steps=total)
     step_fn = make_distill_step(cfg, tcfg, tx, tau=args.tau,
                                 alpha=args.alpha)

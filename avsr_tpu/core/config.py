@@ -557,6 +557,13 @@ class AVSRConfig:
             raise ValueError("decode.lm_head_bits must be 0, 4 or 8")
         if self.decode.kv_cache_dtype not in ("bfloat16", "int8"):
             raise ValueError("decode.kv_cache_dtype must be bfloat16|int8")
+        if ((self.decode.spec_draft_checkpoint
+             or self.decode.spec_draft_config)
+                and not self.decode.speculative):
+            raise ValueError(
+                "decode.spec_draft_checkpoint/spec_draft_config are set "
+                "but decode.speculative is false — the trained draft "
+                "would be silently ignored; add decode.speculative=true")
         if self.decode.speculative:
             if self.decode.num_beams > 1:
                 raise ValueError(

@@ -65,11 +65,13 @@ SMOKE = False
 # ~/.cache/avsr_tpu_xla, so every driver run recompiled everything), the
 # observed-vs-expected ratio of the sections already run scales the
 # estimates (a cold cache or a slow tunnel day inflates both alike), and a
-# section is skipped when its PROJECTED end would overrun the budget. A
-# warm driver run therefore fits everything; a cold one sheds the
-# expensive tail early and still exits inside the window. The JSON line
-# also prints incrementally (_emit), so even a reaper kill keeps every
-# finished section.
+# section is skipped when its PROJECTED end would overrun the budget. The
+# default budget targets the DRIVER window: it deliberately fits only the
+# core sections (train/mfu/decode/pipeline + whatever else projects in)
+# and sheds the expensive tail by name; the estimates sum to ~18 min, so
+# a FULL manual run needs AVSR_BENCH_BUDGET_S=2000 (what `make bench`
+# sets). The JSON line also prints incrementally (_emit), so even a
+# reaper kill keeps every finished section.
 BUDGET_S = float(__import__("os").environ.get("AVSR_BENCH_BUDGET_S", 200))
 # Per-section seconds measured on the r05 final full run with a FULLY
 # POPULATED persistent cache — "warm" on this tunnel still pays 35-60 s
@@ -220,6 +222,10 @@ def main(smoke: bool = False) -> int:
 
     def _dump_and_exit(signum, frame):  # noqa: ARG001
         log(f"[signal {signum}: emitting cumulative metrics and exiting]")
+        # leading newline: the signal may land mid-print inside _emit —
+        # terminate any partial stdout line first so the LAST line (what
+        # the driver parses) is always complete JSON
+        print(flush=True)
         _emit()
         sys.stdout.flush()
         __import__("os")._exit(0)
@@ -232,7 +238,10 @@ def main(smoke: bool = False) -> int:
     only = {s.strip() for s in SECTIONS.split(",") if s.strip()}
     # environment-speed calibration for the projection skip: ratio of
     # measured to estimated time over the sections run so far (>=1 — a
-    # fast day never projects sections CHEAPER than their warm estimate)
+    # fast day never projects sections CHEAPER than their warm estimate).
+    # The ratio only engages once >=30s of estimate has accumulated: a
+    # one-time hiccup in a tiny early section (mfu est 1s taking 10s)
+    # must not read as a 10x-slow environment and shed everything.
     est_done = [0.0]
 
     def section(name, fn, *a):
@@ -242,7 +251,8 @@ def main(smoke: bool = False) -> int:
         # skip-don't-die: projection-based — a partial metrics line still
         # reaches the driver if a cold-cache run approaches the reaper
         elapsed = time.perf_counter() - t_start
-        ratio = max(1.0, elapsed / est_done[0]) if est_done[0] > 0 else 1.0
+        ratio = (max(1.0, elapsed / est_done[0])
+                 if est_done[0] >= 30.0 else 1.0)
         projected = elapsed + SECTION_EST.get(name, 60) * ratio
         if not SMOKE and projected > BUDGET_S:
             log(f"[section {name}: SKIPPED, projected end {projected:.0f}s "

@@ -14,7 +14,10 @@ import shutil
 from pathlib import Path
 
 
-def main(out: str) -> None:
+def build_tiny_hf_pair(hf_root) -> None:
+    """Write the canonical tiny Whisper + Llama ``save_pretrained`` pair
+    (the sizes the parity-demo Makefile overrides and the in-suite
+    manifest test both assume — one builder so they cannot drift)."""
     import torch
     from transformers import (
         LlamaConfig,
@@ -23,12 +26,8 @@ def main(out: str) -> None:
         WhisperModel,
     )
 
-    from avsr_tpu.cli import prepare_data
-
-    root = Path(out)
-    shutil.rmtree(root, ignore_errors=True)
-    (root / "hf").mkdir(parents=True)
-
+    hf_root = Path(hf_root)
+    hf_root.mkdir(parents=True, exist_ok=True)
     torch.manual_seed(0)
     WhisperModel(WhisperConfig(
         num_mel_bins=80, d_model=64, encoder_layers=2,
@@ -36,13 +35,21 @@ def main(out: str) -> None:
         decoder_attention_heads=2, encoder_ffn_dim=256, decoder_ffn_dim=256,
         max_source_positions=50, vocab_size=100, pad_token_id=0,
         bos_token_id=1, eos_token_id=2, decoder_start_token_id=1,
-    )).eval().save_pretrained(root / "hf" / "whisper")
+    )).eval().save_pretrained(hf_root / "whisper")
     LlamaForCausalLM(LlamaConfig(
         vocab_size=260, hidden_size=64, num_hidden_layers=2,
         num_attention_heads=4, num_key_value_heads=2,
         intermediate_size=128, tie_word_embeddings=False,
         attention_bias=False, mlp_bias=False,
-    )).eval().save_pretrained(root / "hf" / "llm")
+    )).eval().save_pretrained(hf_root / "llm")
+
+
+def main(out: str) -> None:
+    from avsr_tpu.cli import prepare_data
+
+    root = Path(out)
+    shutil.rmtree(root, ignore_errors=True)
+    build_tiny_hf_pair(root / "hf")
 
     rc = prepare_data.main(["--demo", "8", "--out", str(root / "data"),
                             "--splits", "0.5,0.25,0.25", "--seed", "3"])

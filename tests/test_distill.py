@@ -68,6 +68,9 @@ def test_spec_draft_checkpoint_config_validation():
     from avsr_tpu.core.config import load_config
 
     base = "avsr_tpu/configs/tiny_cpu.yaml"
+    with pytest.raises(ValueError, match="silently ignored"):
+        load_config(base, {"decode.spec_draft_checkpoint": "/x",
+                           "decode.spec_draft_config": "/x/config.yaml"})
     with pytest.raises(ValueError, match="come as a pair"):
         load_config(base, {"decode.speculative": True,
                            "decode.spec_draft_checkpoint": "/x"})

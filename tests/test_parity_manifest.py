@@ -20,28 +20,12 @@ torch = pytest.importorskip("torch")
 
 
 def test_parity_manifest_runs_reference_protocol(tmp_path):
-    from transformers import (
-        LlamaConfig,
-        LlamaForCausalLM,
-        WhisperConfig as HFWhisperConfig,
-        WhisperModel,
-    )
+    # the shared tiny-checkpoint builder `make parity-demo` rehearses —
+    # one source of the sizes, so the suite and the runbook cannot drift
+    from gen_demo_hf_ckpts import build_tiny_hf_pair
 
-    torch.manual_seed(0)
     root = tmp_path / "hf"
-    whisper = WhisperModel(HFWhisperConfig(
-        num_mel_bins=80, d_model=64, encoder_layers=2,
-        encoder_attention_heads=2, decoder_layers=1,
-        decoder_attention_heads=2, encoder_ffn_dim=256, decoder_ffn_dim=256,
-        max_source_positions=50, vocab_size=100, pad_token_id=0,
-        bos_token_id=1, eos_token_id=2, decoder_start_token_id=1)).eval()
-    whisper.save_pretrained(root / "whisper")
-    llm = LlamaForCausalLM(LlamaConfig(
-        vocab_size=260, hidden_size=64, num_hidden_layers=2,
-        num_attention_heads=4, num_key_value_heads=2,
-        intermediate_size=128, tie_word_embeddings=False,
-        attention_bias=False, mlp_bias=False)).eval()
-    llm.save_pretrained(root / "llm")
+    build_tiny_hf_pair(root)
 
     from avsr_tpu.cli import parity, prepare_data
 

@@ -77,6 +77,15 @@ class DataConfig:
     spec_time_width: int = 50           # mel frames (~0.5 s)
     spec_freq_masks: int = 2
     spec_freq_width: int = 12           # of the 80 mel bins
+    # Video augmentation (train-time only, on-device; ops/videoaug.py —
+    # the standard VSR recipe: per-utterance random crop-shift +
+    # horizontal flip + normalized-scale brightness/contrast jitter,
+    # identical across an utterance's frames)
+    video_augment: bool = False
+    vid_max_shift: int = 8              # pixels (crop of a padded frame)
+    vid_flip: bool = True
+    vid_brightness: float = 0.1         # on the normalized pixel scale
+    vid_contrast: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -40,6 +40,17 @@ def _loss_fn(params, cfg: AVSRConfig, batch: Batch, rng, mesh=None):
             time_width=cfg.data.spec_time_width,
             freq_masks=cfg.data.spec_freq_masks,
             freq_width=cfg.data.spec_freq_width))
+    if (cfg.data.video_augment and rng is not None
+            and batch.frames is not None):
+        # same gating as SpecAugment: training path only, on-device
+        from avsr_tpu.ops.videoaug import video_augment
+        rng, vrng = jax.random.split(rng)
+        batch = batch._replace(frames=video_augment(
+            batch.frames, batch.frame_lens, vrng,
+            max_shift=cfg.data.vid_max_shift,
+            flip=cfg.data.vid_flip,
+            brightness=cfg.data.vid_brightness,
+            contrast=cfg.data.vid_contrast))
     loss, metrics = forward(
         params, cfg.model, batch,
         compute_dtype=jnp.dtype(cfg.runtime.compute_dtype),

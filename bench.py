@@ -73,17 +73,20 @@ SMOKE = False
 # sets). The JSON line also prints incrementally (_emit), so even a
 # reaper kill keeps every finished section.
 BUDGET_S = float(__import__("os").environ.get("AVSR_BENCH_BUDGET_S", 200))
-# Per-section seconds measured on the r05 final full run with a FULLY
-# POPULATED persistent cache — "warm" on this tunnel still pays 35-60 s
-# per big executable load, and the load time itself swings ~3x with
-# tunnel load (decode compile 13 s one hour, 34-49 s the next), which is
-# exactly what the projection ratio absorbs. multilora's bank-variant
-# compiles never seem to hit the cache (352/372 s across runs) — priced
-# honestly so the projection always sheds it in a driver window.
+# Per-section MEDIAN warm seconds across the r05 session's runs — medians,
+# not worst cases: the BUDGET provides the safety margin, and worst-case
+# estimates proved over-conservative (a 1.3x-slow decode moment projected
+# pipeline's 115s worst case over budget and shed a headline section that
+# actually costs 33-116 s). "Warm" on this tunnel still pays 35-60 s per
+# big executable load, swinging ~3x with tunnel load (decode compile 13 s
+# one hour, 59 s the next) — the projection ratio absorbs that.
+# multilora's bank-variant compiles never hit the cache (352/372 s across
+# runs) — priced honestly so projection always sheds it in a driver
+# window.
 SECTION_EST = {
-    "mfu": 1, "decode": 45, "pipeline": 115, "decode_quant": 145,
-    "engine": 190, "beam": 55, "streaming": 45, "multilora": 350,
-    "speculative": 60, "d128": 115,
+    "mfu": 1, "decode": 50, "pipeline": 80, "decode_quant": 145,
+    "engine": 190, "beam": 60, "streaming": 45, "multilora": 350,
+    "speculative": 60, "d128": 100,
 }
 # Targeted reruns: AVSR_BENCH_SECTIONS="mfu,decode" runs only those
 # sections; AVSR_BENCH_OVERRIDES='{"model.llm.head_dim": 128}' merges
